@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory. Local defaults mirror what a cluster deploy
+  * would set per-job: AQE on (runtime re-plan + skew-join handling), shuffle
+  * partitions sized to the actual parallelism instead of the 200 default,
+  * UTC session time so timestamp results are engine-portable.
+  */
+object GraftSession {
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,452 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ann.{BruteForce, LshAnn}
+import graft.dedup._
+import graft.etl._
+import graft.functions.{F, RomanCodec, TextStats}
+import graft.multimodal.BinaryPipeline
+import graft.validation._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — see /root/repo/SURVEY.md §2: one `queries` entry per
+  * inventory line, plus a DuckDB oracle for every SQL-expressible one.
+  * Column names are aliased identically on both sides (the driver's compare
+  * sorts columns by name before hashing). Float aggregates go through
+  * decimal(18,2) so sums are order-independent and engine-portable.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_star_join")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared fragments ----------------------------------------------------
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Exact (order-independent) 2-dp sum surfaced as double. */
+  private def xsum(c: org.apache.spark.sql.Column) = sum(dec2(c)).cast("double")
+
+  private val validCodePrefixes: Seq[String] = (0 until 40).map(i => f"$i%02d")
+
+  private def eventsWithCodes(t: Tables): DataFrame =
+    t.events
+      .withColumn("base", regexp_extract(col("props"), "[0-9]+", 0))
+      .withColumn("raw0",
+        when(col("base").cast("int") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lpad(col("base"), 2, "0"),
+            lpad((col("user_id") % 100000).cast("string"), 5, "0"))))
+      .withColumn("rawc",
+        when(col("raw0").isNull, lit(null).cast("string"))
+          .when(col("event_type") === "click", substring(col("raw0"), 2, 6))
+          .otherwise(col("raw0")))
+      .withColumn("fb",
+        concat(lpad((col("event_id") % 100).cast("string"), 2, "0"), lit("00000")))
+
+  private val eventExpectations: Seq[Expectation] = Seq(
+    MatchRegex("props_format", col("props"), "^\\{\"k\": [0-9]+\\}$", 100),
+    InSet("event_type_in_set", col("event_type"),
+      Seq("click", "view", "purchase", "signup", "error"), 100),
+    Between("value_range", col("value"), 0.0, 500.0, 100),
+    NotNull("ts_not_null", col("ts"), 100),
+    Between("user_id_low", col("user_id"), 0L, 99L, 50))
+
+  // ---- the inventory -------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1. grouped aggregation (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          xsum(col("l_quantity")).as("sum_qty"),
+          xsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // 2. incremental date-window filter (previous-month window mode)
+    "q2_date_window" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      IncrementalLoad
+        .dateWindow(o, col("o_orderdate"), lit("1995-04-01").cast("date"),
+          firstRun = false)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    }),
+
+    // 3. star-schema enrich with broadcast dims
+    "q3_star_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      StarJoin
+        .enrich(t.orders, Seq(
+          t.customer.select("c_custkey", "c_nationkey") -> (col("o_custkey") === col("c_custkey")),
+          t.nation.select("n_nationkey", "n_regionkey") -> (col("c_nationkey") === col("n_nationkey")),
+          t.region -> (col("n_regionkey") === col("r_regionkey"))))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // 4. pivot counts with explicit pivot values
+    "q4_pivot" -> ((s, dir) =>
+      PivotAggregates.countPivot(Tables(s, dir).orders, "o_orderpriority",
+        "o_orderstatus", Seq("O", "F", "P"))),
+
+    // 5. 3m/2m/1m window counts in one pass
+    "q5_multiwindow" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val oc = t.orders
+        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+      WindowedCounts.monthWindowCounts(oc, col("o_orderdate"),
+        lit("1995-04-01").cast("date"), Seq(3, 2, 1), Seq("n_name"))
+    }),
+
+    // 6. anti-join: customers with no orders
+    "q6_anti_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      DimAlign
+        .removeUnmatched(t.customer, t.orders.select("o_custkey"),
+          "c_custkey", "o_custkey")
+        .select("c_custkey", "c_name")
+    }),
+
+    // 7. zero-fill outer join: per-nation order counts incl. empty nations
+    "q7_zero_fill" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val agg = t.orders
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      DimAlign
+        .zeroFill(t.nation.select("n_nationkey", "n_name"), agg,
+          "n_nationkey", "c_nationkey", Seq("n_orders"))
+        .select("n_name", "n_orders")
+    }),
+
+    // 8. code-correction cleanse (terc-style) with status classification
+    "q8_code_correction" -> ((s, dir) => {
+      val e = eventsWithCodes(Tables(s, dir))
+      CodeCorrection
+        .classify(e, col("rawc"), col("fb"), width = 7, prefixLen = 2,
+          validPrefixes = validCodePrefixes)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("code")).as("n_codes"))
+    }),
+
+    // 9. deterministic top-k per group
+    "q9_topk_per_group" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val oc = t.orders.join(
+        broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      Ranking
+        .topKPerGroup(oc, "c_mktsegment", col("o_totalprice").desc,
+          col("o_orderkey").asc, 5)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+    }),
+
+    // 10. single-pass validation suite (great_expectations analog)
+    "q10_validation" -> ((s, dir) =>
+      Validator.validate(Tables(s, dir).events, eventExpectations)),
+
+    // 11. roman numeral codec round-trip
+    "q11_deromanize" -> ((s, dir) =>
+      Tables(s, dir).part
+        .select(col("p_size"))
+        .where(col("p_size").between(1, 30))
+        .distinct()
+        .select(col("p_size"), F.toRoman(col("p_size")).as("roman"))
+        .withColumn("back", F.fromRoman(col("roman")))),
+
+    // 12. schema-evolution union with zero fill
+    "q12_schema_align" -> ((s, dir) => {
+      val o = Tables(s, dir).orders
+      val a = o.where(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("y1995").as("src"))
+      val b = o.where(year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), lit("y1996").as("src"))
+      SchemaAlign.unionZeroFill(a, b)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+    }),
+
+    // 13. gap-based sessionization via window functions
+    "q13_sessionize" -> ((s, dir) =>
+      Sessionize.userSessionStats(Tables(s, dir).events, "user_id", "ts",
+        "event_id", gapMs = 1800000L)),
+
+    // 14. tumbling time buckets (batch twin of the streaming agg)
+    "q14_time_buckets" -> ((s, dir) =>
+      TimeBuckets.hourly(Tables(s, dir).events, "ts",
+        Seq(count(lit(1)).as("n"), xsum(col("value")).as("total_value")),
+        extraKeys = Seq("event_type"))),
+
+    // 15. monthly-partitioned + clustered sink, manifest read-back
+    "q15_partition_manifest" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_orders"
+      PartitionedSink.writeMonthly(Tables(s, dir).orders, "o_orderdate",
+        "o_custkey", out)
+      s.read.parquet(out)
+        .groupBy(col("p_month").cast("string").as("p_month"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // 16. exact dedup groups
+    "q16_dedup_exact" -> ((s, dir) =>
+      ExactDedup.groups(Tables(s, dir).documents, "doc_id", "text")
+        .select("keep_id", "n_dups")),
+
+    // 17. minhash-LSH candidate pairs [rows-only]
+    "q17_minhash_pairs" -> ((s, dir) =>
+      MinHashDedup.candidatePairs(Tables(s, dir).documents, "doc_id", "text",
+        shingleK = 2, numPerms = 128, bands = 32, minJaccardPct = 5)),
+
+    // 18. simhash per doc [rows-only]
+    "q18_simhash" -> ((s, dir) =>
+      SimHashDedup.hashes(Tables(s, dir).documents, "doc_id", "text")),
+
+    // 19. exact n-gram jaccard over LSH candidates [rows-only]
+    "q19_ngram_jaccard" -> ((s, dir) =>
+      NgramJaccard.verifiedPairs(Tables(s, dir).documents, "doc_id", "text",
+        shingleK = 2, numPerms = 128, bands = 32, candidateMinPct = 5,
+        minJaccardPct = 10)),
+
+    // 20. embedding cosine near-dup pairs via hyperplane LSH [rows-only]
+    "q20_embed_neardup" -> ((s, dir) =>
+      EmbeddingDedup.pairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+        planes = 4, minCosine = 0.5)),
+
+    // 21. brute-force cosine top-k (rank-only output)
+    "q21_ann_bruteforce" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      BruteForce.topK(e, e.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // 22. LSH-bucketed ANN top-k [rows-only]
+    "q22_ann_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      LshAnn.topK(e, e.where(col("vec_id") < 50), k = 5, planes = 4)
+    }),
+
+    // 23. token counting (whitespace + BPE-ish estimate)
+    "q23_token_count" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.bpeTokenEstimate(col("text")).as("n_bpe_est"))),
+
+    // 24. language-id heuristic, confusion counts vs labels
+    "q24_lang_id" -> ((s, dir) =>
+      Tables(s, dir).documents
+        .select(col("lang"), TextStats.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))),
+
+    // 25. quality scoring (punctuation / stopword density)
+    "q25_quality" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextStats.punctCount(col("text")).as("n_punct"),
+        TextStats.stopwordHits(col("text")).as("n_stop"),
+        TextStats.qualityScore(col("text")).as("quality"))),
+
+    // 26. rolling-hash document fingerprint [rows-only]
+    "q26_fingerprint" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        F.fingerprint(F.tokensLower(col("text"))).as("fp"))),
+
+    // 27. multimodal binary plumbing with stubbed decode
+    "q27_multimodal_meta" -> ((s, dir) => {
+      val blobs = BinaryPipeline.withBlob(Tables(s, dir).documents, "doc_id", "text")
+      BinaryPipeline.extractMeta(s, blobs).toDF()
+        .select("doc_id", "n_bytes", "fake_width")
+    })
+  )
+
+  // ---- oracles -------------------------------------------------------------
+
+  private def romanCase(inCol: String): String =
+    (1 to 30)
+      .map(i => s"WHEN $i THEN '${RomanCodec.toRomanStr(i)}'")
+      .mkString(s"CASE $inCol ", " ", " END")
+
+  private val langCase: String =
+    """CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      | WHEN contains(p, ' der ') OR contains(p, ' und ') OR contains(p, ' nicht ') THEN 'de'
+      | WHEN contains(p, ' le ') OR contains(p, ' les ') OR contains(p, ' est ') THEN 'fr'
+      | WHEN contains(p, ' el ') OR contains(p, ' los ') OR contains(p, ' es ') THEN 'es'
+      | ELSE 'en' END""".stripMargin
+
+  private def expectationOracle(name: String, cond: String, pct: Int) =
+    s"""SELECT '$name' AS expectation, COUNT(*) AS n_rows,
+       | COUNT(*) FILTER (WHERE $cond) AS n_pass, $pct AS mostly_pct,
+       | (COUNT(*) FILTER (WHERE $cond) * 100 >= $pct * COUNT(*)) AS success
+       |FROM events""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_date_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-01'""".stripMargin,
+    "q3_star_join" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q4_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q5_multiwindow" ->
+      """SELECT n_name,
+        | COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1995-01-01') AS cnt_3m,
+        | COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1995-02-01') AS cnt_2m,
+        | COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1995-03-01') AS cnt_1m
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY n_name""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q7_zero_fill" ->
+      """SELECT n_name, COALESCE(x.n_orders, 0) AS n_orders FROM nation
+        |LEFT JOIN (
+        |  SELECT c_nationkey, COUNT(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey) x
+        |ON n_nationkey = x.c_nationkey""".stripMargin,
+    "q8_code_correction" -> {
+      val prefixes = validCodePrefixes.map(p => s"'$p'").mkString(", ")
+      s"""WITH e AS (
+         |  SELECT *, regexp_extract(props, '[0-9]+', 0) AS base FROM events
+         |), c AS (
+         |  SELECT *, CASE WHEN CAST(base AS INT) % 7 = 0 THEN NULL
+         |    ELSE lpad(base, 2, '0') || lpad(CAST(user_id % 100000 AS VARCHAR), 5, '0') END AS raw0
+         |  FROM e
+         |), c2 AS (
+         |  SELECT *,
+         |    CASE WHEN raw0 IS NULL THEN NULL
+         |         WHEN event_type = 'click' THEN substr(raw0, 2, 6)
+         |         ELSE raw0 END AS rawc,
+         |    lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') || '00000' AS fb
+         |  FROM c
+         |), f AS (
+         |  SELECT *, CASE WHEN rawc IS NULL OR length(trim(rawc)) = 0 THEN fb ELSE rawc END AS filled FROM c2
+         |), p AS (
+         |  SELECT *, CASE WHEN length(filled) = 6 THEN '0' || filled ELSE filled END AS code FROM f
+         |), st AS (
+         |  SELECT *, CASE WHEN code IS NULL THEN 'Unknown'
+         |    WHEN substr(code, 1, 2) NOT IN ($prefixes) THEN 'Unknown2'
+         |    WHEN rawc IS NULL OR length(trim(rawc)) = 0 THEN 'Matched'
+         |    ELSE 'Ok' END AS status FROM p
+         |)
+         |SELECT status, COUNT(*) AS n, COUNT(DISTINCT code) AS n_codes FROM st GROUP BY status""".stripMargin
+    },
+    "q9_topk_per_group" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 5""".stripMargin,
+    "q10_validation" -> Seq(
+      expectationOracle("props_format",
+        """props IS NOT NULL AND regexp_matches(props, '^\{"k": [0-9]+\}$')""", 100),
+      expectationOracle("event_type_in_set",
+        "event_type IN ('click','view','purchase','signup','error')", 100),
+      expectationOracle("value_range", "value >= 0.0 AND value <= 500.0", 100),
+      expectationOracle("ts_not_null", "ts IS NOT NULL", 100),
+      expectationOracle("user_id_low", "user_id >= 0 AND user_id <= 99", 50)
+    ).mkString("\nUNION ALL\n"),
+    "q11_deromanize" ->
+      s"""SELECT p_size, ${romanCase("p_size")} AS roman, p_size AS back
+         |FROM (SELECT DISTINCT p_size FROM part WHERE p_size BETWEEN 1 AND 30)""".stripMargin,
+    "q12_schema_align" ->
+      """SELECT src, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, 'y1995' AS src FROM orders WHERE year(o_orderdate) = 1995
+        |  UNION ALL
+        |  SELECT o_orderkey, 0 AS o_totalprice, 'y1996' AS src FROM orders WHERE year(o_orderdate) = 1996
+        |) GROUP BY src""".stripMargin,
+    "q13_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS flag
+        |  FROM x)
+        |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(flag) AS BIGINT) AS n_sessions
+        |FROM f GROUP BY user_id""".stripMargin,
+    "q14_time_buckets" ->
+      """SELECT date_trunc('hour', ts) AS bucket_ts, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q15_partition_manifest" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS p_month, COUNT(*) AS n,
+        | MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q16_dedup_exact" ->
+      "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "q21_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS nid, embedding AS n_vec FROM embeddings)
+        |SELECT qid, nid, rnk FROM (
+        |  SELECT qid, nid, CAST(row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(q_vec, n_vec) DESC, nid) AS BIGINT) AS rnk
+        |  FROM c, q WHERE qid <> nid)
+        |WHERE rnk <= 5""".stripMargin,
+    "q23_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents""".stripMargin,
+    "q24_lang_id" ->
+      s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+         |  SELECT lang, $langCase AS predicted
+         |  FROM (SELECT lang, text, ' ' || lower(text) || ' ' AS p FROM documents))
+         |GROUP BY lang, predicted""".stripMargin,
+    "q25_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+        | n_stop,
+        | least(100, CAST(floor(500.0 * n_stop / n_tokens) AS BIGINT)) AS quality
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+        |       + (length(p) - length(replace(p, ' a ', ''))) / 3
+        |       + (length(p) - length(replace(p, ' and ', ''))) / 5 AS BIGINT) AS n_stop,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents))""".stripMargin,
+    "q27_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** graft's column-function surface. Everything here lowers to either
+  * built-in (codegen'd) Spark functions or a [[StaticInvoke]] of a static
+  * JVM method — never a Scala/Python UDF — so plans keep whole-stage
+  * codegen and null handling stays in Catalyst (propagateNull).
+  */
+object F {
+
+  private def col(e: Expression): Column = GraftSqlBridge.column(e)
+  private def ex(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  private def invoke(
+      dataType: DataType,
+      method: String,
+      args: Seq[Expression],
+      nullableOut: Boolean = false): Column =
+    col(
+      StaticInvoke(
+        classOf[Hashing.type],
+        dataType,
+        method,
+        args,
+        inputTypes = Nil,
+        propagateNull = true,
+        returnNullable = nullableOut))
+
+  // ---- tokenization -------------------------------------------------------
+
+  /** Whitespace tokens of a trimmed string. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Lower-cased whitespace tokens. */
+  def tokensLower(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Word k-shingles: overlapping k-grams of the token array, re-joined with
+    * single spaces. Shorter-than-k documents yield one (short) shingle.
+    */
+  def shingles(tokenArr: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(tokenArr) - k, lit(0))),
+      i => concat_ws(" ", slice(tokenArr, i + 1, lit(k))))
+
+  // ---- hashing / sketches -------------------------------------------------
+
+  /** 64-bit content hash of a string (FNV-1a + splitmix64). */
+  def hash64(c: Column, seed: Long = 0L): Column =
+    invoke(LongType, "hash64", Seq(ex(c), Literal(seed)))
+
+  /** MinHash signature (array<long> of length numPerms) of a shingle array. */
+  def minhashSig(shingleArr: Column, numPerms: Int = 128): Column =
+    invoke(ArrayType(LongType, containsNull = false), "minhashSig",
+      Seq(ex(shingleArr), Literal(numPerms)))
+
+  /** LSH band bucket ids (array<long> of length bands) of a minhash signature. */
+  def bandBuckets(sig: Column, bands: Int = 16): Column =
+    invoke(ArrayType(LongType, containsNull = false), "bandBuckets",
+      Seq(ex(sig), Literal(bands)))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokenArr: Column): Column =
+    invoke(LongType, "simhash64", Seq(ex(tokenArr)))
+
+  /** Order-sensitive polynomial rolling-hash fingerprint of a token array. */
+  def fingerprint(tokenArr: Column): Column =
+    invoke(LongType, "fingerprint", Seq(ex(tokenArr)))
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column =
+    invoke(IntegerType, "hamming", Seq(ex(a), ex(b)))
+
+  // ---- vector math --------------------------------------------------------
+
+  /** Cosine similarity of two array<float> columns (double accumulation). */
+  def cosine(a: Column, b: Column): Column =
+    invoke(DoubleType, "cosineF", Seq(ex(a), ex(b)))
+
+  /** Dot product of two array<float> columns (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    invoke(DoubleType, "dotF", Seq(ex(a), ex(b)))
+
+  /** Random-hyperplane LSH bucket (sign-bit code) of an array<float> column. */
+  def hyperplaneBucket(vec: Column, planes: Int = 16): Column =
+    invoke(LongType, "hyperplaneBucket", Seq(ex(vec), Literal(planes)))
+
+  // ---- roman numerals -----------------------------------------------------
+
+  /** Int → Roman numeral (null outside 1..3999). Reference:
+    * aggregates_python_helpers.py:72-78 builds the I..XXX validation set.
+    */
+  def toRoman(c: Column): Column =
+    col(StaticInvoke(classOf[RomanCodec.type], StringType, "toRoman",
+      Seq(ex(c)), Nil, propagateNull = true, returnNullable = true))
+
+  /** Roman numeral → Int (0 for invalid). Reference de-Romanize pass:
+    * aggregates_python_helpers.py:517-533.
+    */
+  def fromRoman(c: Column): Column =
+    col(StaticInvoke(classOf[RomanCodec.type], IntegerType, "fromRoman",
+      Seq(ex(c)), Nil, propagateNull = true, returnNullable = false))
+
+  // ---- decimal-exact aggregation helpers ----------------------------------
+
+  /** Order-independent sum of a 2-dp double column: cast to decimal(18,2)
+    * (exact, associative) then back to double. Keeps Spark/DuckDB/any-engine
+    * results bit-identical regardless of partitioning or merge order —
+    * needed because plain double summation is order-dependent and the
+    * physical merge order changes with the number of executors.
+    */
+  def exactSum2(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Order-independent average built from [[exactSum2]] / count. */
+  def exactAvg2(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(c)
+}

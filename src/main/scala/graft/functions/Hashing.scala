@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit hashing primitives used by the dedup / fingerprint
+  * operators. Pure JVM, allocation-light, and invoked from Catalyst via
+  * [[org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke]] so the
+  * calls stay inside whole-stage codegen.
+  *
+  * FNV-1a + splitmix64 finalizer: both are public-domain constructions.
+  */
+object Hashing {
+
+  /** FNV-1a 64 over UTF-8 bytes, finalized with splitmix64. */
+  def hash64(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix(h)
+  }
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline private def unsignedLt(a: Long, b: Long): Boolean =
+    (a ^ Long.MinValue) < (b ^ Long.MinValue)
+
+  /** MinHash signature of a shingle set: for each of `numPerms` permutations
+    * take the unsigned-min of a per-permutation re-mix of the shingle hash.
+    * One pass over the shingles; O(shingles * numPerms) mixes, no allocation
+    * beyond the output array. Empty input → all-ones signature (unsigned max).
+    */
+  def minhashSig(shingles: ArrayData, numPerms: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = Array.fill(numPerms)(-1L) // unsigned max
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = hash64(shingles.getUTF8String(i), 0L)
+        var p = 0
+        while (p < numPerms) {
+          val g = mix(h ^ (0x9e3779b97f4a7c15L * (p + 1)))
+          if (unsignedLt(g, mins(p))) mins(p) = g
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** LSH band buckets for a minhash signature: signature is split into
+    * `bands` contiguous bands and each band is hashed to one bucket id.
+    * Pairs sharing any (band, bucket) are candidate near-duplicates.
+    */
+  def bandBuckets(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val rowsPerBand = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        h ^= sig.getLong(b * rowsPerBand + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      out(b) = mix(h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over a token array: per-bit vote of token hashes. */
+  def simhash64(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Polynomial rolling-hash fingerprint of an ordered token stream:
+    * fp = ((h(t0)*P + h(t1))*P + ...) — order-sensitive, so documents with
+    * the same bag of words but different order fingerprint differently.
+    */
+  def fingerprint(tokens: ArrayData): Long = {
+    val P = 0x100000001b3L
+    var fp = 0xcbf29ce484222325L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        fp = fp * P + hash64(tokens.getUTF8String(i), 0L)
+      }
+      i += 1
+    }
+    mix(fp)
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Cosine similarity of two float vectors, accumulated in double.
+    * Returns 0.0 for zero-norm inputs.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Dot product of two float vectors in double precision. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x(i).toDouble * y(i); i += 1 }
+    dot
+  }
+
+  /** Random-hyperplane LSH bucket of a float vector: `planes` sign bits,
+    * plane components are pseudo-random ±1 derived from splitmix64 — fully
+    * deterministic, no driver-side state to broadcast.
+    */
+  def hyperplaneBucket(vec: ArrayData, planes: Int): Long = {
+    val x = vec.toFloatArray()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var j = 0
+      while (j < x.length) {
+        // component_pj = ±1 from a counter-mode hash
+        val sign = if ((mix(p.toLong * 131071L + j) & 1L) == 0L) 1.0 else -1.0
+        s += sign * x(j)
+        j += 1
+      }
+      if (s >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline operators:
+  * token counting, BPE-ish token estimation, language id, quality scoring.
+  * All built from codegen'd built-ins, and all expressible in ANSI SQL so the
+  * DuckDB oracle can check them value-for-value.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(F.tokens(text)).cast("long")
+
+  /** BPE-ish token estimate: ~1 token per 4 chars (public rule of thumb). */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  /** Punctuation character count over a fixed ASCII punctuation class.
+    * The class is written out explicitly (not \p{Punct}) so Java-regex and
+    * RE2-based engines agree character-for-character.
+    */
+  val PunctClass = """[.,;:!?'"()\[\]{}-]"""
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, PunctClass, ""))).cast("long")
+
+  /** Count of non-overlapping occurrences of a marker substring. */
+  def markerCount(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) / marker.length)
+      .cast("long")
+
+  /** English stopword hits: occurrences of ' the ' / ' a ' / ' and ' in a
+    * single-space-padded body.
+    */
+  def stopwordHits(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    markerCount(padded, " the ") + markerCount(padded, " a ") +
+      markerCount(padded, " and ")
+  }
+
+  /** Rule-chain language id heuristic (documented, deterministic):
+    * CJK codepoints → zh; German/French/Spanish marker words; default en.
+    * A marker-priority classifier rather than a scored argmax so the exact
+    * same CASE chain runs under any SQL engine for the oracle.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    when(text.rlike("[一-鿿]"), "zh")
+      .when(padded.contains(" der ") || padded.contains(" und ") ||
+        padded.contains(" nicht "), "de")
+      .when(padded.contains(" le ") || padded.contains(" les ") ||
+        padded.contains(" est "), "fr")
+      .when(padded.contains(" el ") || padded.contains(" los ") ||
+        padded.contains(" es "), "es")
+      .otherwise("en")
+  }
+
+  /** Integer quality score 0..100: stopword density scaled into tokens.
+    * score = min(100, floor(500 * stopword_hits / tokens)).
+    */
+  def qualityScore(text: Column): Column =
+    least(lit(100L),
+      floor(lit(500) * stopwordHits(text) / tokenCount(text)).cast("long"))
+}
