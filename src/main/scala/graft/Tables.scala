@@ -18,14 +18,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. Read it as raw long nanos (legacy conf) and floor to
-    * Spark's native microsecond precision.
+    * reader rejects. Read it as raw long nanos and floor to Spark's native
+    * microsecond precision. Requires `spark.sql.legacy.parquet.nanosAsLong
+    * = true`, set ONCE at session build (GraftSession / Verify / Bench) —
+    * mutating session conf per-read is racy under concurrent queries.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events: DataFrame =
     table("events").withColumn("ts",
       timestamp_micros(expr("ts div 1000")))
-  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column.
   * Baseline: brute-force cosine top-k with the query set broadcast (the
   * corpus scan stays fully distributed; result size is bounded at q×k).
-  * Scale path: random-hyperplane LSH restricts each query to its bucket
-  * neighborhood, cutting the scanned corpus by ~2^planes.
+  * Scale path: banded random-hyperplane LSH restricts each query to the
+  * union of its bucket neighborhoods across `tables` independent codes,
+  * cutting the scanned corpus by ~2^planes per table while the OR across
+  * tables keeps recall high.
   */
 object BruteForce {
 
@@ -35,24 +37,43 @@ object BruteForce {
 
 object LshAnn {
 
-  /** LSH-bucketed ANN: queries and corpus are bucketed by the same
-    * deterministic hyperplane code; each query ranks only its own bucket.
-    * Recall < 1.0 by construction; `planes` tunes bucket granularity.
+  /** Banded-LSH ANN: queries and corpus are coded with the same `tables` ×
+    * `planes` deterministic hyperplane scheme; a corpus vector is a
+    * candidate for a query iff they share ANY table's code. The broadcast
+    * query side keeps the corpus scan shuffle-free; candidate dedup
+    * aggregates narrow (qid, nid, cos) rows before the per-query ranking.
+    * Recall < 1.0 by construction; `tables` amplifies it toward 1.
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(
-      col(idCol).as("qid"), col(vecCol).as("q_vec"),
-      F.hyperplaneBucket(col(vecCol), planes).as("bucket")))
-    val c = corpus.select(
-      col(idCol).as("nid"), col(vecCol).as("n_vec"),
-      F.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      tables: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def coded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(F.hyperplaneCodes(col(vecCol), planes, tables))
+          .as(Seq("table", "code")))
+    val q = broadcast(coded(queries, "qid", "q_vec"))
+    val c = coded(corpus, "nid", "n_vec")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    c.join(q, Seq("bucket"))
+    c.join(q, Seq("table", "code"))
       .where(col("qid") =!= col("nid"))
       .withColumn("cos", F.cosine(col("q_vec"), col("n_vec")))
+      .groupBy(col("qid"), col("nid"))
+      .agg(max(col("cos")).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("qid", "nid", "rnk")
   }
+
+  /** Per-query recall of an approximate top-k against the exact top-k:
+    * |approx ∩ exact| * 100 / k. Both inputs are (qid, nid, rnk) frames as
+    * produced by [[topK]] / [[BruteForce.topK]]. The exact side drives the
+    * count so queries the approximate side missed entirely still report 0.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    exact.select("qid", "nid")
+      .join(approx.select(col("qid"), col("nid"), lit(1L).as("hit")),
+        Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) * 100 / k).cast("long")
+        .as("recall_pct"))
 }

@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.functions.F
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora. Four families:
@@ -9,16 +9,54 @@ import org.apache.spark.sql.functions._
   * each designed so candidate generation is bounded (never an O(n²)
   * cross join): LSH buckets bound the pair space, exact verification
   * runs only inside buckets.
+  *
+  * Scale invariants shared by every candidate-pair path here:
+  *  - the bucket shuffle carries ONLY (bucket key, id) — never signature
+  *    arrays, vectors, or text;
+  *  - hot buckets are capped (`maxBucket`), so one boilerplate-heavy
+  *    bucket can never go O(|bucket|²);
+  *  - pair dedup happens on narrow (id_a, id_b) rows BEFORE any payload
+  *    (signature / vector) is joined back for verification.
   */
+object DedupInternals {
+
+  /** Upper-triangle pairs of a sorted id array: (ids(i), ids(j)) for i < j.
+    * Pure codegen'd array ops — no join, no UDF. `maxLen` must bound the
+    * array length (callers cap bucket occupancy first).
+    */
+  def pairsOf(ids: Column, maxLen: Int): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, lit(maxLen)),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+
+  /** Group bucketed (bucket-cols..., id) rows, cap occupancy, explode the
+    * in-bucket pairs, and return DISTINCT narrow (id_a, id_b) pairs.
+    * Shuffles: one on the bucket key, one on the (id_a, id_b) dedup —
+    * both with ≤24-byte rows.
+    */
+  def distinctBucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucket: Int): DataFrame =
+    bucketed
+      .groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsOf(col("ids"), maxBucket)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+}
+
 object ExactDedup {
 
-  /** Keep-first exact dedup: group on the (optionally normalized) content,
-    * keep the smallest id. One shuffle on a 64-bit content hash would also
-    * work; grouping on the raw key lets Spark's partial aggregation kick in.
+  /** Keep-first exact dedup: group on a 64-bit content hash + length (16
+    * bytes/row shuffled) instead of the raw content — at 100 TB the group
+    * key must not be the document itself. Hash collisions would need both
+    * an FNV64 collision AND an equal length; for stronger guarantees chain
+    * a byte-compare inside the surviving groups.
     */
   def groups(docs: DataFrame, idCol: String, keyCol: String): DataFrame =
     docs
-      .groupBy(col(keyCol))
+      .groupBy(F.hash64(col(keyCol)).as("key_hash"),
+        length(col(keyCol)).as("key_len"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** The surviving rows after exact dedup. */
@@ -39,32 +77,28 @@ object MinHashDedup {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     docs
       .select(
-        col(idCol),
+        col(idCol).as("id"),
         F.minhashSig(F.shingles(F.tokensLower(col(textCol)), shingleK), numPerms)
           .as("sig"))
       .withColumn("buckets", F.bandBuckets(col("sig"), bands))
   }
 
-  /** Candidate near-dup pairs: explode band buckets, self-join per
-    * (band, bucket), estimate Jaccard as the fraction of equal signature
-    * positions, keep pairs ≥ minJaccardPct. The (band,bucket) shuffle key
-    * spreads uniformly; pair generation is bounded by bucket occupancy.
+  /** Candidate pairs from a signatures frame ((id, sig, buckets) as produced
+    * by [[signatures]] — callers persist it to share between operators).
+    * The band/bucket shuffle and the pair dedup run on narrow id rows; the
+    * 1 KB signature payload joins back only for the per-pair Jaccard
+    * estimate, keyed by id (AQE broadcasts it when small).
     */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numPerms: Int = 128, bands: Int = 16,
-      minJaccardPct: Int = 50): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, shingleK, numPerms, bands)
-    val exploded = sigs
-      .select(col(idCol).as("id"), col("sig"),
-        posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val l = exploded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = exploded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+  def candidatePairsFromSigs(sigs: DataFrame, numPerms: Int,
+      minJaccardPct: Int, maxBucket: Int = 256): DataFrame = {
+    val bucketed = sigs.select(col("id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val pairs = DedupInternals
+      .distinctBucketPairs(bucketed, Seq("band", "bucket"), "id", maxBucket)
+    val s = sigs.select(col("id"), col("sig"))
+    pairs
+      .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("eq_positions",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"),
@@ -74,6 +108,18 @@ object MinHashDedup {
         (col("eq_positions") * 100 / numPerms).cast("long"))
       .where(col("est_jaccard_pct") >= minJaccardPct)
       .select("id_a", "id_b", "est_jaccard_pct")
+  }
+
+  /** One-shot convenience: signatures + candidate pairs. The signature frame
+    * is cached for the lifetime of the returned plan since the pair plan
+    * reads it three times (buckets + two payload joins).
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerms: Int = 128, bands: Int = 16,
+      minJaccardPct: Int = 50, maxBucket: Int = 256): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, shingleK, numPerms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidatePairsFromSigs(sigs, numPerms, minJaccardPct, maxBucket)
   }
 }
 
@@ -86,9 +132,14 @@ object SimHashDedup {
   /** Near-dup pairs within a Hamming ball: block on 16-bit chunks of the
     * simhash (a pair within Hamming distance 3 of a 64-bit hash must agree
     * on at least one of 4 chunks — pigeonhole), verify exact distance.
+    * The Hamming check runs inside the bucket explode on 8-byte hashes, so
+    * nothing wide ever shuffles.
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    // 4 chunks guarantee a shared chunk only for distance < 4; a larger
+    // radius would silently lose pairs the blocking never co-buckets.
+    require(maxHamming < 4, "4-chunk pigeonhole blocking is complete only for maxHamming <= 3")
     val h = hashes(docs, idCol, textCol)
     val chunked = h.select(
       col(idCol).as("id"), col("simhash"),
@@ -96,37 +147,40 @@ object SimHashDedup {
         struct(lit(i).as("chunk_no"),
           shiftrightunsigned(col("simhash"), i * 16)
             .bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
-      .select(col("id"), col("simhash"), col("c.chunk_no"), col("c.chunk"))
-    val l = chunked.select(col("chunk_no"), col("chunk"),
-      col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = chunked.select(col("chunk_no"), col("chunk"),
-      col("id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk_no", "chunk"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", F.hamming(col("sh_a"), col("sh_b")))
+      .select(col("c.chunk_no"), col("c.chunk"),
+        struct(col("id"), col("simhash")).as("x"))
+    chunked
+      .groupBy(col("chunk_no"), col("chunk"))
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucket))
+      .select(explode(
+        flatten(transform(col("xs"), (a, i) =>
+          transform(slice(col("xs"), i + 2, lit(maxBucket)), b =>
+            struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+              F.hamming(a.getField("simhash"), b.getField("simhash"))
+                .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 }
 
 object NgramJaccard {
 
-  /** Exact n-gram Jaccard verification over candidate pairs — the precise
-    * re-rank step after MinHash candidate generation. Jaccard is computed
-    * on distinct word-k-shingle sets with array set ops (codegen'd).
+  /** Exact n-gram Jaccard verification over a given candidate-pair frame —
+    * the precise re-rank step after LSH candidate generation. Jaccard is
+    * computed on distinct word-k-shingle sets with array set ops
+    * (codegen'd); the shingle sets join in keyed by id, never shuffled
+    * with the pairs.
     */
-  def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numPerms: Int = 128, bands: Int = 16,
-      candidateMinPct: Int = 20, minJaccardPct: Int = 50): DataFrame = {
-    val cands = MinHashDedup
-      .candidatePairs(docs, idCol, textCol, shingleK, numPerms, bands,
-        candidateMinPct)
-      .select("id_a", "id_b")
+  def verify(docs: DataFrame, candidates: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, minJaccardPct: Int = 50): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(F.shingles(F.tokensLower(col(textCol)), shingleK))
         .as("shingles"))
-    cands
+    candidates
+      .select("id_a", "id_b")
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -136,26 +190,44 @@ object NgramJaccard {
       .where(col("jaccard_pct") >= minJaccardPct)
       .select("id_a", "id_b", "jaccard_pct")
   }
+
+  /** Convenience: candidate generation + exact verification in one call.
+    * Prefer [[verify]] with a shared candidate frame when MinHash pairs are
+    * also needed on their own — candidate generation is the expensive leg.
+    */
+  def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerms: Int = 128, bands: Int = 16,
+      candidateMinPct: Int = 20, minJaccardPct: Int = 50): DataFrame =
+    verify(docs,
+      MinHashDedup.candidatePairs(docs, idCol, textCol, shingleK, numPerms,
+        bands, candidateMinPct),
+      idCol, textCol, shingleK, minJaccardPct)
 }
 
 object EmbeddingDedup {
 
-  /** Embedding near-dup pairs: random-hyperplane LSH bucket (deterministic,
-    * no driver state), in-bucket pair join, exact cosine verification.
-    * `planes` trades recall vs bucket size: 2^planes buckets.
+  /** Embedding near-dup pairs: banded random-hyperplane LSH (`tables`
+    * independent codes of `planes` sign bits — AND within a table, OR
+    * across tables), in-bucket candidate generation on narrow id rows,
+    * exact-cosine verification after pair dedup. A single AND-only code
+    * (the naive construction) has recall (1-θ/π)^planes ≈ 20% at cosine
+    * 0.5 — the banded union is what makes recall → 1, exactly like the
+    * MinHash band scheme.
     */
   def pairs(embeddings: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 8, minCosine: Double = 0.95): DataFrame = {
-    val bucketed = embeddings.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      F.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
-    l.join(r, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+      planes: Int = 8, tables: Int = 16, minCosine: Double = 0.95,
+      maxBucket: Int = 4096): DataFrame = {
+    val coded = embeddings.select(col(idCol).as("id"),
+      posexplode(F.hyperplaneCodes(col(vecCol), planes, tables))
+        .as(Seq("table", "code")))
+    val pairs = DedupInternals
+      .distinctBucketPairs(coded, Seq("table", "code"), "id", maxBucket)
+    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    pairs
+      .join(v.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
       .withColumn("cos", F.cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= minCosine)
-      .select(col("id_a"), col("id_b"),
-        floor(col("cos") * 1000).cast("long").as("cos_x1000"))
+      .select("id_a", "id_b")
   }
 }

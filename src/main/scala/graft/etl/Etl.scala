@@ -13,16 +13,19 @@ object IncrementalLoad {
 
   /** The reference's incremental-load window (helpers.py:104-127,172-197):
     * first run loads everything before `execDate`; later runs load only
-    * (first day of previous month, execDate). At scale this predicate lands
-    * on the partition column, so a monthly-partitioned source prunes to ≤2
-    * partitions instead of scanning history.
+    * [first day of previous month, execDate). Half-open on the left — the
+    * reference uses a strict `>` against datetimes, which silently loses
+    * exact-boundary rows under a monthly cadence with date-typed columns;
+    * `>=` makes consecutive windows compose without gaps. At scale this
+    * predicate lands on the partition column, so a monthly-partitioned
+    * source prunes to ≤2 partitions instead of scanning history.
     */
   def dateWindow(df: DataFrame, dateCol: Column, execDate: Column,
       firstRun: Boolean): DataFrame =
     if (firstRun) df.where(dateCol < execDate)
     else {
       val windowStart = add_months(trunc(execDate, "month"), -1)
-      df.where(dateCol > windowStart && dateCol < execDate)
+      df.where(dateCol >= windowStart && dateCol < execDate)
     }
 }
 
@@ -51,6 +54,30 @@ object PivotAggregates {
     val pivoted = df.groupBy(col(groupCol)).pivot(pivotCol, pivotValues).count()
     pivotValues.foldLeft(pivoted)((acc, v) =>
       acc.withColumn(v, coalesce(col(s"`$v`"), lit(0L))))
+  }
+
+  /** Two-level pivot with the reference's de-Romanized column-rename pass
+    * (helpers.py:431 pivots on ['rodzaj_zam_budowlanego','kategoria']
+    * jointly, then :485-533 shortens names and converts the Roman category
+    * to its integer). The pivot key is the (value1, romanValue2) compound;
+    * output columns are renamed `cnt_<value1>_<int(value2)>`. Still ONE
+    * shuffle — the compound pivot is a single groupBy.pivot over explicit
+    * values (no driver-side distinct discovery).
+    */
+  def countPivot2(df: DataFrame, groupCol: String, col1: String,
+      values1: Seq[String], col2Roman: String,
+      values2Roman: Seq[String]): DataFrame = {
+    import graft.functions.RomanCodec
+    val combos = for (a <- values1; r <- values2Roman) yield s"${a}_$r"
+    val pivoted = df
+      .withColumn("_pk", concat_ws("_", col(col1), col(col2Roman)))
+      .groupBy(col(groupCol)).pivot("_pk", combos).count()
+    combos.foldLeft(pivoted) { (acc, c) =>
+      val Array(a, r) = c.split("_", 2)
+      acc.withColumn(s"cnt_${a}_${RomanCodec.fromRomanStr(r)}",
+          coalesce(col(s"`$c`"), lit(0L)))
+        .drop(c)
+    }
   }
 }
 
@@ -144,8 +171,64 @@ object CodeCorrection {
     df.withColumn(outCode, padded).withColumn(outStatus, status)
   }
 
+  val MatchedByName = "MatchedByName"
+
+  /** [[classify]] plus the reference's name-containment fallback LOOKUP
+    * (helpers.py:273: `gdf1['JPT_NAZWA_'].str.contains(miasto, case=False)`
+    * against the powiaty dim): rows whose code is empty AND whose fallback
+    * column is also empty are matched by testing whether the broadcast
+    * dimension's name appears (case-insensitively) inside the row's place
+    * text; ties take the smallest dim code (deterministic). Statuses:
+    * Ok (untouched valid), Matched (filled from the fallback column),
+    * MatchedByName (filled via the dim lookup), Unknown (unfillable),
+    * Unknown2 (prefix not in the valid dictionary).
+    *
+    * The containment join is a broadcast nested-loop against the dim —
+    * bounded because only code-less rows enter it and the dim is small by
+    * definition; the per-pk min() aggregation shuffles only (pk, code).
+    */
+  def classifyWithLookup(df: DataFrame, pkCol: String, codeCol: Column,
+      fallback: Column, placeCol: Column, dim: DataFrame, dimNameCol: String,
+      dimCodeCol: String, width: Int, prefixLen: Int,
+      validPrefixes: Seq[String], outCode: String = "code",
+      outStatus: String = "status"): DataFrame = {
+    val base = df
+      .withColumn("_raw", codeCol)
+      .withColumn("_fb", fallback)
+      .withColumn("_place", placeCol)
+    def empty(c: Column) = c.isNull || length(trim(c)) === 0
+    val rawEmpty = empty(col("_raw"))
+    val fbEmpty = empty(col("_fb"))
+    val needLookup = base.where(rawEmpty && fbEmpty)
+      .select(col(pkCol).as("_pk"), lower(col("_place")).as("_pl"))
+    val looked = needLookup
+      .join(broadcast(dim.select(lower(col(dimNameCol)).as("_dn"),
+        col(dimCodeCol).as("_dc"))),
+        col("_pl").contains(col("_dn")), "inner")
+      .groupBy(col("_pk"))
+      .agg(min(col("_dc")).as("_byname"))
+    val filled = base
+      .join(looked, base(pkCol) === looked("_pk"), "left")
+      .withColumn("_filled",
+        when(!rawEmpty, col("_raw"))
+          .when(!fbEmpty, col("_fb"))
+          .otherwise(col("_byname")))
+    val padded = when(length(col("_filled")) === width - 1,
+      concat(lit("0"), col("_filled"))).otherwise(col("_filled"))
+    val prefixOk = substring(padded, 1, prefixLen).isin(validPrefixes: _*)
+    val status = when(padded.isNull, Unknown)
+      .when(!prefixOk, Unknown2)
+      .when(!rawEmpty, Ok)
+      .when(!fbEmpty, Matched)
+      .otherwise(MatchedByName)
+    filled
+      .withColumn(outCode, padded)
+      .withColumn(outStatus, status)
+      .drop("_raw", "_fb", "_place", "_pk", "_pl", "_byname", "_filled")
+  }
+
   def dropInvalid(df: DataFrame, statusCol: String = "status"): DataFrame =
-    df.where(col(statusCol).isin(Ok, Matched))
+    df.where(col(statusCol).isin(Ok, Matched, MatchedByName))
 }
 
 object Ranking {
@@ -163,15 +246,23 @@ object Ranking {
 
 object SchemaAlign {
 
-  /** Union two frames by column name, zero-filling columns missing on either
-    * side — the reference's BigQuery schema-evolution step (helpers.py:383-
-    * 411) adds INTEGER 0 columns on both sides before appending.
+  /** Union two frames by column name, zero-filling NUMERIC columns missing
+    * on either side — the reference's BigQuery schema-evolution step
+    * (helpers.py:383-411) adds INTEGER 0 columns on both sides before
+    * appending. Non-numeric missing columns stay null (a string has no
+    * meaningful zero; coalescing one against 0 would force a lossy cast).
     */
   def unionZeroFill(a: DataFrame, b: DataFrame): DataFrame = {
     val u = a.unionByName(b, allowMissingColumns = true)
     val missing =
       (a.columns.toSet -- b.columns.toSet) ++ (b.columns.toSet -- a.columns.toSet)
-    missing.foldLeft(u)((acc, c) => acc.withColumn(c, coalesce(col(c), lit(0))))
+    missing.foldLeft(u) { (acc, c) =>
+      u.schema(c).dataType match {
+        case dt: org.apache.spark.sql.types.NumericType =>
+          acc.withColumn(c, coalesce(col(c), lit(0).cast(dt)))
+        case _ => acc
+      }
+    }
   }
 }
 
@@ -225,14 +316,57 @@ object PartitionedSink {
     * (helpers.py:726-736). `partitionBy(month)` gives partition pruning for
     * the incremental-load predicate; `sortWithinPartitions(clusterCol)`
     * gives parquet row-group min/max skipping on the cluster key.
+    *
+    * The repartition key is (month, hash(cluster) % filesPerMonth) — NOT
+    * month alone: repartitioning by month alone funnels each month into ONE
+    * task, so write parallelism = #months and a big month OOMs its single
+    * task. The intra-month split key fans each month out to `filesPerMonth`
+    * tasks/files while keeping rows of one cluster-key value in one file.
     */
   def writeMonthly(df: DataFrame, dateCol: String, clusterCol: String,
-      path: String): Unit =
+      path: String, filesPerMonth: Int = 8): Unit =
     df.withColumn("p_month", date_format(col(dateCol), "yyyy-MM"))
-      .repartition(col("p_month"))
+      .repartition(col("p_month"),
+        pmod(hash(col(clusterCol)), lit(filesPerMonth)))
       .sortWithinPartitions(col("p_month"), col(clusterCol))
       .write
       .mode("overwrite")
       .partitionBy("p_month")
       .parquet(path)
+
+  /** Append a batch to an existing parquet table with two-sided schema
+    * evolution — the reference's BigQuery append (helpers.py:383-411) adds
+    * missing columns as INTEGER 0 on both sides before appending. Columns
+    * the sink has but the batch lacks are added to the batch as typed
+    * zeros; columns the batch has but the sink lacks simply append (old
+    * files surface them as null — [[readAligned]] zero-fills on read, the
+    * parquet analog of a metadata-only ALTER ADD COLUMN DEFAULT 0). If the
+    * sink doesn't exist yet this is a plain first write.
+    */
+  def appendAligned(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      path: String): Unit = {
+    val existing =
+      try Some(spark.read.parquet(path).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val aligned = existing match {
+      case None => df
+      case Some(schema) =>
+        schema.fields.filterNot(f => df.columns.contains(f.name))
+          .foldLeft(df)((acc, f) =>
+            acc.withColumn(f.name, lit(0).cast(f.dataType)))
+    }
+    aligned.write.mode("append").option("mergeSchema", "true").parquet(path)
+  }
+
+  /** Read an [[appendAligned]] sink with schema merge, zero-filling the
+    * numeric nulls that pre-evolution files surface for later-added columns.
+    */
+  def readAligned(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    df.schema.fields
+      .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .foldLeft(df)((acc, f) =>
+        acc.withColumn(f.name, coalesce(col(f.name), lit(0).cast(f.dataType))))
+  }
 }

@@ -86,9 +86,12 @@ object F {
   def dot(a: Column, b: Column): Column =
     invoke(DoubleType, "dotF", Seq(ex(a), ex(b)))
 
-  /** Random-hyperplane LSH bucket (sign-bit code) of an array<float> column. */
-  def hyperplaneBucket(vec: Column, planes: Int = 16): Column =
-    invoke(LongType, "hyperplaneBucket", Seq(ex(vec), Literal(planes)))
+  /** Banded random-hyperplane LSH codes (array<long>, one sign-bit code per
+    * table) of an array<float> column. AND within a table, OR across tables.
+    */
+  def hyperplaneCodes(vec: Column, planes: Int, tables: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "hyperplaneCodes",
+      Seq(ex(vec), Literal(planes), Literal(tables)))
 
   // ---- roman numerals -----------------------------------------------------
 

@@ -157,26 +157,38 @@ object Hashing {
     dot
   }
 
-  /** Random-hyperplane LSH bucket of a float vector: `planes` sign bits,
-    * plane components are pseudo-random ±1 derived from splitmix64 — fully
-    * deterministic, no driver-side state to broadcast.
+  /** Banded random-hyperplane LSH codes of a float vector: `tables`
+    * independent codes of `planes` sign bits each (AND within a table, OR
+    * across tables — the same amplification the MinHash band scheme uses).
+    * A single AND-only code has recall ~(1-θ/π)^planes, which silently drops
+    * moderate-similarity pairs; the union over tables drives recall → 1.
+    * Plane components are pseudo-random ±1 derived from splitmix64 in
+    * counter mode — fully deterministic, no driver-side state to broadcast.
     */
-  def hyperplaneBucket(vec: ArrayData, planes: Int): Long = {
+  def hyperplaneCodes(vec: ArrayData, planes: Int, tables: Int): ArrayData = {
     val x = vec.toFloatArray()
-    var bucket = 0L
-    var p = 0
-    while (p < planes) {
-      var s = 0.0
-      var j = 0
-      while (j < x.length) {
-        // component_pj = ±1 from a counter-mode hash
-        val sign = if ((mix(p.toLong * 131071L + j) & 1L) == 0L) 1.0 else -1.0
-        s += sign * x(j)
-        j += 1
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var j = 0
+        while (j < x.length) {
+          // component_{t,p,j} = ±1 from a counter-mode hash
+          val sign =
+            if ((mix((t.toLong * planes + p) * 131071L + j) & 1L) == 0L) 1.0
+            else -1.0
+          s += sign * x(j)
+          j += 1
+        }
+        if (s >= 0) bucket |= (1L << p)
+        p += 1
       }
-      if (s >= 0) bucket |= (1L << p)
-      p += 1
+      out(t) = bucket
+      t += 1
     }
-    bucket
+    new GenericArrayData(out)
   }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.ann.{BruteForce, LshAnn}
+import org.apache.spark.sql.functions._
+
+/** ANN correctness: brute-force exactness on a hand-checkable fixture, and
+  * the banded-LSH recall floor against the exact top-k on real test data —
+  * the gate for [rows-only] q22.
+  */
+class AnnSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("brute-force top-k ranks by exact cosine with deterministic ties") {
+    // query 0 = e1; neighbors along known directions
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(10f, 0.1f, 0f, 0f), // cos ~1.0 → rank 1
+      2L -> Array(1f, 1f, 0f, 0f),    // cos ~0.707 → rank 2
+      3L -> Array(0f, 1f, 0f, 0f),    // cos 0 → rank 3
+      4L -> Array(-1f, 0f, 0f, 0f)    // cos -1 → rank 4
+    ).toDF("vec_id", "embedding")
+    val res = BruteForce.topK(vecs, vecs.where(col("vec_id") === 0), k = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(res.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("banded LSH ANN clears a 60% recall floor (avg 75%) vs exact top-5 on sf0.001") {
+    val e = Tables(spark, sf0001).embeddings
+    val queries = e.where(col("vec_id") < 50)
+    val recall = LshAnn.recallAtK(
+      LshAnn.topK(e, queries, k = 5, planes = 4, tables = 16),
+      BruteForce.topK(e, queries, k = 5), k = 5)
+      .as[(Long, Long)].collect()
+    assert(recall.length == 50)
+    val avg = recall.map(_._2).sum / 50.0
+    assert(recall.forall(_._2 >= 40), s"per-query floor breached: ${recall.filter(_._2 < 40).mkString(",")}")
+    assert(avg >= 75.0, s"avg recall $avg below floor")
+  }
+}

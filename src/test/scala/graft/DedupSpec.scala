@@ -1,0 +1,107 @@
+package graft
+
+import graft.dedup._
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the dedup family — the correctness gate for the
+  * [rows-only] queries q17/q31 and for the candidate-sharing path q19
+  * builds on. Fixtures carry planted near-duplicates with hand-computable
+  * similarity.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 1↔2 near-identical (1-token edit on 30 tokens), 3 unrelated, 4 = 1 exact dup
+  private def docs = Seq(
+    (1L, (1 to 30).map(i => s"tok$i").mkString(" ")),
+    (2L, ((1 to 30).map(i => s"tok$i").updated(15, "CHANGED")).mkString(" ")),
+    (3L, (100 to 130).map(i => s"zzz$i").mkString(" ")),
+    (4L, (1 to 30).map(i => s"tok$i").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicates under the smallest id") {
+    val g = ExactDedup.groups(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(g(1L) == 2L) // docs 1 and 4 share text
+    assert(g(2L) == 1L && g(3L) == 1L)
+    val kept = ExactDedup.dedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("minhash LSH recovers planted near-dups and exact dups, not unrelated docs") {
+    val pairs = MinHashDedup
+      .candidatePairs(docs, "doc_id", "text", shingleK = 2, numPerms = 128,
+        bands = 32, minJaccardPct = 50)
+      .select("id_a", "id_b", "est_jaccard_pct")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair missing")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)),
+      "near-dup pairs missing")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc surfaced as candidate")
+  }
+
+  test("minhash estimate agrees with exact ngram jaccard within 15 points") {
+    val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+      shingleK = 2, numPerms = 128, bands = 32, minJaccardPct = 5)
+    val est = cands.select("id_a", "id_b", "est_jaccard_pct")
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val exact = NgramJaccard
+      .verify(docs, cands, "doc_id", "text", shingleK = 2, minJaccardPct = 0)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    exact.foreach { case (pair, j) =>
+      assert(math.abs(est(pair) - j) <= 15, s"$pair est=${est(pair)} exact=$j")
+    }
+    // 1↔4 identical → jaccard 100; 1↔2 one token changed in 30 → 2 of 29
+    // bigram shingles differ: J = 27/31 ≈ 87
+    assert(exact((1L, 4L)) == 100L)
+    assert(exact((1L, 2L)) >= 80L && exact((1L, 2L)) < 100L)
+  }
+
+  test("simhash pairs finds near-dups within hamming 3 and dedups band multiplicity") {
+    val p = SimHashDedup.pairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val keys = p.map(t => (t._1, t._2)).toSet
+    assert(keys.contains((1L, 4L)))
+    assert(p.count(t => (t._1, t._2) == ((1L, 4L))) == 1, "pair not deduped")
+    assert(p.find(t => (t._1, t._2) == ((1L, 4L))).get._3 == 0)
+    assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("simhash pairs rejects a radius the 4-chunk blocking cannot cover") {
+    intercept[IllegalArgumentException] {
+      SimHashDedup.pairs(docs, "doc_id", "text", maxHamming = 9)
+    }
+  }
+
+  test("banded embedding LSH finds a planted cosine pair a single code would miss") {
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // planted near-dup: base + small noise (cosine ~0.9); rest random
+    val near = base.map(x => x + 0.25f * rnd.nextGaussian().toFloat)
+    val vecs = Seq(0L -> base, 1L -> near) ++
+      (2L to 60L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = EmbeddingDedup
+      .pairs(df, "vec_id", "embedding", planes = 4, tables = 32,
+        minCosine = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "planted cosine pair missed")
+    // exact-cosine verification keeps random pairs out
+    assert(pairs.size <= 3, s"too many false pairs: $pairs")
+  }
+
+  test("bucket occupancy cap drops pathological buckets instead of exploding") {
+    // 200 identical docs all land in the same buckets; cap excludes them
+    val same = (1L to 200L).map(i => (i, "the same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    val capped = MinHashDedup.candidatePairs(same, "doc_id", "text",
+      shingleK = 2, numPerms = 128, bands = 32, minJaccardPct = 5,
+      maxBucket = 100)
+    assert(capped.count() == 0L)
+  }
+}

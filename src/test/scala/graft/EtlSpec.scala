@@ -1,0 +1,154 @@
+package graft
+
+import graft.etl._
+import graft.functions.F
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the relational/ETL operators on hand-computable fixtures. */
+class EtlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dateWindow is half-open [prev-month-start, exec): boundary rows load exactly once") {
+    val rows = Seq(
+      (1L, Date.valueOf("1995-02-28")),
+      (2L, Date.valueOf("1995-03-01")), // exact window start — was lost with strict >
+      (3L, Date.valueOf("1995-03-15")),
+      (4L, Date.valueOf("1995-04-01")) // exec date — belongs to the NEXT run
+    ).toDF("id", "d")
+    val got = IncrementalLoad
+      .dateWindow(rows, col("d"), lit("1995-04-01").cast("date"), firstRun = false)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L))
+    val firstRun = IncrementalLoad
+      .dateWindow(rows, col("d"), lit("1995-04-01").cast("date"), firstRun = true)
+      .select("id").as[Long].collect().sorted
+    assert(firstRun.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("code correction classifies, pads, validates prefixes, and drops invalid") {
+    val rows = Seq(
+      (1L, "0112345", "9900000"), // valid as-is → Ok
+      (2L, null, "0200000"),      // filled from fallback → Matched
+      (3L, "991234", "0300000"),  // padded to 0991234, prefix 09 valid → Ok
+      (4L, null, null),           // unfillable → Unknown
+      (5L, "7712345", "0400000")  // prefix 77 invalid → Unknown2
+    ).toDF("id", "code_raw", "fb")
+    val out = CodeCorrection
+      .classify(rows, col("code_raw"), col("fb"), width = 7, prefixLen = 2,
+        validPrefixes = (0 until 40).map(i => f"$i%02d"))
+      .select("id", "code", "status").as[(Long, String, String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == (("0112345", "Ok")))
+    assert(out(2L) == (("0200000", "Matched")))
+    assert(out(3L) == (("0991234", "Ok")))
+    assert(out(4L)._2 == "Unknown")
+    assert(out(5L) == (("7712345", "Unknown2")))
+    val kept = CodeCorrection
+      .dropInvalid(CodeCorrection.classify(rows, col("code_raw"), col("fb"),
+        7, 2, (0 until 40).map(i => f"$i%02d")))
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("classifyWithLookup fills by dim-name containment (MatchedByName)") {
+    val dim = Seq(("KRAKOW", "1200000"), ("WARSZAWA", "1400000"))
+      .toDF("name", "dcode")
+    val rows = Seq(
+      (1L, null, null, "gmina Krakow city"),   // → MatchedByName via dim
+      (2L, null, "0700000", "gmina Krakow"),   // fallback col wins → Matched
+      (3L, null, null, "nowhere special"),     // no containment → Unknown
+      (4L, "0112345", null, "gmina Warszawa")  // raw code wins → Ok
+    ).toDF("id", "code_raw", "fb", "place")
+    val out = CodeCorrection
+      .classifyWithLookup(rows, "id", col("code_raw"), col("fb"), col("place"),
+        dim, "name", "dcode", width = 7, prefixLen = 2,
+        validPrefixes = (0 until 40).map(i => f"$i%02d"))
+      .select("id", "code", "status").as[(Long, String, String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == (("1200000", "MatchedByName")))
+    assert(out(2L) == (("0700000", "Matched")))
+    assert(out(3L)._2 == "Unknown")
+    assert(out(4L) == (("0112345", "Ok")))
+  }
+
+  test("DimAlign keepMatched / removeUnmatched / zeroFill") {
+    val fact = Seq((1L, "a"), (2L, "b"), (9L, "c")).toDF("k", "v")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("dk", "name")
+    assert(DimAlign.keepMatched(fact, dim, "k", "dk")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(DimAlign.removeUnmatched(fact, dim, "k", "dk")
+      .select("k").as[Long].collect().toSeq == Seq(9L))
+    val agg = Seq((1L, 5L)).toDF("ak", "n")
+    val zf = DimAlign.zeroFill(dim, agg, "dk", "ak", Seq("n"))
+      .select("dk", "n").as[(Long, Long)].collect().toMap
+    assert(zf == Map(1L -> 5L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("schema-align union zero-fills missing columns on either side") {
+    val a = Seq((1L, 10.0)).toDF("k", "x")
+    val b = Seq((2L, "s")).toDF("k", "y")
+    val u = SchemaAlign.unionZeroFill(a, b).orderBy("k").collect()
+    assert(u.length == 2)
+    val cols = SchemaAlign.unionZeroFill(a, b).columns.toSeq
+    assert(cols.contains("x") && cols.contains("y"))
+  }
+
+  test("sessionize counts gap-separated sessions per user") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 1L), (1L, ts(5), 2L), (1L, ts(45), 3L), // gap>30m → 2 sessions
+      (2L, ts(10), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Sessionize.userSessionStats(ev, "user_id", "ts", "event_id",
+      gapMs = 1800000L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == ((3L, 2L)))
+    assert(out(2L) == ((1L, 1L)))
+  }
+
+  test("two-level pivot renames columns through the de-Romanize pass") {
+    val rows = Seq(("g1", "A", "I"), ("g1", "A", "I"), ("g1", "B", "II"),
+      ("g2", "B", "III")).toDF("g", "t", "cat")
+    val out = PivotAggregates.countPivot2(rows, "g", "t", Seq("A", "B"),
+      "cat", Seq("I", "II", "III"))
+    assert(out.columns.toSet ==
+      Set("g", "cnt_A_1", "cnt_A_2", "cnt_A_3", "cnt_B_1", "cnt_B_2", "cnt_B_3"))
+    val m = out.collect().map(r => r.getString(0) ->
+      (1 until 7).map(r.getLong)).toMap
+    assert(m("g1") == Seq(2L, 0L, 0L, 0L, 1L, 0L))
+    assert(m("g2") == Seq(0L, 0L, 0L, 0L, 0L, 1L))
+  }
+
+  test("ranking top-k breaks ties deterministically") {
+    val rows = Seq(("g", 10.0, 2L), ("g", 10.0, 1L), ("g", 5.0, 3L))
+      .toDF("g", "score", "id")
+    val out = Ranking.topKPerGroup(rows, "g", col("score").desc, col("id").asc, 2)
+      .select("rnk", "id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("validator evaluates expectations in one pass and renders JSON") {
+    import graft.validation._
+    val df = Seq(("a@x.io", 5), ("bad", 50), ("c@y.io", 7))
+      .toDF("email", "v")
+    val res = Validator.validate(df, Seq(
+      MatchRegex("email_format", col("email"), "^[^@]+@[^@]+$", 60),
+      Between("v_range", col("v"), 0, 10, 100)))
+    val rows = res.as[(String, Long, Long, Int, Boolean)].collect()
+      .map(t => t._1 -> ((t._3, t._5))).toMap
+    assert(rows("email_format") == ((2L, true)))  // 2/3 ≥ 60%
+    assert(rows("v_range") == ((2L, false)))      // 2/3 < 100%
+    val json = Validator.renderJson(res)
+    assert(json.startsWith("[") && json.contains("email_format"))
+  }
+
+  test("F.hash64 and F.dot are usable as column functions") {
+    val df = Seq(("abc", Array(1f, 2f), Array(3f, 4f))).toDF("s", "a", "b")
+    val r = df.select(F.hash64(col("s")).as("h"), F.dot(col("a"), col("b")).as("d"))
+      .as[(Long, Double)].head()
+    assert(r._2 == 11.0)
+    assert(r._1 != 0L)
+  }
+}

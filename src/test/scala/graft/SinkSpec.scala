@@ -1,0 +1,57 @@
+package graft
+
+import graft.etl.PartitionedSink
+import java.nio.file.Files
+import java.sql.Date
+import org.apache.spark.sql.functions._
+
+/** Partitioned/clustered sink and append-mode schema evolution — the gate
+  * SURVEY §2.15 promises ("exercised in tests").
+  */
+class SinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("writeMonthly partitions by month, splits within month, sorts by cluster key") {
+    val rows = (1 to 400).map { i =>
+      (i.toLong, i % 40, Date.valueOf(s"1995-0${1 + i % 3}-15"))
+    }.toDF("id", "ck", "d")
+    val path = tmp("sink_monthly")
+    // AQE would (correctly) coalesce this tiny write into one task; disable
+    // it here so the intra-month fan-out is observable in the file layout.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try PartitionedSink.writeMonthly(rows, "d", "ck", path, filesPerMonth = 4)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 400)
+    assert(back.select("p_month").distinct().count() == 3)
+    // intra-month split: each month directory holds >1 data file
+    val monthDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("p_month="))
+    assert(monthDirs.nonEmpty)
+    monthDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files > 1, s"${d.getName} has $files file(s) — no write parallelism")
+    }
+    // partition pruning works on the manifest column
+    assert(back.where(col("p_month") === "1995-02").count() ==
+      (1 to 400).count(i => i % 3 == 1))
+  }
+
+  test("appendAligned evolves schema on both sides; readAligned zero-fills") {
+    val path = tmp("sink_append")
+    val batch1 = Seq((1L, 10L)).toDF("k", "a")
+    val batch2 = Seq((2L, 20L)).toDF("k", "b") // drops a, adds b
+    PartitionedSink.appendAligned(spark, batch1, path)
+    PartitionedSink.appendAligned(spark, batch2, path)
+    val back = PartitionedSink.readAligned(spark, path)
+    assert(back.columns.toSet == Set("k", "a", "b"))
+    val m = back.select("k", "a", "b").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m(1L) == ((10L, 0L)), "pre-evolution rows must read the new column as 0")
+    assert(m(2L) == ((0L, 20L)), "appended batch must zero-fill the missing column")
+  }
+}
