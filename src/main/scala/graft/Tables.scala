@@ -10,13 +10,26 @@ import org.apache.spark.sql.functions._
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The test tables are ONE parquet file each, which Spark maps to ONE
+    * input partition — so every per-row computation (minhash, simhash,
+    * text stats, LSH codes) would run on a single core. Fact tables are
+    * spread to the session's parallelism right after the scan; filters and
+    * column pruning still push through the round-robin exchange, so the
+    * shuffle carries only what downstream needs. A production deployment
+    * reads pre-split sources (thousands of files/row-groups) and must NOT
+    * blanket-repartition — this is the single-file-loader workaround, not
+    * engine policy. Dimension tables stay unspread (they broadcast).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")
   def customer: DataFrame = table("customer")
   def supplier: DataFrame = table("supplier")
   def part: DataFrame = table("part")
-  def orders: DataFrame = table("orders")
-  def lineitem: DataFrame = table("lineitem")
+  def orders: DataFrame = spread(table("orders"))
+  def lineitem: DataFrame = spread(table("lineitem"))
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
     * reader rejects. Read it as raw long nanos and floor to Spark's native
     * microsecond precision. Requires `spark.sql.legacy.parquet.nanosAsLong
@@ -24,8 +37,8 @@ final case class Tables(spark: SparkSession, dir: String) {
     * mutating session conf per-read is racy under concurrent queries.
     */
   def events: DataFrame =
-    table("events").withColumn("ts",
+    spread(table("events")).withColumn("ts",
       timestamp_micros(expr("ts div 1000")))
-  def documents: DataFrame = table("documents")
-  def embeddings: DataFrame = table("embeddings")
+  def documents: DataFrame = spread(table("documents"))
+  def embeddings: DataFrame = spread(table("embeddings"))
 }

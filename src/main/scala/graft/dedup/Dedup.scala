@@ -176,9 +176,23 @@ object NgramJaccard {
     */
   def verify(docs: DataFrame, candidates: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, minJaccardPct: Int = 50): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(F.shingles(F.tokensLower(col(textCol)), shingleK))
-        .as("shingles"))
+    // Shingle sets are computed ONLY for docs that participate in a
+    // candidate pair (left-semi prune) — LSH candidates are sparse, so
+    // featurizing the whole corpus for the verify join would dominate the
+    // operator's cost at any scale. Set ops then run on 64-bit shingle
+    // hashes, not shingle strings: long compares instead of O(len) string
+    // compares and ~10× smaller payloads. Jaccard over hashed sets equals
+    // Jaccard over string sets up to 64-bit collisions (~1e-14 for the few
+    // hundred shingles of a pair).
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("_cid"))
+      .distinct()
+    val sets = docs
+      .join(broadcast(candIds), col(idCol) === col("_cid"), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(transform(
+          F.shingles(F.tokensLower(col(textCol)), shingleK), s => F.hash64(s)))
+          .as("shingles"))
     candidates
       .select("id_a", "id_b")
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
@@ -208,26 +222,38 @@ object EmbeddingDedup {
 
   /** Embedding near-dup pairs: banded random-hyperplane LSH (`tables`
     * independent codes of `planes` sign bits — AND within a table, OR
-    * across tables), in-bucket candidate generation on narrow id rows,
-    * exact-cosine verification after pair dedup. A single AND-only code
-    * (the naive construction) has recall (1-θ/π)^planes ≈ 20% at cosine
-    * 0.5 — the banded union is what makes recall → 1, exactly like the
-    * MinHash band scheme.
+    * across tables). A single AND-only code (the naive construction) has
+    * recall (1-θ/π)^planes ≈ 20% at cosine 0.5 — the banded union is what
+    * makes recall → 1, exactly like the MinHash band scheme.
+    *
+    * Verification is INLINE: the exact cosine is computed while exploding
+    * in-bucket pairs and the ≥ minCosine filter runs before anything
+    * shuffles again, so the pair-dedup exchange carries only the sparse
+    * survivors (near-dup output), not the dense candidate set. The bucket
+    * shuffle carries (id, vec) — vectors ride along once per table; the
+    * alternative (ids only + two vector joins after a dense-pair dedup)
+    * shuffles the full candidate pair set, which is orders of magnitude
+    * larger whenever near-dups are rare.
     */
   def pairs(embeddings: DataFrame, idCol: String, vecCol: String,
       planes: Int = 8, tables: Int = 16, minCosine: Double = 0.95,
       maxBucket: Int = 4096): DataFrame = {
-    val coded = embeddings.select(col(idCol).as("id"),
+    val coded = embeddings.select(
       posexplode(F.hyperplaneCodes(col(vecCol), planes, tables))
-        .as(Seq("table", "code")))
-    val pairs = DedupInternals
-      .distinctBucketPairs(coded, Seq("table", "code"), "id", maxBucket)
-    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    pairs
-      .join(v.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
-      .withColumn("cos", F.cosine(col("v_a"), col("v_b")))
-      .where(col("cos") >= minCosine)
-      .select("id_a", "id_b")
+        .as(Seq("table", "code")),
+      struct(col(idCol).as("id"), col(vecCol).as("vec")).as("x"))
+    coded
+      .groupBy(col("table"), col("code"))
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucket))
+      .select(explode(
+        flatten(transform(col("xs"), (a, i) =>
+          transform(slice(col("xs"), i + 2, lit(maxBucket)), b =>
+            struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+              F.cosine(a.getField("vec"), b.getField("vec")).as("cos"))))))
+        .as("p"))
+      .where(col("p.cos") >= minCosine)
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
   }
 }
