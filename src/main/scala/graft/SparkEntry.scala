@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.{BruteForce, LshAnn}
+import graft.ann.{BruteForce, IvfAnn, LshAnn}
 import graft.dedup._
 import graft.etl._
 import graft.functions.{F, RomanCodec, TextStats}
@@ -413,7 +413,46 @@ object SparkEntry {
     // [rows-only; invariants in DedupSpec]
     "q31_simhash_pairs" -> ((s, dir) =>
       SimHashDedup.pairs(Tables(s, dir).documents, "doc_id", "text",
-        maxHamming = 3))
+        maxHamming = 3)),
+
+    // 32. IVF ANN (deterministic hash-sampled centroids, nProbe search),
+    // reported as per-query recall@5 vs the exact top-k [rows-only;
+    // AnnSpec asserts the floor]
+    "q32_ann_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val queries = e.where(col("vec_id") < 50)
+      LshAnn.recallAtK(
+        IvfAnn.topK(e, queries, k = 5, nCentroids = 16, nProbe = 8),
+        BruteForce.topK(e, queries, k = 5), k = 5)
+    }),
+
+    // 33. single-pass column profiler (counts / distinct / min / max per
+    // column in ONE scan)
+    "q33_profile" -> ((s, dir) =>
+      Profiler.profile(Tables(s, dir).orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
+
+    // 34. salted skew join (dim replicated ×buckets, fact salted) — result
+    // must equal the plain join, which is exactly what the oracle checks
+    "q34_salted_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      SkewJoin
+        .salted(t.orders, t.customer.select("c_custkey", "c_mktsegment"),
+          "o_custkey", "c_custkey", col("o_orderkey"), buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+    }),
+
+    // 35. multimodal frame-sampling plumbing (stub decode, real batch
+    // shape) — frame arithmetic is oracle-checkable from octet lengths
+    "q35_frame_sample" -> ((s, dir) => {
+      val blobs = BinaryPipeline.withBlob(Tables(s, dir).documents, "doc_id", "text")
+      BinaryPipeline.extractFrames(s, blobs, frameSize = 64, maxFrames = 4)
+        .toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).as("total_frame_bytes"))
+    })
   )
 
   // ---- oracles -------------------------------------------------------------
@@ -653,6 +692,21 @@ object SparkEntry {
       val cols = for (a <- Seq("O", "F"); n <- 1 to 7) yield
         s" COUNT(*) FILTER (WHERE l_linestatus = '$a' AND l_linenumber = $n) AS cnt_${a}_$n"
       s"SELECT l_returnflag,\n${cols.mkString(",\n")}\nFROM lineitem GROUP BY l_returnflag"
-    }
+    },
+    "q33_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus").map(c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+         | COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_s,
+         | CAST(MAX($c) AS VARCHAR) AS max_s FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+    "q34_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q35_frame_sample" ->
+      """SELECT doc_id,
+        | least(4, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS n_frames,
+        | least(256, CAST(octet_length(encode(text)) AS BIGINT)) AS total_frame_bytes
+        |FROM documents""".stripMargin
   )
 }

@@ -77,3 +77,57 @@ object LshAnn {
       .agg((sum(coalesce(col("hit"), lit(0L))) * 100 / k).cast("long")
         .as("recall_pct"))
 }
+
+/** IVF (inverted-file) ANN — the other classical scale path besides LSH:
+  * partition the corpus into `nCentroids` Voronoi cells, search only the
+  * `nProbe` cells nearest each query. Centroids are a DETERMINISTIC
+  * hash-sample of the corpus itself (the k vectors with the smallest
+  * mixed id hash) — no iterative k-means state on the driver, no RNG.
+  *
+  * Scale shape: centroids broadcast (k × dim floats); cell assignment is
+  * one map-side pass + a narrow (id, cell) shuffle; the probe join keys
+  * corpus cells against a broadcast (query × probe-cell) set, so the
+  * corpus never reshuffles per query. Search cost drops by
+  * ~nCentroids/nProbe vs brute force.
+  */
+object IvfAnn {
+
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 64, nProbe: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+        .withColumn("_r", F.hash64(col("cid").cast("string")))
+        .orderBy(col("_r")).limit(nCentroids).drop("_r"))
+    // nearest centroid per corpus vector — map-side partial max(struct),
+    // only (nid, cell) shuffles
+    val assigned = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("n_vec"))
+      .crossJoin(cents)
+      .groupBy(col("nid"))
+      .agg(max(struct(F.cosine(col("n_vec"), col("c_vec")).as("cos"),
+        col("cid").as("cid"))).as("m"))
+      .select(col("nid"), col("m.cid").as("cell"))
+    val corpusByCell = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("n_vec"))
+      .join(assigned, "nid")
+    // nProbe nearest cells per query — queries are small, rank locally
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("p_cos").desc, col("cell"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("q_vec"))
+        .crossJoin(cents)
+        .select(col("qid"), col("q_vec"), col("cid").as("cell"),
+          F.cosine(col("q_vec"), col("c_vec")).as("p_cos"))
+        .withColumn("_pr", row_number().over(wProbe))
+        .where(col("_pr") <= nProbe)
+        .select(col("qid"), col("q_vec"), col("cell")))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    corpusByCell.join(probes, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", F.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "nid", "rnk")
+  }
+}

@@ -231,6 +231,27 @@ object CodeCorrection {
     df.where(col(statusCol).isin(Ok, Matched, MatchedByName))
 }
 
+object SkewJoin {
+
+  /** Salted inner equi-join for skewed fact keys when the build side can't
+    * broadcast: each fact row gets a deterministic salt in [0, buckets)
+    * derived from `saltSource` (pick a high-cardinality column so rows of
+    * one hot key spread evenly), and the dim side replicates every row
+    * across all buckets. A key that used to land on ONE reducer now
+    * spreads over `buckets` of them at the cost of a ×buckets dim
+    * replication. AQE's skew-join split handles most skew at runtime —
+    * reach for this only when the skew is known and extreme, or the join
+    * feeds a layout AQE must not re-split.
+    */
+  def salted(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltSource: Column, buckets: Int): DataFrame = {
+    val f = fact.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
+    val d = dim.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    f.join(d, f(factKey) === d(dimKey) && f("_salt") === d("_salt"), "inner")
+      .drop("_salt")
+  }
+}
+
 object Ranking {
 
   /** Deterministic top-k per group: row_number over (orderCols, tieBreak) so

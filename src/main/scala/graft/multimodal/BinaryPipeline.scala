@@ -37,7 +37,27 @@ object StubDecoder {
   }
 }
 
+final case class FrameRow(doc_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
 object BinaryPipeline {
+
+  /** STUB frame sampler: a real implementation parses the media container
+    * and decodes every k-th frame; the deterministic fake slices the blob
+    * into contiguous `frameSize`-byte windows from offset 0, at most
+    * `maxFrames` of them (the last may be short). The Spark-side batch
+    * shape — one blob in, a bounded frame list out, flatMap inside
+    * mapPartitions — is exactly what a real decoder plugs into.
+    */
+  def sampleFrames(blob: Array[Byte], frameSize: Int,
+      maxFrames: Int): Seq[Array[Byte]] = {
+    val n = math.min(maxFrames.toLong,
+      (blob.length.toLong + frameSize - 1) / frameSize).toInt
+    (0 until n).map { i =>
+      val from = i * frameSize
+      java.util.Arrays.copyOfRange(blob, from,
+        math.min(from + frameSize, blob.length))
+    }
+  }
 
   /** Attach a binary payload column (here: utf-8 bytes of a text column —
     * in production the bytes come off the source as-is).
@@ -56,5 +76,22 @@ object BinaryPipeline {
       .select(col("doc_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, bytes) => StubDecoder.decode(id, bytes) })
+  }
+
+  /** Partition-parallel frame sampling: each blob fans out to its sampled
+    * frames (row explosion bounded by maxFrames). Frames stay binary —
+    * downstream feature extraction consumes them with the same
+    * mapPartitions batch shape.
+    */
+  def extractFrames(spark: SparkSession, blobs: DataFrame, frameSize: Int,
+      maxFrames: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    blobs
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        sampleFrames(bytes, frameSize, maxFrames).iterator.zipWithIndex
+          .map { case (f, i) => FrameRow(id, i, f) }
+      })
   }
 }

@@ -31,6 +31,24 @@ object EventAggregates {
 final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
 final case class SessionState(sessionCount: Long, lastMs: Long)
 final case class UserSessions(user_id: Long, n_sessions: Long)
+final case class FinalSession(user_id: Long, n_events: Long, start_ms: Long,
+    end_ms: Long)
+final case class OpenSession(nEvents: Long, startMs: Long, lastMs: Long)
+
+object StreamDedup {
+
+  /** Streaming exact dedup with BOUNDED state: one state entry per key,
+    * evicted once the event-time watermark passes it — the streaming twin
+    * of ExactDedup for an at-least-once source. Without the watermark
+    * bound, dedup state grows with every distinct key forever.
+    */
+  def dropDuplicates(events: org.apache.spark.sql.DataFrame, tsCol: String,
+      keyCols: Seq[String], watermark: String = "1 hour")
+      : org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+}
 
 object StatefulSessionize {
 
@@ -57,5 +75,51 @@ object StatefulSessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Production-shaped sessionization with BOUNDED state: event-time
+    * timeout tied to the watermark. A session is emitted (Append mode)
+    * when no event arrives for `gapMs` past the watermark, and its state
+    * is removed — so state size tracks the number of OPEN sessions, not
+    * the number of users ever seen. The caller must `withWatermark` the
+    * source before grouping (EventTimeTimeout requires it).
+    */
+  def runFinalizing(spark: SparkSession, events: Dataset[SessionEvent],
+      gapMs: Long): Dataset[FinalSession] = {
+    import spark.implicits._
+    def fn(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[FinalSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator.single(FinalSession(userId, s.nEvents, s.startMs, s.lastMs))
+      }
+      // per-trigger batch for one user: bounded by trigger size, sorted to
+      // apply the gap rule in event order
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var open = state.getOption
+      val closed = Seq.newBuilder[FinalSession]
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        open match {
+          case Some(s) if ms - s.lastMs <= gapMs =>
+            open = Some(s.copy(nEvents = s.nEvents + 1, lastMs = ms))
+          case Some(s) =>
+            closed += FinalSession(userId, s.nEvents, s.startMs, s.lastMs)
+            open = Some(OpenSession(1L, ms, ms))
+          case None =>
+            open = Some(OpenSession(1L, ms, ms))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + gapMs)
+      }
+      closed.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

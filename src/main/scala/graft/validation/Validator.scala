@@ -75,3 +75,49 @@ object Validator {
   def renderJson(result: DataFrame): String =
     result.toJSON.collect().mkString("[", ",", "]")
 }
+
+object Profiler {
+
+  /** Single-pass column profiling: one aggregation computes, for every
+    * requested column, row count / non-null count / exact distinct count /
+    * min / max — one scan total, not one per column. min/max surface as
+    * strings so one schema fits all column types; restrict to
+    * integer/string columns when an engine-portable compare matters
+    * (float/timestamp rendering differs across engines).
+    *
+    * Multiple exact count-distincts expand the aggregate (one pass over
+    * the data, ×|cols| rows into the agg) — for wide profiles at 100 TB
+    * use [[approxProfile]], whose HLL sketches merge without expansion.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"), col("_rows").as("n_rows"),
+        col(s"_nn_$c").as("n_nonnull"), col(s"_nd_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_s"), col(s"_max_$c").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Sketch-based profile for wide tables: HLL distinct estimates merge in
+    * constant space per column (no aggregate expansion). Estimates are
+    * engine-specific — gate with a tolerance test, not an exact oracle.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    val aggs = count(lit(1)).as("_rows") +: cols.map(c =>
+      approx_count_distinct(col(c), rsd).as(s"_ad_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"), col("_rows").as("n_rows"),
+        col(s"_ad_$c").as("n_distinct_approx"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.{BruteForce, LshAnn}
+import graft.ann.{BruteForce, IvfAnn, LshAnn}
 import org.apache.spark.sql.functions._
 
 /** ANN correctness: brute-force exactness on a hand-checkable fixture, and
@@ -36,5 +36,31 @@ class AnnSpec extends SparkSpec {
     val avg = recall.map(_._2).sum / 50.0
     assert(recall.forall(_._2 >= 40), s"per-query floor breached: ${recall.filter(_._2 < 40).mkString(",")}")
     assert(avg >= 75.0, s"avg recall $avg below floor")
+  }
+
+  test("IVF ANN clears a recall floor (avg 70%) vs exact top-5 on sf0.001") {
+    val e = Tables(spark, sf0001).embeddings
+    val queries = e.where(col("vec_id") < 50)
+    val recall = LshAnn.recallAtK(
+      IvfAnn.topK(e, queries, k = 5, nCentroids = 16, nProbe = 8),
+      BruteForce.topK(e, queries, k = 5), k = 5)
+      .as[(Long, Long)].collect()
+    assert(recall.length == 50)
+    val avg = recall.map(_._2).sum / 50.0
+    assert(avg >= 70.0, s"avg IVF recall $avg below floor")
+  }
+
+  test("IVF with nProbe = nCentroids degenerates to exact search") {
+    // probing every cell must recover the exact top-k — the recall knob's
+    // upper end is brute force
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 5)
+    val exact = BruteForce.topK(vecs, q, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val ivf = IvfAnn.topK(vecs, q, k = 3, nCentroids = 8, nProbe = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivf == exact)
   }
 }

@@ -144,6 +144,32 @@ class EtlSpec extends SparkSpec {
     assert(json.startsWith("[") && json.contains("email_format"))
   }
 
+  test("salted skew join equals the plain join") {
+    val fact = (1L to 300L).map(i => (i, if (i % 10 == 0) 1L else i % 7, i * 1.5))
+      .toDF("id", "k", "v") // key 1 is hot
+    val dim = (0L to 9L).map(i => (i, s"name$i")).toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = SkewJoin.salted(fact, dim, "k", "dk", col("id"), buckets = 4)
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("profiler computes per-column stats in one pass; approx tracks exact") {
+    import graft.validation.Profiler
+    val df = Seq((1L, "a"), (2L, "b"), (2L, null), (3L, "a")).toDF("k", "s")
+    val p = Profiler.profile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("k") == (("k", 4L, 4L, 3L, "1", "3")))
+    assert(p("s") == (("s", 4L, 3L, 2L, "a", "b")))
+    val a = Profiler.approxProfile(df, Seq("k"))
+      .as[(String, Long, Long)].collect().head
+    assert(math.abs(a._3 - 3L) <= 1)
+  }
+
   test("F.hash64 and F.dot are usable as column functions") {
     val df = Seq(("abc", Array(1f, 2f), Array(3f, 4f))).toDF("s", "a", "b")
     val r = df.select(F.hash64(col("s")).as("h"), F.dot(col("a"), col("b")).as("d"))

@@ -54,4 +54,19 @@ class SinkSpec extends SparkSpec {
     assert(m(1L) == ((10L, 0L)), "pre-evolution rows must read the new column as 0")
     assert(m(2L) == ((0L, 20L)), "appended batch must zero-fill the missing column")
   }
+
+  test("frame sampler slices blobs into bounded frames") {
+    import graft.multimodal.BinaryPipeline
+    val blob = Array.tabulate[Byte](150)(_.toByte)
+    val frames = BinaryPipeline.sampleFrames(blob, frameSize = 64, maxFrames = 4)
+    assert(frames.map(_.length) == Seq(64, 64, 22))
+    assert(BinaryPipeline.sampleFrames(blob, 64, 2).map(_.length) == Seq(64, 64))
+    assert(BinaryPipeline.sampleFrames(Array.emptyByteArray, 64, 4).isEmpty)
+    val df = Seq((7L, "x" * 100)).toDF("doc_id", "text")
+    val rows = BinaryPipeline
+      .extractFrames(spark, BinaryPipeline.withBlob(df, "doc_id", "text"), 64, 4)
+      .collect()
+    assert(rows.map(_.frame_no).sorted.toSeq == Seq(0, 1))
+    assert(rows.map(_.frame_bytes.length).sum == 100)
+  }
 }

@@ -59,4 +59,49 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
     assert(streamed == batch)
   }
+
+  test("finalizing sessionization emits closed sessions and evicts state at the watermark") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val src = mem.toDS().withWatermark("ts", "0 seconds")
+    val out = StatefulSessionize.runFinalizing(spark, src, gapMs = 1800000L)
+    val q = out.writeStream.format("memory").queryName("final_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(1L, ts(10, 0)), SessionEvent(1L, ts(10, 10)))
+      q.processAllAvailable()
+      // watermark is still at 10:10 — session open, nothing emitted
+      assert(spark.table("final_sessions").count() == 0)
+      // an event far in the future pushes the watermark past the gap
+      mem.addData(SessionEvent(2L, ts(14, 0)))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, ts(15, 0)))
+      q.processAllAvailable()
+      val fin = spark.table("final_sessions")
+        .as[FinalSession].collect().filter(_.user_id == 1L)
+      assert(fin.length == 1)
+      assert(fin.head.n_events == 2L)
+      assert(fin.head.start_ms == ts(10, 0).getTime)
+      assert(fin.head.end_ms == ts(10, 10).getTime)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "event_id", "payload")
+    val out = StreamDedup.dropDuplicates(df, "ts", Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(10, 0), 1L, "a"), (ts(10, 1), 1L, "a-dup"),
+        (ts(10, 2), 2L, "b"))
+      q.processAllAvailable()
+      mem.addData((ts(10, 3), 2L, "b-dup"), (ts(10, 4), 3L, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), "duplicates crossed the stream")
+    } finally q.stop()
+  }
 }
