@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{Hashing, RomanCodec}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+/** SQL surface for the graft kernels: registers `graft_*` scalar functions
+  * so every hashing/codec primitive is callable from `spark.sql(...)` —
+  * a user who lives in SQL gets the same codegen'd StaticInvoke
+  * expressions the DataFrame API uses (never a UDF).
+  *
+  * Two entry points, same builder table:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (cluster config) injects
+  *    at session build;
+  *  - [[GraftFunctions.register]] adds them to an already-running session.
+  */
+object GraftFunctions {
+
+  private def invoke(clazz: Class[_], dt: DataType, method: String,
+      nullableOut: Boolean)(args: Seq[Expression]): Expression =
+    StaticInvoke(clazz, dt, method, args, inputTypes = Nil,
+      propagateNull = true, returnNullable = nullableOut)
+
+  /** (name, description, builder) for every SQL-exposed kernel. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_to_roman", "int -> Roman numeral string (null outside 1..3999)",
+      invoke(classOf[RomanCodec.type], StringType, "toRoman", nullableOut = true) _),
+    ("graft_from_roman", "Roman numeral string -> int (0 for invalid)",
+      invoke(classOf[RomanCodec.type], IntegerType, "fromRoman", nullableOut = false) _),
+    ("graft_hash64", "FNV-1a/splitmix64 64-bit hash of (string, seed)",
+      invoke(classOf[Hashing.type], LongType, "hash64", nullableOut = false) _),
+    ("graft_hamming", "Hamming distance between two 64-bit hashes",
+      invoke(classOf[Hashing.type], IntegerType, "hamming", nullableOut = false) _),
+    ("graft_simhash", "64-bit SimHash of an array<string> of tokens",
+      invoke(classOf[Hashing.type], LongType, "simhash64", nullableOut = false) _),
+    ("graft_fingerprint", "order-sensitive rolling-hash fingerprint of array<string>",
+      invoke(classOf[Hashing.type], LongType, "fingerprint", nullableOut = false) _),
+    ("graft_cosine", "cosine similarity of two array<float> vectors",
+      invoke(classOf[Hashing.type], DoubleType, "cosineF", nullableOut = false) _),
+    ("graft_dot", "dot product of two array<float> vectors",
+      invoke(classOf[Hashing.type], DoubleType, "dotF", nullableOut = false) _))
+
+  /** Register every graft function into a live session's catalog. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(Hashing.getClass.getCanonicalName, name),
+        builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(Hashing.getClass.getCanonicalName, name),
+        builder))
+    }
+}

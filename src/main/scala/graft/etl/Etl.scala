@@ -252,6 +252,28 @@ object SkewJoin {
   }
 }
 
+object IncrementalPipeline {
+
+  /** The reference DAG's end-to-end load in one call (helpers.py:80-127
+    * full-vs-window decision + :656-741 warehouse write): if the sink
+    * doesn't exist yet, load the full history before `execDate`; otherwise
+    * load the half-open [prev-month-start, execDate) window. Either way
+    * the batch lands via dynamic month overwrite, so retried and
+    * overlapping runs are idempotent — consecutive monthly runs compose
+    * into exactly-once coverage of the timeline. The monthly partition
+    * layout makes the NEXT run's window predicate prune to ≤2 partitions.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, source: DataFrame,
+      dateCol: String, clusterCol: String, sinkPath: String,
+      execDate: Column): Unit = {
+    val firstRun =
+      try { spark.read.parquet(sinkPath); false }
+      catch { case _: org.apache.spark.sql.AnalysisException => true }
+    val batch = IncrementalLoad.dateWindow(source, col(dateCol), execDate, firstRun)
+    PartitionedSink.upsertMonths(batch, dateCol, clusterCol, sinkPath)
+  }
+}
+
 object Ranking {
 
   /** Deterministic top-k per group: row_number over (orderCols, tieBreak) so
@@ -352,6 +374,24 @@ object PartitionedSink {
       .sortWithinPartitions(col("p_month"), col(clusterCol))
       .write
       .mode("overwrite")
+      .partitionBy("p_month")
+      .parquet(path)
+
+  /** Idempotent month upsert: dynamic partition overwrite replaces ONLY
+    * the months present in `df`, leaving all other partitions untouched —
+    * so re-running an incremental window load is a no-op instead of an
+    * append-duplicate (the failure mode of the reference's blind BQ
+    * append on a retried DAG run). Same layout as [[writeMonthly]].
+    */
+  def upsertMonths(df: DataFrame, dateCol: String, clusterCol: String,
+      path: String, filesPerMonth: Int = 8): Unit =
+    df.withColumn("p_month", date_format(col(dateCol), "yyyy-MM"))
+      .repartition(col("p_month"),
+        pmod(hash(col(clusterCol)), lit(filesPerMonth)))
+      .sortWithinPartitions(col("p_month"), col(clusterCol))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_month")
       .parquet(path)
 

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SQL surface: graft kernels exposed as graft_* functions, callable from
+  * spark.sql with the same codegen'd StaticInvoke expressions the
+  * DataFrame API lowers to.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("registered graft_* SQL functions compute the kernel results") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_to_roman(14) AS r,
+        |  graft_from_roman('XIV') AS n,
+        |  graft_hash64('hello', 0L) = graft_hash64('hello', 0L) AS stable,
+        |  graft_hamming(graft_hash64('a', 0L), graft_hash64('a', 0L)) AS d0,
+        |  graft_simhash(array('x','y')) = graft_simhash(array('x','y')) AS sh,
+        |  graft_fingerprint(array('a','b')) <> graft_fingerprint(array('b','a')) AS ordered,
+        |  graft_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |               array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS cos1,
+        |  graft_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |            array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS dot
+        |""".stripMargin)
+      .as[(String, Int, Boolean, Int, Boolean, Boolean, Double, Double)].head()
+    assert(r == (("XIV", 14, true, 0, true, true, 1.0, 11.0)))
+  }
+
+  test("graft functions run on table data through SQL") {
+    GraftFunctions.register(spark)
+    Seq((1, "the quick fox"), (2, "the quick fox"), (3, "other text"))
+      .toDF("id", "text").createOrReplaceTempView("ext_docs")
+    val dup = spark.sql(
+      """SELECT COUNT(DISTINCT graft_hash64(text, 0L)) AS n_distinct
+        |FROM ext_docs""".stripMargin).as[Long].head()
+    assert(dup == 2L)
+  }
+
+  test("the session-extensions injector wires the same builder table") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must inject all builders without throwing
+    assert(GraftFunctions.builders.map(_._1).distinct.size ==
+      GraftFunctions.builders.size)
+  }
+}

@@ -55,6 +55,29 @@ class SinkSpec extends SparkSpec {
     assert(m(2L) == ((0L, 20L)), "appended batch must zero-fill the missing column")
   }
 
+  test("incremental pipeline: full load, window loads, and idempotent re-runs compose") {
+    import graft.etl.IncrementalPipeline
+    val path = tmp("sink_incr")
+    val rows = Seq(
+      (1L, 1L, Date.valueOf("1995-01-10")),
+      (2L, 2L, Date.valueOf("1995-02-10")),
+      (3L, 3L, Date.valueOf("1995-03-05")),
+      (4L, 4L, Date.valueOf("1995-03-20")),
+      (5L, 5L, Date.valueOf("1995-04-02"))).toDF("id", "ck", "d")
+    def exec(s: String) = lit(s).cast("date")
+    // first run at 1995-03-01: full history before exec
+    IncrementalPipeline.run(spark, rows, "d", "ck", path, exec("1995-03-01"))
+    assert(spark.read.parquet(path).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    // monthly run at 1995-04-01: [1995-03-01, 1995-04-01) window
+    IncrementalPipeline.run(spark, rows, "d", "ck", path, exec("1995-04-01"))
+    assert(spark.read.parquet(path).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    // retry of the same window must be a no-op, not an append-duplicate
+    IncrementalPipeline.run(spark, rows, "d", "ck", path, exec("1995-04-01"))
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
   test("frame sampler slices blobs into bounded frames") {
     import graft.multimodal.BinaryPipeline
     val blob = Array.tabulate[Byte](150)(_.toByte)
