@@ -3,7 +3,7 @@ package graft
 import graft.ann.{BruteForce, IvfAnn, LshAnn}
 import graft.dedup._
 import graft.etl._
-import graft.functions.{F, RomanCodec, TextStats}
+import graft.functions.{F, RomanCodec, TermScores, TextStats}
 import graft.multimodal.BinaryPipeline
 import graft.sources.GraftCsv
 import graft.validation._
@@ -452,7 +452,28 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_bytes"))).as("total_frame_bytes"))
-    })
+    }),
+
+    // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
+    // the ranking is engine-exact — see TermScores.topTerms)
+    "q36_top_terms" -> ((s, dir) =>
+      TermScores.topTerms(Tables(s, dir).documents, "doc_id", "text", 3)),
+
+    // 37. near-dup clustering: connected components over the q19-verified
+    // pair list (hash-min propagation; oracle is a DuckDB recursive CTE)
+    "q37_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = NgramJaccard.verify(docs, minhashCandidates(s, dir),
+        "doc_id", "text", ShingleK, minJaccardPct = 50)
+      DedupClusters.connectedComponents(docs, "doc_id", pairs)
+    }),
+
+    // 38. winnowing fingerprint sketch (MOSS) [rows-only; guarantees
+    // tested in HashingSpec]
+    "q38_winnow" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(F.winnow(F.tokensLower(col("text")), 4, 6)).as("n_fingerprints")))
   )
 
   // ---- oracles -------------------------------------------------------------
@@ -707,6 +728,43 @@ object SparkEntry {
       """SELECT doc_id,
         | least(4, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS n_frames,
         | least(256, CAST(octet_length(encode(text)) AS BIGINT)) AS total_frame_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q36_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), idf AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |)
+        |SELECT doc_id, rnk, term FROM (
+        |  SELECT doc_id, term, CAST(row_number() OVER (
+        |    PARTITION BY doc_id
+        |    ORDER BY tf * 1.0 / df DESC, term) AS BIGINT) AS rnk
+        |  FROM tf JOIN idf USING (term))
+        |WHERE rnk <= 3""".stripMargin,
+    "q37_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks)-1, 1)),
+         |    i -> CASE WHEN i+1 <= len(toks) THEN toks[i] || ' ' || toks[i+1]
+         |         ELSE toks[i] END)) AS sh FROM t
+         |), p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE floor(len(list_intersect(a.sh, b.sh)) * 100.0 /
+         |        greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)) >= 50
+         |), e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p
+         |), reach AS (
+         |  SELECT doc_id AS id, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.src, reach.comp FROM e JOIN reach ON e.dst = reach.id
+         |)
+         |SELECT id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin
   )
 }

@@ -218,6 +218,59 @@ object NgramJaccard {
       idCol, textCol, shingleK, minJaccardPct)
 }
 
+object DedupClusters {
+
+  /** Connected components over a near-dup pair list via hash-min label
+    * propagation: every doc starts labeled with its own id; each round a
+    * doc adopts the minimum label among itself and its neighbors. Rounds
+    * needed = graph diameter — near-dup components are small dense
+    * clusters (dup groups), so 2-3 rounds in practice; `maxIter` bounds
+    * pathological chains and the loop exits early at the first fixpoint.
+    * Each round costs two narrow shuffles (edge⋈label join + min-agg);
+    * the driver only ever sees a per-round changed-row COUNT, never data.
+    *
+    * Output: (id, component) for every id in `docs`, where component is
+    * the smallest doc id reachable through pairs (singletons map to
+    * themselves) — exactly the "keep one per cluster" key a dedup
+    * pipeline groups on.
+    */
+  def connectedComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lineage MUST be truncated every round: without it each iteration's
+    // plan embeds the previous one twice (join + convergence check), so
+    // the logical tree doubles per round and planning itself blows up
+    // long before the data does. localCheckpoint materializes the round
+    // and restarts the plan from the stored blocks; a production run with
+    // preemptible executors would use reliable checkpoint() instead.
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id")
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .where(col("component") =!= col("prev"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}
+
 object EmbeddingDedup {
 
   /** Embedding near-dup pairs: banded random-hyperplane LSH (`tables`

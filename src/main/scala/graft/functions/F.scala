@@ -72,6 +72,13 @@ object F {
   def fingerprint(tokenArr: Column): Column =
     invoke(LongType, "fingerprint", Seq(ex(tokenArr)))
 
+  /** Winnowing fingerprint set (distinct window-min k-gram hashes) of a
+    * token array — the partial-overlap sketch (MOSS).
+    */
+  def winnow(tokenArr: Column, k: Int, w: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "winnow",
+      Seq(ex(tokenArr), Literal(k), Literal(w)))
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column =
     invoke(IntegerType, "hamming", Seq(ex(a), ex(b)))

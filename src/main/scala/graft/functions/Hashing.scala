@@ -129,6 +129,56 @@ object Hashing {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm; public knowledge): hash every k-token gram,
+    * slide a window of `w` gram hashes, keep each window's minimum
+    * (rightmost on ties). Guarantees two documents sharing a token run of
+    * length ≥ w+k-1 share at least one fingerprint, while keeping ~2/(w+1)
+    * of the grams. Returns the DISTINCT selected hashes, sorted — a
+    * compact partial-overlap sketch where [[fingerprint]] is all-or-
+    * nothing on the whole document.
+    */
+  def winnow(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val m = math.max(n - k + 1, 1) // short docs yield one (short) gram
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (!tokens.isNullAt(j)) h = h * 0x100000001b3L + hash64(tokens.getUTF8String(j), 0L)
+        j += 1
+      }
+      grams(i) = mix(h)
+      i += 1
+    }
+    val selected = scala.collection.mutable.SortedSet.empty[Long]
+    if (m <= w) {
+      // fewer grams than a window: keep the global minimum
+      var best = grams(0)
+      i = 1
+      while (i < m) { if (unsignedLt(grams(i), best)) best = grams(i); i += 1 }
+      selected += best
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var best = start
+        var j = start
+        while (j < start + w) {
+          // rightmost minimum: strict comparison keeps the later index on ties
+          if (!unsignedLt(grams(best), grams(j))) best = j
+          j += 1
+        }
+        selected += grams(best)
+        start += 1
+      }
+    }
+    new GenericArrayData(selected.toArray)
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double.
     * Returns 0.0 for zero-norm inputs.
     */

@@ -63,3 +63,35 @@ object TextStats {
     least(lit(100L),
       floor(lit(500) * stopwordHits(text) / tokenCount(text)).cast("long"))
 }
+
+object TermScores {
+
+  /** Top-k distinguishing terms per document, scored by tf/df (term
+    * frequency over document frequency — a reciprocal-idf member of the
+    * tf·idf family chosen because the score is a small-integer RATIONAL:
+    * distinct ratios of ints < 1e6 differ by ≥ 1/(df₁·df₂), far above
+    * double ulp, so the ranking is bit-identical across engines, which a
+    * log-based idf is not). Rank-only output, deterministic term
+    * tie-break.
+    *
+    * Two shuffles: (doc, term) tf aggregation, then a term-keyed df join
+    * — the classic scalable tf-idf shape (no driver-side vocabulary).
+    */
+  def topTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(F.tokensLower(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", col("tf") * lit(1.0) / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "rnk", "term")
+  }
+}

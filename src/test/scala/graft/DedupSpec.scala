@@ -95,6 +95,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size <= 3, s"too many false pairs: $pairs")
   }
 
+  test("connected components chain transitive near-dup pairs into one cluster") {
+    val nodes = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // 1-2-3 chained (diameter 2), 4-5 pair, 6 and 7 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comp = DedupClusters.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L))
+  }
+
+  test("connected components converge on a long chain within maxIter") {
+    val n = 12L
+    val nodes = (1L to n).map(i => (i, "")).toDF("doc_id", "text")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = DedupClusters.connectedComponents(nodes, "doc_id", chain,
+      maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L), "chain did not collapse to one component")
+  }
+
   test("bucket occupancy cap drops pathological buckets instead of exploding") {
     // 200 identical docs all land in the same buckets; cap excludes them
     val same = (1L to 200L).map(i => (i, "the same boilerplate text repeated"))

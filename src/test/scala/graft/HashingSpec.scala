@@ -128,6 +128,25 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: shared runs of length >= w+k-1 share a fingerprint; short docs keep one") {
+    val k = 4; val w = 6
+    val shared = (1 to 20).map(i => s"run$i") // 20 >= w+k-1 = 9
+    val docA = (1 to 30).map(i => s"a$i") ++ shared ++ (1 to 10).map(i => s"a2$i")
+    val docB = (1 to 15).map(i => s"b$i") ++ shared ++ (1 to 25).map(i => s"b2$i")
+    val docC = (1 to 60).map(i => s"c$i")
+    def fps(ts: Seq[String]) =
+      (0 until Hashing.winnow(arr(ts: _*), k, w).numElements())
+        .map(Hashing.winnow(arr(ts: _*), k, w).getLong).toSet
+    val (fa, fb, fc) = (fps(docA), fps(docB), fps(docC))
+    assert((fa intersect fb).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fa intersect fc).isEmpty, "unrelated docs share a fingerprint")
+    // density: winnowing keeps roughly 2/(w+1) of grams, far fewer than all
+    assert(fa.size < docA.size && fa.size > 2)
+    val short = Hashing.winnow(arr("only", "three", "tokens"), k, w)
+    assert(short.numElements() == 1)
+    assert(Hashing.winnow(arr(), k, w).numElements() == 0)
+  }
+
   test("hash64 avalanche: single-char change flips roughly half the bits") {
     val rnd = new scala.util.Random(13)
     (1 to 200).foreach { _ =>
