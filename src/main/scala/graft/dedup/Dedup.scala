@@ -240,13 +240,17 @@ object DedupClusters {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Lineage MUST be truncated every round: without it each iteration's
-    // plan embeds the previous one twice (join + convergence check), so
-    // the logical tree doubles per round and planning itself blows up
-    // long before the data does. localCheckpoint materializes the round
-    // and restarts the plan from the stored blocks; a production run with
-    // preemptible executors would use reliable checkpoint() instead.
-    var labels = docs.select(col(idCol).as("id"))
+    // Propagation runs ONLY over nodes that appear in a pair — near-dup
+    // edges are sparse, so the iterated frames hold the duplicate
+    // subgraph, not the corpus; singletons attach in one outer join at
+    // the end. Lineage MUST be truncated every round: without it each
+    // iteration's plan embeds the previous one twice (join + convergence
+    // check), so the logical tree doubles per round and planning itself
+    // blows up long before the data does. localCheckpoint materializes
+    // the round and restarts the plan from the stored blocks; a
+    // production run with preemptible executors would use reliable
+    // checkpoint() instead.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var iter = 0
@@ -267,7 +271,10 @@ object DedupClusters {
       iter += 1
     }
     edges.unpersist()
-    labels
+    docs.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("component", "_c"), Seq("id"), "left")
+      .withColumn("component", coalesce(col("_c"), col("id")))
+      .drop("_c")
   }
 }
 

@@ -430,4 +430,19 @@ object PartitionedSink {
       .foldLeft(df)((acc, f) =>
         acc.withColumn(f.name, coalesce(col(f.name), lit(0).cast(f.dataType))))
   }
+
+  /** Bucketed table write: pre-shuffles once into `buckets` hash buckets on
+    * the join key so every LATER equi-join or aggregation on that key is
+    * shuffle-free — the answer to "this fact-fact join shuffles 100 TB
+    * every night". Both sides must agree on key and bucket count. Requires
+    * a catalog table (bucket metadata lives in the catalog, not parquet).
+    */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int,
+      table: String): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -120,4 +120,21 @@ object Profiler {
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** Approximate quantiles of numeric columns in one pass (KLL-style
+    * mergeable sketch via percentile_approx) — the distribution half of a
+    * data profile. `accuracy` trades sketch size for error exactly like a
+    * production profiler would expose it.
+    */
+  def approxQuantiles(df: DataFrame, cols: Seq[String],
+      probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      accuracy: Int = 10000): DataFrame = {
+    val probsArr = array(probabilities.map(lit): _*)
+    val aggs = cols.map(c =>
+      percentile_approx(col(c), probsArr, lit(accuracy)).as(s"_q_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c =>
+      struct(lit(c).as("column_name"), col(s"_q_$c").as("quantiles")))
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
 }

@@ -78,6 +78,36 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 4)
   }
 
+  test("bucketed tables join without an exchange on either side") {
+    val n = 2000
+    val fact = (1 to n).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    val dim = (0L until 50L).map(i => (i, s"name$i")).toDF("k", "name")
+    PartitionedSink.writeBucketed(fact, "k", 8, "graft_bkt_fact")
+    PartitionedSink.writeBucketed(dim, "k", 8, "graft_bkt_dim")
+    // dim must not broadcast here — the point is the co-located SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_bkt_fact")
+        .join(spark.table("graft_bkt_dim"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(j.count() == n)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_fact")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_dim")
+    }
+  }
+
+  test("approx quantiles land inside the distribution") {
+    import graft.validation.Profiler
+    val df = (1 to 1000).map(_.toLong).toDF("v")
+    val q = Profiler.approxQuantiles(df, Seq("v"), Seq(0.5))
+      .select("quantiles").as[Seq[Long]].head()
+    assert(q.head >= 450L && q.head <= 550L, s"p50=${q.head}")
+  }
+
   test("frame sampler slices blobs into bounded frames") {
     import graft.multimodal.BinaryPipeline
     val blob = Array.tabulate[Byte](150)(_.toByte)
