@@ -473,8 +473,55 @@ object SparkEntry {
     "q38_winnow" -> ((s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
-        size(F.winnow(F.tokensLower(col("text")), 4, 6)).as("n_fingerprints")))
+        size(F.winnow(F.tokensLower(col("text")), 4, 6)).as("n_fingerprints"))),
+
+    // 39. as-of join (latest dim version at or before the fact timestamp)
+    // — oracled against DuckDB's native ASOF JOIN
+    "q39_asof_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      AsOfJoin
+        .latest(t.orders, scdFixture(t), "o_custkey",
+          col("o_orderdate").cast("timestamp"), col("eff_date"),
+          Seq("tier"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+    }),
+
+    // 40. binned point-in-interval range join — oracled against a DuckDB
+    // inequality join
+    "q40_range_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bands = priceBands(s)
+      RangeJoin
+        .pointInInterval(t.orders, bands, col("o_totalprice"),
+          col("band_lo").cast("double"), col("band_hi").cast("double"),
+          binWidth = 50000L)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+    })
   )
+
+  /** Deterministic slowly-changing-dim fixture for q39: three dated tier
+    * versions per customer (1993/1995-02-15/1996), tier value derived from
+    * the key and version.
+    */
+  private def scdFixture(t: Tables): DataFrame =
+    t.customer.select(col("c_custkey").as("o_custkey"),
+      posexplode(array(lit("1993-01-01"), lit("1995-02-15"), lit("1996-01-01")))
+        .as(Seq("ver", "eff")))
+      .select(col("o_custkey"),
+        col("eff").cast("timestamp").as("eff_date"),
+        (col("o_custkey") % 5 * 10 + col("ver")).cast("long").as("tier"))
+
+  /** Fixed price bands for q40 (overlapping on purpose — a point can land
+    * in the wide band and a narrow one).
+    */
+  private def priceBands(s: SparkSession): DataFrame = {
+    import s.implicits._
+    ((0 until 12).map(i => (i.toLong, i * 50000.0, (i + 1) * 50000.0)) :+
+      ((100L, 100000.0, 400000.0)))
+      .toDF("band_id", "band_lo", "band_hi")
+  }
 
   // ---- oracles -------------------------------------------------------------
 
@@ -744,6 +791,29 @@ object SparkEntry {
         |    ORDER BY tf * 1.0 / df DESC, term) AS BIGINT) AS rnk
         |  FROM tf JOIN idf USING (term))
         |WHERE rnk <= 3""".stripMargin,
+    "q39_asof_join" ->
+      """WITH scd AS (
+        |  SELECT c_custkey AS k, CAST(eff AS TIMESTAMP) AS eff_date,
+        |    c_custkey % 5 * 10 + ver AS tier
+        |  FROM customer, (VALUES (0, '1993-01-01'), (1, '1995-02-15'),
+        |    (2, '1996-01-01')) AS v(ver, eff)
+        |)
+        |SELECT tier, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders ASOF LEFT JOIN scd
+        |  ON o_custkey = scd.k AND o_orderdate >= scd.eff_date
+        |GROUP BY tier""".stripMargin,
+    "q40_range_join" ->
+      """WITH bands(band_id, band_lo, band_hi) AS (
+        |  SELECT i, i * 50000.0, (i + 1) * 50000.0
+        |  FROM generate_series(0, 11) AS t(i)
+        |  UNION ALL SELECT 100, 100000.0, 400000.0
+        |)
+        |SELECT band_id, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= band_lo AND o_totalprice < band_hi
+        |GROUP BY band_id""".stripMargin,
     "q37_dedup_clusters" ->
       s"""WITH RECURSIVE t AS (
          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents

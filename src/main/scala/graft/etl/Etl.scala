@@ -231,6 +231,66 @@ object CodeCorrection {
     df.where(col(statusCol).isin(Ok, Matched, MatchedByName))
 }
 
+object AsOfJoin {
+
+  /** As-of join: attach to each fact row the LATEST dim version with
+    * `dimTs <= factTs` for the same key (slowly-changing-dimension
+    * lookup). Spark has no native as-of; the naive form (theta-join on
+    * key + ts≤ts, then max per fact row) explodes to |fact|×|versions|
+    * rows. This implementation is the scale-correct one: UNION both
+    * sides tagged, ONE shuffle on the key, and a running
+    * last(ignoreNulls) window carries each version's attributes forward
+    * onto the fact rows that follow it in time — dim rows sort before
+    * fact rows at equal timestamps, so a version taking effect exactly
+    * at the fact's timestamp is visible (>= semantics, like DuckDB's
+    * ASOF JOIN).
+    *
+    * `attrs` are the dim columns to carry; fact rows with no preceding
+    * version get nulls.
+    */
+  def latest(fact: DataFrame, dim: DataFrame, key: String, factTs: Column,
+      dimTs: Column, attrs: Seq[String]): DataFrame = {
+    val d = dim.select(
+      (col(key) +: attrs.map(col)) :+ dimTs.as("_ts") :+ lit(1).as("_isdim"): _*)
+    val f = fact.withColumn("_ts", factTs).withColumn("_isdim", lit(0))
+    // plain allowMissing union: attrs must surface as NULL on fact rows
+    // (a zero-fill would defeat last(ignoreNulls))
+    val u = d.unionByName(f, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_isdim").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = attrs.foldLeft(u)((acc, a) =>
+      acc.withColumn(a, last(col(a), ignoreNulls = true).over(w)))
+    carried.where(col("_isdim") === 0).drop("_ts", "_isdim")
+  }
+}
+
+object RangeJoin {
+
+  /** Point-in-interval range join: match each fact row's point value to
+    * every interval [lo, hi) that contains it. A raw inequality join has
+    * no equi-key, so Spark plans a broadcast-nested-loop — O(|fact|·|dim|)
+    * compares. Binning restores an equi-key: points join on their bin,
+    * intervals replicate onto every bin they overlap (sequence explode),
+    * and the exact containment predicate filters inside the hash join.
+    * Cost: |fact| + Σ interval_width/binWidth rows through one shuffle.
+    * Pick binWidth near the typical interval width so replication stays
+    * O(1) per interval.
+    */
+  def pointInInterval(fact: DataFrame, intervals: DataFrame, point: Column,
+      lo: Column, hi: Column, binWidth: Long): DataFrame = {
+    val f = fact.withColumn("_bin", floor(point / binWidth))
+    val iv = intervals
+      .withColumn("_lo", lo).withColumn("_hi", hi)
+      .withColumn("_bin",
+        explode(sequence(floor(col("_lo") / binWidth),
+          floor((col("_hi") - 1) / binWidth))))
+    f.join(iv, Seq("_bin"))
+      .where(point >= col("_lo") && point < col("_hi"))
+      .drop("_bin", "_lo", "_hi")
+  }
+}
+
 object SkewJoin {
 
   /** Salted inner equi-join for skewed fact keys when the build side can't

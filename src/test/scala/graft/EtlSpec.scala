@@ -144,6 +144,37 @@ class EtlSpec extends SparkSpec {
     assert(json.startsWith("[") && json.contains("email_format"))
   }
 
+  test("as-of join picks the latest version at or before each fact timestamp") {
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val dim = Seq(
+      (1L, ts("2024-01-01"), "v1"), (1L, ts("2024-03-01"), "v2"),
+      (2L, ts("2024-02-01"), "w1")).toDF("k", "eff", "tier")
+    val fact = Seq(
+      (1L, ts("2024-02-15"), 10.0), // between v1 and v2 → v1
+      (1L, ts("2024-03-01"), 20.0), // exactly at v2 → v2 (>= semantics)
+      (1L, ts("2024-06-01"), 30.0), // after v2 → v2
+      (2L, ts("2024-01-15"), 40.0)  // before any version → null
+    ).toDF("k", "ots", "amt")
+    val out = AsOfJoin.latest(fact, dim, "k", col("ots"), col("eff"), Seq("tier"))
+      .select("amt", "tier").as[(Double, Option[String])].collect().toMap
+    assert(out(10.0).contains("v1"))
+    assert(out(20.0).contains("v2"))
+    assert(out(30.0).contains("v2"))
+    assert(out(40.0).isEmpty)
+  }
+
+  test("binned range join equals the naive inequality join") {
+    val fact = (0 until 200).map(i => (i.toLong, i * 7.0 % 500)).toDF("id", "p")
+    val iv = Seq((1L, 0.0, 100.0), (2L, 50.0, 300.0), (3L, 450.0, 500.0))
+      .toDF("iv_id", "lo", "hi")
+    val binned = RangeJoin
+      .pointInInterval(fact, iv, col("p"), col("lo"), col("hi"), binWidth = 64L)
+      .select("id", "iv_id").as[(Long, Long)].collect().toSet
+    val naive = fact.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(binned == naive && naive.nonEmpty)
+  }
+
   test("salted skew join equals the plain join") {
     val fact = (1L to 300L).map(i => (i, if (i % 10 == 0) 1L else i % 7, i * 1.5))
       .toDF("id", "k", "v") // key 1 is hot
