@@ -491,6 +491,28 @@ object PartitionedSink {
         acc.withColumn(f.name, coalesce(col(f.name), lit(0).cast(f.dataType))))
   }
 
+  /** Small-file compaction: rewrite a (possibly partitioned) parquet dir
+    * with `filesPerPartition` files per partition value — incremental
+    * month upserts accrete small files over months of runs, and scan cost
+    * at 100 TB is dominated by file count long before byte count. The
+    * split key hashes whole rows, so output sizes balance regardless of
+    * data skew. Writes to a NEW path (the source can't be overwritten
+    * while being read); callers swap paths after success — an atomic
+    * rename in a real deployment.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, partitionCols: Seq[String],
+      filesPerPartition: Int): Unit = {
+    val df = spark.read.parquet(inPath)
+    val dataCols = df.columns.filterNot(partitionCols.contains)
+    val split = pmod(hash(struct(dataCols.map(col): _*)), lit(filesPerPartition))
+    val writer = df
+      .repartition(partitionCols.map(col) :+ split: _*)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(outPath)
+  }
+
   /** Bucketed table write: pre-shuffles once into `buckets` hash buckets on
     * the join key so every LATER equi-join or aggregation on that key is
     * shuffle-free — the answer to "this fact-fact join shuffles 100 TB

@@ -35,6 +35,42 @@ final case class FinalSession(user_id: Long, n_events: Long, start_ms: Long,
     end_ms: Long)
 final case class OpenSession(nEvents: Long, startMs: Long, lastMs: Long)
 
+object StreamEnrich {
+
+  /** Stream-static enrichment: every micro-batch joins against a broadcast
+    * snapshot of the dimension — the streaming twin of StarJoin.enrich.
+    * Left join so events with no dim match still flow (classify/repair
+    * downstream rather than silently dropping).
+    */
+  def withDim(stream: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), cond, "left")
+}
+
+object StreamJoin {
+
+  /** Watermarked stream-stream inner join: rows match on `key` when the
+    * right event lands within [left_ts, left_ts + `within`]. BOTH sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so each side's state buffer is evicted once the watermark passes the
+    * window — without the time bound, stream-stream join state grows
+    * forever. Column names must be disjoint apart from `key`.
+    */
+  def withinInterval(leftDf: org.apache.spark.sql.DataFrame, leftTs: String,
+      rightDf: org.apache.spark.sql.DataFrame, rightTs: String, key: String,
+      within: String, watermark: String = "1 hour")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = leftDf.withWatermark(leftTs, watermark)
+    val r = rightDf.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+}
+
 object StreamDedup {
 
   /** Streaming exact dedup with BOUNDED state: one state entry per key,

@@ -78,6 +78,26 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 4)
   }
 
+  test("compaction collapses small files per partition without losing rows") {
+    val inPath = tmp("compact_in")
+    val rows = (1 to 300).map(i =>
+      (i.toLong, i % 40, Date.valueOf(s"1995-0${1 + i % 2}-10"))).toDF("id", "ck", "d")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // simulate many-small-files accretion: 16-way split per month
+      PartitionedSink.writeMonthly(rows, "d", "ck", inPath, filesPerMonth = 16)
+      def filesPerMonth(p: String) = new java.io.File(p).listFiles()
+        .filter(_.getName.startsWith("p_month=")).map(d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      assert(filesPerMonth(inPath).values.forall(_ > 2))
+      val outPath = tmp("compact_out")
+      PartitionedSink.compact(spark, inPath, outPath, Seq("p_month"), 1)
+      assert(filesPerMonth(outPath).values.forall(_ == 1), s"${filesPerMonth(outPath)}")
+      assert(spark.read.parquet(outPath).count() == 300)
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+  }
+
   test("bucketed tables join without an exchange on either side") {
     val n = 2000
     val fact = (1 to n).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")

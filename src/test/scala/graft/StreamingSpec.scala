@@ -86,6 +86,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamEnrich.withDim(mem.toDF().toDF("user_id", "action"),
+      dim, col("user_id") === col("uid"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (3L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("user_id", "tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(rows(1L).contains("gold"))
+      assert(rows(3L).isEmpty, "unmatched events must flow with null dim")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches within the bound and not outside") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val views = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = StreamJoin.withinInterval(
+      clicks.toDF().toDF("click_ts", "user_id"), "click_ts",
+      views.toDF().toDF("view_ts", "user_id"), "view_ts",
+      "user_id", within = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("cv_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(10, 0), 1L), (ts(10, 0), 2L))
+      views.addData((ts(10, 5), 1L), (ts(10, 30), 2L), (ts(10, 5), 9L))
+      q.processAllAvailable()
+      val joined = spark.table("cv_join").select("user_id")
+        .as[Long].collect().toSeq
+      assert(joined == Seq(1L),
+        s"expected only user 1 within the 10-minute bound, got $joined")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
