@@ -92,42 +92,96 @@ object LshAnn {
   */
 object IvfAnn {
 
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 64, nProbe: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(
-      corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
-        .withColumn("_r", F.hash64(col("cid").cast("string")))
-        .orderBy(col("_r")).limit(nCentroids).drop("_r"))
-    // nearest centroid per corpus vector — map-side partial max(struct),
-    // only (nid, cell) shuffles
+  /** Deterministic centroid sample: the nCentroids corpus vectors with the
+    * smallest mixed id hash.
+    */
+  def centroids(corpus: DataFrame, nCentroids: Int, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("c_vec"))
+      .withColumn("_r", F.hash64(col("cid").cast("string")))
+      .orderBy(col("_r")).limit(nCentroids).drop("_r")
+
+  /** Nearest-centroid cell per corpus vector — map-side partial
+    * max(struct), only narrow (nid, cell) rows shuffle.
+    */
+  private def assign(corpus: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val assigned = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("n_vec"))
-      .crossJoin(cents)
+      .crossJoin(broadcast(cents))
       .groupBy(col("nid"))
       .agg(max(struct(F.cosine(col("n_vec"), col("c_vec")).as("cos"),
         col("cid").as("cid"))).as("m"))
       .select(col("nid"), col("m.cid").as("cell"))
-    val corpusByCell = corpus
+    corpus
       .select(col(idCol).as("nid"), col(vecCol).as("n_vec"))
       .join(assigned, "nid")
-    // nProbe nearest cells per query — queries are small, rank locally
+  }
+
+  /** nProbe nearest cells per query — the query set is small by contract,
+    * result broadcast.
+    */
+  private def probes(queries: DataFrame, cents: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("p_cos").desc, col("cell"))
-    val probes = broadcast(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("q_vec"))
-        .crossJoin(cents)
-        .select(col("qid"), col("q_vec"), col("cid").as("cell"),
-          F.cosine(col("q_vec"), col("c_vec")).as("p_cos"))
-        .withColumn("_pr", row_number().over(wProbe))
-        .where(col("_pr") <= nProbe)
-        .select(col("qid"), col("q_vec"), col("cell")))
+    queries.select(col(idCol).as("qid"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("q_vec"), col("cid").as("cell"),
+        F.cosine(col("q_vec"), col("c_vec")).as("p_cos"))
+      .withColumn("_pr", row_number().over(wProbe))
+      .where(col("_pr") <= nProbe)
+      .select(col("qid"), col("q_vec"), col("cell"))
+  }
+
+  private def rankWithin(candidates: DataFrame, k: Int): DataFrame = {
     val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    corpusByCell.join(probes, Seq("cell"))
+    candidates
       .where(col("qid") =!= col("nid"))
       .withColumn("cos", F.cosine(col("q_vec"), col("n_vec")))
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .where(col("rnk") <= k)
       .select("qid", "nid", "rnk")
+  }
+
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 64, nProbe: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids(corpus, nCentroids, idCol, vecCol)
+    rankWithin(
+      assign(corpus, cents, idCol, vecCol)
+        .join(broadcast(probes(queries, cents, nProbe, idCol, vecCol)),
+          Seq("cell")),
+      k)
+  }
+
+  /** Persist the IVF index: the assigned corpus lands `partitionBy(cell)`,
+    * so the on-disk layout is ALIGNED with the probe pattern — a search
+    * touching nProbe cells scans nProbe directories and Spark's partition
+    * pruning skips the rest of the corpus entirely. Centroids (k×dim,
+    * tiny) sit next to the index. Rebuild when the corpus drifts; the
+    * build is one assignment pass.
+    */
+  def buildIndex(corpus: DataFrame, path: String, nCentroids: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = centroids(corpus, nCentroids, idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assign(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+  }
+
+  /** Search a persisted index. The probe cells collect to the driver
+    * (bounded: |queries| × nProbe ids) and become an `isin` partition
+    * filter — the scan reads ONLY the probed cell directories.
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val pr = probes(queries, cents, nProbe, idCol, vecCol)
+    val cells = pr.select("cell").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(s"$path/index")
+      .where(col("cell").isin(cells: _*))
+    rankWithin(idx.join(broadcast(pr), Seq("cell")), k)
   }
 }

@@ -50,6 +50,21 @@ class AnnSpec extends SparkSpec {
     assert(avg >= 70.0, s"avg IVF recall $avg below floor")
   }
 
+  test("persisted IVF index search equals in-memory IVF and prunes partitions") {
+    val e = Tables(spark, sf0001).embeddings
+    val queries = e.where(col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/ix"
+    IvfAnn.buildIndex(e, path, nCentroids = 16)
+    val fromIndex = IvfAnn.searchIndex(spark, path, queries, k = 5, nProbe = 4)
+    val inMemory = IvfAnn.topK(e, queries, k = 5, nCentroids = 16, nProbe = 4)
+    assert(fromIndex.as[(Long, Long, Long)].collect().toSet ==
+      inMemory.as[(Long, Long, Long)].collect().toSet)
+    // the scan must read only the probed cell directories
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      s"no partition pruning on the index scan:\n${plan.take(1200)}")
+  }
+
   test("IVF with nProbe = nCentroids degenerates to exact search") {
     // probing every cell must recover the exact top-k — the recall knob's
     // upper end is brute force
