@@ -487,6 +487,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
+    // 41. deterministic hash sampling + train/val/test split — bucket
+    // function is bit-identical to DuckDB's hash(BIGINT), so the oracle
+    // recomputes the exact same membership
+    "q41_sample_split" -> ((s, dir) =>
+      Sampling.split(Tables(s, dir).documents, "doc_id", Seq(9000, 500, 500))
+        .groupBy(col("split_id"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))),
+
     // 40. binned point-in-interval range join — oracled against a DuckDB
     // inequality join
     "q40_range_join" -> ((s, dir) => {
@@ -803,6 +812,13 @@ object SparkEntry {
         |FROM orders ASOF LEFT JOIN scd
         |  ON o_custkey = scd.k AND o_orderdate >= scd.eff_date
         |GROUP BY tier""".stripMargin,
+    "q41_sample_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, (hash(doc_id) >> 16) % 10000 AS bkt FROM documents
+        |)
+        |SELECT CASE WHEN bkt < 9000 THEN 0 WHEN bkt < 9500 THEN 1 ELSE 2 END AS split_id,
+        | COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM b GROUP BY 1""".stripMargin,
     "q40_range_join" ->
       """WITH bands(band_id, band_lo, band_hi) AS (
         |  SELECT i, i * 50000.0, (i + 1) * 50000.0

@@ -83,6 +83,10 @@ object F {
   def hamming(a: Column, b: Column): Column =
     invoke(IntegerType, "hamming", Seq(ex(a), ex(b)))
 
+  /** Xorshift-multiply integer finalizer (DuckDB-hash-compatible). */
+  def murmur64(c: Column): Column =
+    invoke(LongType, "murmur64", Seq(ex(c)))
+
   // ---- vector math --------------------------------------------------------
 
   /** Cosine similarity of two array<float> columns (double accumulation). */

@@ -129,6 +129,19 @@ object Hashing {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** The classic xorshift-multiply 64-bit integer finalizer (a public
+    * construction from the murmur/splitmix family; also what DuckDB uses
+    * for `hash(BIGINT)`, which makes hash-deterministic sampling exactly
+    * reproducible across both engines).
+    */
+  def murmur64(x0: Long): Long = {
+    val M = 0xd6e8feb86659fd93L
+    var x = x0
+    x ^= x >>> 32; x *= M
+    x ^= x >>> 32; x *= M
+    x ^ (x >>> 32)
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
     * — the MOSS algorithm; public knowledge): hash every k-token gram,
     * slide a window of `w` gram hashes, keep each window's minimum

@@ -201,6 +201,35 @@ class EtlSpec extends SparkSpec {
     assert(math.abs(a._3 - 3L) <= 1)
   }
 
+  test("deterministic sampling: stable membership, disjoint splits, sane rates") {
+    val ids = (1L to 10000L).map(i => (i, s"row$i")).toDF("id", "v")
+    val s1 = Sampling.sample(ids, "id", basisPoints = 2000)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.sample(ids, "id", basisPoints = 2000)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "sample membership must be a pure function of id")
+    assert(math.abs(s1.size - 2000) < 300, s"rate off: ${s1.size}")
+    val sOther = Sampling.sample(ids, "id", 2000, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(sOther != s1, "different seeds must draw different samples")
+    val sp = Sampling.split(ids, "id", Seq(9000, 500, 500))
+      .groupBy("split_id").count().as[(Long, Long)].collect().toMap
+    assert(sp.keySet == Set(0L, 1L, 2L))
+    assert(sp.values.sum == 10000L, "splits must cover every row exactly once")
+    assert(math.abs(sp(0L) - 9000) < 300 && math.abs(sp(1L) - 500) < 150)
+  }
+
+  test("epoch shuffle permutes deterministically per epoch") {
+    val ids = (1L to 500L).map(i => (i, i)).toDF("id", "v")
+    val e1a = Sampling.epochShuffle(ids, "id", 1L).select("id").as[Long].collect().toSeq
+    val e1b = Sampling.epochShuffle(ids, "id", 1L).select("id").as[Long].collect().toSeq
+    val e2 = Sampling.epochShuffle(ids, "id", 2L).select("id").as[Long].collect().toSeq
+    assert(e1a == e1b, "same epoch must reproduce the same order")
+    assert(e1a != e2, "different epochs must reshuffle")
+    assert(e1a.sorted == e2.sorted, "shuffle must preserve the multiset")
+    assert(e1a != (1L to 500L).toSeq, "shuffle must not be the identity")
+  }
+
   test("F.hash64 and F.dot are usable as column functions") {
     val df = Seq(("abc", Array(1f, 2f), Array(3f, 4f))).toDF("s", "a", "b")
     val r = df.select(F.hash64(col("s")).as("h"), F.dot(col("a"), col("b")).as("d"))
