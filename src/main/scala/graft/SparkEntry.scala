@@ -487,6 +487,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
+    // 42. text cleaning chain (tag strip → NFC → email redaction →
+    // whitespace collapse), surfaced as before/after lengths
+    "q42_text_clean" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .withColumn("dirty",
+          concat(lit("<p>Contact: bob"), (col("doc_id") % 100).cast("string"),
+            lit("@mail.example.com</p> "), col("text")))
+      d.select(col("doc_id"),
+        length(col("dirty")).as("len_dirty"),
+        length(graft.functions.TextClean.cleanChain(col("dirty")))
+          .as("len_clean"))
+    }),
+
+    // 43. lexical diversity / dominance quality metrics (Gopher-style
+    // repetition filters)
+    "q43_diversity" -> ((s, dir) =>
+      graft.functions.Diversity.metrics(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // 41. deterministic hash sampling + train/val/test split — bucket
     // function is bit-identical to DuckDB's hash(BIGINT), so the oracle
     // recomputes the exact same membership
@@ -812,6 +831,31 @@ object SparkEntry {
         |FROM orders ASOF LEFT JOIN scd
         |  ON o_custkey = scd.k AND o_orderdate >= scd.eff_date
         |GROUP BY tier""".stripMargin,
+    "q42_text_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '<p>Contact: bob' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    '@mail.example.com</p> ' || text AS dirty
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(length(dirty) AS BIGINT) AS len_dirty,
+        | CAST(length(trim(regexp_replace(
+        |   regexp_replace(
+        |     nfc_normalize(regexp_replace(dirty, '<[^>]*>', '', 'g')),
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |   '\s+', ' ', 'g'))) AS BIGINT) AS len_clean
+        |FROM d""".stripMargin,
+    "q43_diversity" ->
+      """SELECT doc_id, SUM(tf) AS n_tokens, COUNT(*) AS n_distinct,
+        | MAX(tf) AS top_tf,
+        | CAST(floor(COUNT(*) * 100.0 / SUM(tf)) AS BIGINT) AS diversity_pct,
+        | CAST(floor(MAX(tf) * 100.0 / SUM(tf)) AS BIGINT) AS dominance_pct
+        |FROM (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term)
+        |GROUP BY doc_id""".stripMargin,
     "q41_sample_split" ->
       """WITH b AS (
         |  SELECT doc_id, (hash(doc_id) >> 16) % 10000 AS bkt FROM documents

@@ -64,6 +64,75 @@ object TextStats {
       floor(lit(500) * stopwordHits(text) / tokenCount(text)).cast("long"))
 }
 
+object TextClean {
+
+  /** Strip HTML/XML tags. Pattern is dialect-neutral (no lookarounds) so
+    * Java regex and RE2-based engines agree byte-for-byte.
+    */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", "")
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Unicode NFC normalization (combining sequences → composed forms) —
+    * the canonical first step before hashing/dedup so visually-identical
+    * text hashes identically. StaticInvoke of java.text.Normalizer keeps
+    * codegen; DuckDB's nfc_normalize implements the same Unicode
+    * normalization for the oracle.
+    */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.types.StringType
+    org.apache.spark.sql.GraftSqlBridge.column(
+      StaticInvoke(classOf[TextCleanKernels.type], StringType, "nfc",
+        Seq(org.apache.spark.sql.GraftSqlBridge.expression(text)),
+        inputTypes = Nil, propagateNull = true, returnNullable = true))
+  }
+
+  /** Mask email addresses (PII scrub). Dialect-neutral pattern. */
+  def redactEmails(text: Column, mask: String = "<EMAIL>"): Column =
+    regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", mask)
+
+  /** The standard cleaning chain: strip tags → NFC → redact → collapse. */
+  def cleanChain(text: Column): Column =
+    collapseWhitespace(redactEmails(nfc(stripHtml(text))))
+}
+
+object TextCleanKernels {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+}
+
+object Diversity {
+
+  /** Gopher-style lexical-diversity metrics: unique-token fraction and
+    * top-token dominance. Repetitive machine-generated or boilerplate
+    * text scores low diversity / high dominance — both standard quality
+    * filters for training corpora, both integer-exact for the oracle.
+    */
+  def metrics(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(F.tokensLower(col(textCol))).as("term"))
+    toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+      .withColumn("diversity_pct",
+        (col("n_distinct") * 100 / col("n_tokens")).cast("long"))
+      .withColumn("dominance_pct",
+        (col("top_tf") * 100 / col("n_tokens")).cast("long"))
+  }
+}
+
 object TermScores {
 
   /** Top-k distinguishing terms per document, scored by tf/df (term

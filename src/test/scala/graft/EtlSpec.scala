@@ -230,6 +230,29 @@ class EtlSpec extends SparkSpec {
     assert(e1a != (1L to 500L).toSeq, "shuffle must not be the identity")
   }
 
+  test("text cleaning chain strips tags, redacts emails, collapses whitespace") {
+    import graft.functions.TextClean
+    val df = Seq((1L, "<b>Hi</b>  mail me at a.b+c@site-x.example.org   now"))
+      .toDF("id", "t")
+    val out = df.select(TextClean.cleanChain(col("t")).as("c"))
+      .as[String].head()
+    assert(out == "Hi mail me at <EMAIL> now", s"got '$out'")
+    val nfc = df.select(TextClean.nfc(lit("é"))).as[String].head()
+    assert(nfc == "é", "combining acute must compose to é")
+  }
+
+  test("diversity metrics flag repetitive text") {
+    import graft.functions.Diversity
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "all tokens here are different")).toDF("doc_id", "text")
+    val m = Diversity.metrics(df, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "diversity_pct", "dominance_pct")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 5L, 1L, 20L, 100L)))
+    assert(m(2L) == ((2L, 5L, 5L, 100L, 20L)))
+  }
+
   test("F.hash64 and F.dot are usable as column functions") {
     val df = Seq(("abc", Array(1f, 2f), Array(3f, 4f))).toDF("s", "a", "b")
     val r = df.select(F.hash64(col("s")).as("h"), F.dot(col("a"), col("b")).as("d"))
