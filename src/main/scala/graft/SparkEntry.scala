@@ -487,6 +487,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
+    // 44. semi-structured extraction: JSON payload parsed with an
+    // EXPLICIT schema (schema inference is another full pass at 100 TB),
+    // malformed payloads → null, aggregated per type
+    "q44_json_extract" -> ((s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
     // 42. text cleaning chain (tag strip → NFC → email redaction →
     // whitespace collapse), surfaced as before/after lengths
     "q42_text_clean" -> ((s, dir) => {
@@ -831,6 +843,12 @@ object SparkEntry {
         |FROM orders ASOF LEFT JOIN scd
         |  ON o_custkey = scd.k AND o_orderdate >= scd.eff_date
         |GROUP BY tier""".stripMargin,
+    "q44_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        | MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        | MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q42_text_clean" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -230,6 +230,18 @@ class EtlSpec extends SparkSpec {
     assert(e1a != (1L to 500L).toSeq, "shuffle must not be the identity")
   }
 
+  test("json extraction with explicit schema nulls malformed payloads") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, """{"k": 5}"""), (2L, "not json"), (3L, """{"x": 1}"""))
+      .toDF("id", "props")
+    val out = df.select(col("id"),
+      from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k").as("k"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(5L))
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
   test("text cleaning chain strips tags, redacts emails, collapses whitespace") {
     import graft.functions.TextClean
     val df = Seq((1L, "<b>Hi</b>  mail me at a.b+c@site-x.example.org   now"))
