@@ -487,6 +487,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
+    // 45. benchmark decontamination: per held-out doc, the fraction of its
+    // 5-gram shingles found anywhere in the corpus (bench fixture = 40
+    // truncated docs, so overlap is partial and nontrivial)
+    "q45_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val bench = docs.where(col("doc_id") < 40)
+        .select(col("doc_id"), substring(col("text"), 1, 150).as("text"))
+      Contamination.overlap(docs, "text", bench, "doc_id", "text",
+        shingleK = 5)
+    }),
+
+    // 46. deterministic greedy sequence packing [rows-only; invariants in
+    // DedupSpec]
+    "q46_packing" -> ((s, dir) => {
+      val withTokens = Tables(s, dir).documents
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
+      Packing.firstFit(withTokens, "doc_id", col("n_tok"),
+        maxTokens = 512, partitions = 8)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+    }),
+
     // 44. semi-structured extraction: JSON payload parsed with an
     // EXPLICIT schema (schema inference is another full pass at 100 TB),
     // malformed payloads → null, aggregated per type
@@ -843,6 +865,28 @@ object SparkEntry {
         |FROM orders ASOF LEFT JOIN scd
         |  ON o_custkey = scd.k AND o_orderdate >= scd.eff_date
         |GROUP BY tier""".stripMargin,
+    "q45_contamination" -> {
+      // word-5-shingles, mirroring F.shingles(k=5) incl. the short-doc rule
+      def duckSh(src: String) =
+        s"""SELECT ${if (src == "bench") "doc_id," else ""}
+           |  list_distinct(list_transform(
+           |    generate_series(1, greatest(len(toks)-4, 1)),
+           |    i -> list_aggregate(toks[i:least(i+4, len(toks))], 'string_agg', ' '))) AS sh
+           |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+           |      FROM $src)""".stripMargin
+      s"""WITH bench AS (
+         |  SELECT doc_id, substr(text, 1, 150) AS text FROM documents WHERE doc_id < 40
+         |), cs AS (
+         |  SELECT DISTINCT unnest(sh) AS h FROM (${duckSh("documents")})
+         |), bs AS (
+         |  SELECT doc_id AS bench_id, unnest(sh) AS h FROM (${duckSh("bench")})
+         |)
+         |SELECT bench_id, COUNT(*) AS n_shingles,
+         |  COUNT(cs.h) AS n_hit,
+         |  CAST(floor(COUNT(cs.h) * 100.0 / COUNT(*)) AS BIGINT) AS contaminated_pct
+         |FROM bs LEFT JOIN cs USING (h)
+         |GROUP BY bench_id""".stripMargin
+    },
     "q44_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,

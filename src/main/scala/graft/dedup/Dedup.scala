@@ -278,6 +278,80 @@ object DedupClusters {
   }
 }
 
+object Contamination {
+
+  /** Benchmark decontamination: for each held-out benchmark document, the
+    * fraction of its distinct word-k-shingles that appear ANYWHERE in the
+    * training corpus — the standard train/test overlap metric. Both sides
+    * reduce to 64-bit shingle hashes before the join, so the corpus side
+    * shuffles (hash) longs, not text; the corpus shingle set is
+    * de-duplicated before joining (one row per distinct shingle, however
+    * many documents contain it).
+    */
+  def overlap(corpus: DataFrame, corpusText: String, bench: DataFrame,
+      benchId: String, benchText: String, shingleK: Int): DataFrame = {
+    def shingleHashes(df: DataFrame, text: String) =
+      df.select(explode(array_distinct(transform(
+        F.shingles(F.tokensLower(col(text)), shingleK), s => F.hash64(s))))
+        .as("h"))
+    val corpusShingles = shingleHashes(corpus, corpusText).distinct()
+      .withColumn("hit", lit(1L))
+    bench
+      .select(col(benchId).as("bench_id"),
+        explode(array_distinct(transform(
+          F.shingles(F.tokensLower(col(benchText)), shingleK),
+          s => F.hash64(s)))).as("h"))
+      .join(corpusShingles, Seq("h"), "left")
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contaminated_pct",
+        (col("n_hit") * 100 / col("n_shingles")).cast("long"))
+  }
+}
+
+object Packing {
+
+  /** Greedy sequence packing: route documents to `partitions` deterministic
+    * bins by id hash, pack each bin in id order into sequences of at most
+    * `maxTokens` (a document longer than the budget gets its own
+    * sequence). Packing is embarrassingly parallel — each bin packs
+    * independently with zero coordination — and fully deterministic, so a
+    * re-run regenerates identical training sequences. Fill efficiency
+    * trades against parallelism only through the bin count.
+    *
+    * Output: (doc_id, n_tokens, seq_id, seq_pos); seq_id is unique across
+    * bins (bin * 2^40 + counter).
+    */
+  def firstFit(docs: DataFrame, idCol: String, nTokensCol: Column,
+      maxTokens: Long, partitions: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        nTokensCol.cast("long").as("n_tokens"))
+      .repartition(partitions, pmod(hash(col(idCol)), lit(partitions)))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val bin = org.apache.spark.TaskContext.getPartitionId().toLong
+        var seq = 0L
+        var used = 0L
+        var pos = 0L
+        var first = true
+        it.map { case (id, n) =>
+          if (first || used + n > maxTokens) {
+            if (!first) seq += 1
+            used = 0L; pos = 0L; first = false
+          }
+          used += n; pos += 1
+          (id, n, (bin << 40) | seq, pos)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "seq_id", "seq_pos")
+  }
+}
+
 object EmbeddingDedup {
 
   /** Embedding near-dup pairs: banded random-hyperplane LSH (`tables`

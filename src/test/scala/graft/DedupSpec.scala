@@ -115,6 +115,35 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L), "chain did not collapse to one component")
   }
 
+  test("contamination finds full overlap for copied docs and none for fresh text") {
+    val corpus = Seq(
+      (1L, (1 to 40).map(i => s"c$i").mkString(" ")),
+      (2L, (50 to 90).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, (1 to 40).map(i => s"c$i").mkString(" ")), // verbatim copy
+      (101L, (1 to 200).map(i => s"fresh$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Contamination.overlap(corpus, "text", bench, "doc_id", "text", 5)
+      .select("bench_id", "contaminated_pct").as[(Long, Long)].collect().toMap
+    assert(out(100L) == 100L)
+    assert(out(101L) == 0L)
+  }
+
+  test("packing respects the budget, packs every doc once, and is deterministic") {
+    val docs = (1L to 300L).map(i => (i, 1L + i % 200)).toDF("doc_id", "n_tok")
+    def pack() = Packing.firstFit(docs, "doc_id", col("n_tok"),
+      maxTokens = 512, partitions = 4)
+    val p1 = pack().collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val p2 = pack().collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(p1.sortBy(_._1).toSeq == p2.sortBy(_._1).toSeq, "packing must be deterministic")
+    assert(p1.map(_._1).distinct.length == 300, "every doc exactly once")
+    val perSeq = pack().groupBy("seq_id")
+      .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    perSeq.foreach { case (seq, t, n) =>
+      assert(t <= 512 || n == 1, s"seq $seq exceeds budget with $n docs ($t tokens)")
+    }
+  }
+
   test("bucket occupancy cap drops pathological buckets instead of exploding") {
     // 200 identical docs all land in the same buckets; cap excludes them
     val same = (1L to 200L).map(i => (i, "the same boilerplate text repeated"))
