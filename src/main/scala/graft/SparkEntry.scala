@@ -3,7 +3,7 @@ package graft
 import graft.ann.{BruteForce, IvfAnn, LshAnn}
 import graft.dedup._
 import graft.etl._
-import graft.functions.{F, RomanCodec, TermScores, TextStats}
+import graft.functions.{Bpe, F, RomanCodec, TermScores, TextStats}
 import graft.multimodal.BinaryPipeline
 import graft.sources.GraftCsv
 import graft.validation._
@@ -485,6 +485,19 @@ object SparkEntry {
           Seq("tier"))
         .groupBy(col("tier"))
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+    }),
+
+    // 47. trained BPE token counts: merges train on a deterministic 10%
+    // hash-sample (driver-side, bounded), encode runs distributed through
+    // a codegen'd kernel [rows-only; trainer+encoder gated in BpeSpec]
+    "q47_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val merges = memoized(s, s"bpe|$dir") {
+        Bpe.train(docs, "doc_id", "text", nMerges = 200,
+          sampleBasisPoints = 1000)
+      }
+      docs.select(col("doc_id"),
+        Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
     }),
 
     // 45. benchmark decontamination: per held-out doc, the fraction of its

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenizer, structured the way a 100 TB pipeline has
+  * to be: merge rules TRAIN on a small deterministic hash-sample of the
+  * corpus (driver-side, bounded, pure JVM — the classic algorithm is
+  * inherently sequential), then APPLY distributed through a codegen'd
+  * static kernel with the merge table shipped as a string literal. The
+  * trainer is the textbook character-level BPE (Sennrich et al. 2016,
+  * public): repeatedly merge the most frequent adjacent symbol pair;
+  * ties break lexicographically so training is fully deterministic.
+  */
+object Bpe {
+
+  /** Train `nMerges` merge rules from a bag of words. */
+  def trainFromWords(words: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    val freq = scala.collection.mutable.HashMap.empty[List[String], Long]
+    words.filter(_.nonEmpty).foreach { w =>
+      val syms = w.map(_.toString).toList
+      freq(syms) = freq.getOrElse(syms, 0L) + 1L
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      freq.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n)
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val merged = best._1 + best._2
+        val rewritten = freq.toSeq.map { case (syms, n) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == best._1 && syms(j + 1) == best._2) {
+              out += merged; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.toList -> n
+        }
+        freq.clear()
+        rewritten.foreach { case (s, n) =>
+          freq(s) = freq.getOrElse(s, 0L) + n
+        }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Train on a deterministic hash-sample of the corpus: membership is a
+    * pure function of the id (same sample every run, any cluster size),
+    * and `maxDocs` bounds what the driver collects regardless of corpus
+    * scale.
+    */
+  def train(docs: DataFrame, idCol: String, textCol: String, nMerges: Int,
+      sampleBasisPoints: Int, maxDocs: Int = 10000): Seq[(String, String)] = {
+    import docs.sparkSession.implicits._
+    val sample = graft.etl.Sampling
+      .sample(docs, idCol, sampleBasisPoints)
+      .orderBy(col(idCol)).limit(maxDocs)
+      .select(lower(col(textCol))).as[String].collect()
+    trainFromWords(sample.toSeq.flatMap(_.split("\\s+")), nMerges)
+  }
+
+  /** Serialize merges for the kernel literal ("a b\nab c\n..."). */
+  def mergesToSpec(merges: Seq[(String, String)]): String =
+    merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+
+  /** BPE token count of a text column under a trained merge table. */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.types.LongType
+    org.apache.spark.sql.GraftSqlBridge.column(
+      StaticInvoke(classOf[BpeKernels.type], LongType, "encodeCount",
+        Seq(org.apache.spark.sql.GraftSqlBridge.expression(text),
+          Literal(UTF8String.fromString(mergesToSpec(merges)), org.apache.spark.sql.types.StringType)),
+        inputTypes = Nil, propagateNull = true, returnNullable = false))
+  }
+}
+
+object BpeKernels {
+
+  // one merge table is in play per query; cache the parsed form keyed by
+  // the spec string so the per-row cost is a map lookup, not a re-parse
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), Int]]
+
+  private def table(spec: String): Map[(String, String), Int] =
+    cache.computeIfAbsent(spec, s =>
+      s.split("\n").filter(_.nonEmpty).zipWithIndex.map { case (line, i) =>
+        val Array(a, b) = line.split(" ", 2)
+        (a, b) -> i
+      }.toMap)
+
+  /** Apply merges to one word (greedy by merge priority) and return the
+    * surviving symbol count.
+    */
+  private def wordSymbols(word: String, ranks: Map[(String, String), Int]): Int = {
+    var syms = word.map(_.toString).toArray
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        val merged = syms(bestIdx) + syms(bestIdx + 1)
+        syms = (syms.take(bestIdx) :+ merged) ++ syms.drop(bestIdx + 2)
+        continue = syms.length > 1
+      }
+    }
+    syms.length
+  }
+
+  /** Total BPE token count of a whitespace-split, lower-cased text. */
+  def encodeCount(text: UTF8String, mergeSpec: UTF8String): Long = {
+    val ranks = table(mergeSpec.toString)
+    var total = 0L
+    text.toString.toLowerCase.split("\\s+").foreach { w =>
+      if (w.nonEmpty) total += wordSymbols(w, ranks)
+    }
+    total
+  }
+}

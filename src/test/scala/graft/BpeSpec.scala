@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{Bpe, BpeKernels}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BPE trainer + distributed encoder — the gate for [rows-only] q47. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("trainer learns the most frequent pairs first, deterministically") {
+    val words = Seq.fill(10)("low") ++ Seq.fill(6)("lower") ++ Seq.fill(3)("newest")
+    val merges = Bpe.trainFromWords(words, 4)
+    // 'l o' appears 16 times — must be the first merge; then 'lo w' (16)
+    assert(merges.take(2) == Seq(("l", "o"), ("lo", "w")))
+    assert(Bpe.trainFromWords(words, 4) == merges, "training must be deterministic")
+  }
+
+  test("trainer stops when no pairs remain") {
+    assert(Bpe.trainFromWords(Seq("a", "b"), 10).isEmpty)
+    assert(Bpe.trainFromWords(Seq("ab"), 10) == Seq(("a", "b")))
+  }
+
+  test("encoder collapses trained words and leaves unseen text at character granularity") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r"))
+    val spec = UTF8String.fromString(Bpe.mergesToSpec(merges))
+    def count(s: String) = BpeKernels.encodeCount(UTF8String.fromString(s), spec)
+    assert(count("low") == 1L)       // fully merged
+    assert(count("lower") == 1L)     // full chain
+    assert(count("lows") == 2L)      // low + s
+    assert(count("xyz") == 3L)       // no merges apply
+    assert(count("low low low") == 3L)
+    assert(count("LOW") == 1L, "encoder lower-cases like the trainer")
+  }
+
+  test("distributed encode matches the kernel and compresses real text") {
+    val docs = Tables(spark, sf0001).documents.limit(200)
+    val merges = Bpe.train(docs, "doc_id", "text", nMerges = 100,
+      sampleBasisPoints = 5000)
+    // the tiny synthetic vocabulary may exhaust its pairs before nMerges
+    assert(merges.size > 50 && merges.size <= 100)
+    val out = docs.select(col("doc_id"),
+      Bpe.tokenCount(col("text"), merges).as("n_bpe"),
+      length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"))
+      .as[(Long, Long, Long)].collect()
+    // BPE must compress below character count but stay above zero
+    out.foreach { case (id, nBpe, nChars) =>
+      assert(nBpe > 0 && nBpe < nChars, s"doc $id: $nBpe vs $nChars chars")
+    }
+    // spot-check one row against a driver-side kernel call
+    val one = docs.orderBy("doc_id").limit(1)
+      .select(col("text"), Bpe.tokenCount(col("text"), merges).as("n"))
+      .as[(String, Long)].head()
+    val local = BpeKernels.encodeCount(UTF8String.fromString(one._1),
+      UTF8String.fromString(Bpe.mergesToSpec(merges)))
+    assert(one._2 == local)
+  }
+}
