@@ -76,6 +76,10 @@ object MinHashDedup {
       shingleK: Int = 3, numPerms: Int = 128, bands: Int = 16): DataFrame = {
     require(numPerms % bands == 0, "numPerms must be divisible by bands")
     docs
+      // sketches need content: null/blank docs would all collapse onto the
+      // degenerate empty-shingle signature and "near-dup" each other —
+      // content-less duplicates are exact-dedup's job, not MinHash's
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(
         col(idCol).as("id"),
         F.minhashSig(F.shingles(F.tokensLower(col(textCol)), shingleK), numPerms)

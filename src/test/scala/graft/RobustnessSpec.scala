@@ -1,0 +1,70 @@
+package graft
+
+import graft.dedup._
+import graft.functions.{F, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Null/edge-input behavior: a corpus with null or empty documents must
+  * degrade gracefully (null rows drop out of sketch pipelines via
+  * propagateNull → empty explode), never throw.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def messy = Seq(
+    (1L, "a normal document with several tokens"),
+    (2L, null.asInstanceOf[String]),
+    (3L, ""),
+    (4L, "   "),
+    (5L, "a normal document with several tokens")
+  ).toDF("doc_id", "text")
+
+  test("minhash pipeline survives null/empty/whitespace docs") {
+    val pairs = MinHashDedup.candidatePairs(messy, "doc_id", "text",
+      shingleK = 2, numPerms = 64, bands = 16, minJaccardPct = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)), "the real dup pair must still surface")
+    assert(!pairs.exists(p => Set(p._1, p._2).exists(Set(2L, 3L, 4L))),
+      "null/blank docs must not enter the sketch pipeline")
+  }
+
+  test("simhash, fingerprint, winnow, and text stats handle null/empty text") {
+    val out = messy.select(col("doc_id"),
+      F.simhash64(F.tokensLower(col("text"))).as("sh"),
+      F.fingerprint(F.tokensLower(col("text"))).as("fp"),
+      size(F.winnow(F.tokensLower(col("text")), 3, 4)).as("nw"),
+      TextStats.tokenCount(col("text")).as("nt"))
+    val rows = out.collect() // must not throw
+    assert(rows.length == 5)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).isNullAt(1) && byId(2L).isNullAt(2), "null text → null sketches")
+  }
+
+  test("exact dedup and embedding dedup tolerate null keys/vectors") {
+    val g = ExactDedup.groups(messy, "doc_id", "text").collect()
+    assert(g.length >= 3) // null group + empty/whitespace + the dup group
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(1f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val pairs = EmbeddingDedup.pairs(vecs, "vec_id", "embedding",
+      planes = 2, tables = 8, minCosine = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)))
+  }
+
+  test("csv coercion handles empty files and all-bad files") {
+    import graft.sources.GraftCsv
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_edge").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      java.util.Arrays.asList("x#y", "p#q"))
+    val schema = StructType(Seq(StructField("n", LongType),
+      StructField("ts", StringType)))
+    val df = GraftCsv.read(spark, dir, schema, "#", Seq("ts"),
+      cacheForAudit = true)
+    assert(GraftCsv.goodRecords(df).count() +
+      GraftCsv.badRecords(df).count() == 2)
+  }
+}
