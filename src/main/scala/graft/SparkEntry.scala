@@ -487,6 +487,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
+    // 48. fuzzy (edit-distance) join via q-gram blocking + exact
+    // Levenshtein — right side is a deterministically corrupted copy of
+    // the nation names (3rd char dropped)
+    "q48_fuzzy_join" -> ((s, dir) => {
+      val n = Tables(s, dir).nation
+      val corrupted = n.select(col("n_nationkey").as("c_key"),
+        concat(substring(col("n_name"), 1, 2), substring(col("n_name"), 4, 1000))
+          .as("c_name"))
+      FuzzyJoin
+        .byEditDistance(n, "n_nationkey", col("n_name"),
+          corrupted, "c_key", col("c_name"), maxDist = 1)
+        .groupBy(col("r_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("l_id")).as("best_l_id"),
+          min(col("dist")).as("best_dist"))
+    }),
+
     // 47. trained BPE token counts: merges train on a deterministic 10%
     // hash-sample (driver-side, bounded), encode runs distributed through
     // a codegen'd kernel [rows-only; trainer+encoder gated in BpeSpec]
@@ -878,6 +894,14 @@ object SparkEntry {
         |FROM orders ASOF LEFT JOIN scd
         |  ON o_custkey = scd.k AND o_orderdate >= scd.eff_date
         |GROUP BY tier""".stripMargin,
+    "q48_fuzzy_join" ->
+      """WITH l AS (SELECT n_nationkey AS lid, lower(n_name) AS ls FROM nation),
+        |r AS (SELECT n_nationkey AS rid,
+        |  lower(substr(n_name, 1, 2) || substr(n_name, 4)) AS rs FROM nation)
+        |SELECT rid AS r_id, COUNT(*) AS n_matches, MIN(lid) AS best_l_id,
+        | MIN(levenshtein(ls, rs)) AS best_dist
+        |FROM r JOIN l ON levenshtein(ls, rs) <= 1
+        |GROUP BY rid""".stripMargin,
     "q45_contamination" -> {
       // word-5-shingles, mirroring F.shingles(k=5) incl. the short-doc rule
       def duckSh(src: String) =

@@ -291,6 +291,36 @@ object RangeJoin {
   }
 }
 
+object FuzzyJoin {
+
+  /** Edit-distance (fuzzy) join: candidates block on shared character
+    * q-grams of the boundary-padded strings, exact Levenshtein filters
+    * inside the hash join — never an all-pairs distance matrix. The
+    * blocking is lossless for strings where an edit can't destroy every
+    * gram: padded length > q·(maxDist+1)-1 guarantees a surviving shared
+    * gram (each edit touches ≤ q grams). Shorter strings are cheap enough
+    * to route through exact dedup instead.
+    */
+  def byEditDistance(left: DataFrame, leftId: String, leftStr: Column,
+      right: DataFrame, rightId: String, rightStr: Column, maxDist: Int,
+      q: Int = 3): DataFrame = {
+    def grams(df: DataFrame, id: String, s: Column, side: String) = {
+      // boundary markers make edits near the ends destroy fewer grams
+      val padded = concat(lit("^"), lower(s), lit("$"))
+      df.select(col(id).as(s"${side}_id"), lower(s).as(s"${side}_s"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(length(padded) - q, lit(0))),
+          i => padded.substr(i + 1, lit(q))))).as("gram"))
+    }
+    grams(left, leftId, leftStr, "l")
+      .join(grams(right, rightId, rightStr, "r"), "gram")
+      .select("l_id", "l_s", "r_id", "r_s").distinct()
+      .where(levenshtein(col("l_s"), col("r_s")) <= maxDist)
+      .select(col("l_id"), col("r_id"),
+        levenshtein(col("l_s"), col("r_s")).cast("long").as("dist"))
+  }
+}
+
 object SkewJoin {
 
   /** Salted inner equi-join for skewed fact keys when the build side can't

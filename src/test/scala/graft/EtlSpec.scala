@@ -175,6 +175,23 @@ class EtlSpec extends SparkSpec {
     assert(binned == naive && naive.nonEmpty)
   }
 
+  test("fuzzy join via q-gram blocking equals the naive all-pairs edit-distance join") {
+    val left = Seq((1L, "johnson"), (2L, "johnsen"), (3L, "smithers"),
+      (4L, "completely-different")).toDF("lid", "name")
+    val right = Seq((10L, "jonson"), (11L, "smithers"), (12L, "zzzzzz"))
+      .toDF("rid", "name")
+    val blocked = FuzzyJoin.byEditDistance(left, "lid", col("name"),
+      right, "rid", col("name"), maxDist = 2)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Long)].collect().toSet
+    val naive = left.crossJoin(right.withColumnRenamed("name", "rname"))
+      .where(levenshtein(lower(col("name")), lower(col("rname"))) <= 2)
+      .select(col("lid"), col("rid"),
+        levenshtein(lower(col("name")), lower(col("rname"))).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked == naive, s"blocked=$blocked naive=$naive")
+    assert(blocked.contains((1L, 10L, 1L)) && blocked.contains((3L, 11L, 0L)))
+  }
+
   test("salted skew join equals the plain join") {
     val fact = (1L to 300L).map(i => (i, if (i % 10 == 0) 1L else i % 7, i * 1.5))
       .toDF("id", "k", "v") // key 1 is hot
