@@ -364,6 +364,17 @@ object EmbeddingDedup {
     * recall (1-θ/π)^planes ≈ 20% at cosine 0.5 — the banded union is what
     * makes recall → 1, exactly like the MinHash band scheme.
     *
+    * CALIBRATION (measured on a 10× synthetic scale-up): `planes` must
+    * grow ~log2(corpus) to keep 2^planes buckets below `maxBucket` —
+    * under-partitioning makes hot buckets hit the occupancy cap and
+    * silently drop pairs (planes=4 is sized for ~10^4 vectors; use ~8 at
+    * 10^5-10^6, ~16 beyond). Low thresholds are intrinsically hostile to
+    * hyperplane LSH: at τ≈0.5 the per-table collision odds of a TRUE pair
+    * (~0.2 at planes=4) sit close to a RANDOM pair's (~0.06), so recall
+    * needs tens of tables while candidates approach all-pairs. The scheme
+    * shines at τ ≥ 0.9 (true-pair odds ~0.65/table vs random ~0.06);
+    * for weak-similarity search use IvfAnn instead.
+    *
     * Verification is INLINE: the exact cosine is computed while exploding
     * in-bucket pairs and the ≥ minCosine filter runs before anything
     * shuffles again, so the pair-dedup exchange carries only the sparse
