@@ -463,8 +463,11 @@ object SparkEntry {
     // pair list (hash-min propagation; oracle is a DuckDB recursive CTE)
     "q37_dedup_clusters" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      val pairs = NgramJaccard.verify(docs, minhashCandidates(s, dir),
-        "doc_id", "text", ShingleK, minJaccardPct = 50)
+      val pairs = memoized(s, s"vpairs|$dir") {
+        NgramJaccard.verify(docs, minhashCandidates(s, dir),
+          "doc_id", "text", ShingleK, minJaccardPct = 50)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
       DedupClusters.connectedComponents(docs, "doc_id", pairs)
     }),
 

@@ -87,6 +87,12 @@ object F {
   def murmur64(c: Column): Column =
     invoke(LongType, "murmur64", Seq(ex(c)))
 
+  /** Morton/Z-order key of two long columns (low 32 bits each) — sort by
+    * this to cluster for range filters on either dimension.
+    */
+  def zorder2(a: Column, b: Column): Column =
+    invoke(LongType, "interleave2", Seq(ex(a), ex(b)))
+
   // ---- vector math --------------------------------------------------------
 
   /** Cosine similarity of two array<float> columns (double accumulation). */

@@ -129,6 +129,25 @@ object Hashing {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Interleave the low 32 bits of two longs into a Morton/Z-order key
+    * (classic public-domain bit-spreading trick): sorting by the result
+    * clusters rows so that a range filter on EITHER dimension touches a
+    * bounded fraction of row groups — the multi-column analog of
+    * single-key cluster sorting.
+    */
+  def interleave2(a: Long, b: Long): Long = {
+    def spread(x0: Long): Long = {
+      var x = x0 & 0xffffffffL
+      x = (x | (x << 16)) & 0x0000ffff0000ffffL
+      x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+      x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      x = (x | (x << 1)) & 0x5555555555555555L
+      x
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
   /** The classic xorshift-multiply 64-bit integer finalizer (a public
     * construction from the murmur/splitmix family; also what DuckDB uses
     * for `hash(BIGINT)`, which makes hash-deterministic sampling exactly

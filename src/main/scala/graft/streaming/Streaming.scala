@@ -71,6 +71,26 @@ object StreamJoin {
   }
 }
 
+object StreamSink {
+
+  /** Stream → warehouse: land each micro-batch through the same
+    * idempotent month-upsert the batch pipeline uses (foreachBatch is
+    * the bridge between Structured Streaming and an arbitrary batch
+    * sink). Dynamic partition overwrite makes a REPLAYED micro-batch
+    * rewrite its months instead of appending duplicates — exactly-once
+    * results over an at-least-once trigger, provided a batch carries
+    * whole months or replays carry identical batches.
+    */
+  def monthlyUpsert(stream: org.apache.spark.sql.DataFrame, dateCol: String,
+      clusterCol: String, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.etl.PartitionedSink.upsertMonths(batch, dateCol, clusterCol, path)
+    }
+}
+
 object StreamDedup {
 
   /** Streaming exact dedup with BOUNDED state: one state entry per key,

@@ -78,6 +78,24 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 4)
   }
 
+  test("z-order layout bounds row-group touches for range filters on either dimension") {
+    import graft.functions.F
+    // a 32×32 grid; "row groups" modeled as blocks of 64 consecutive rows
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def blocksTouched(ordered: Seq[(Long, Long)], pred: ((Long, Long)) => Boolean) =
+      ordered.grouped(64).zipWithIndex.count { case (blk, _) => blk.exists(pred) }
+    val byX = grid.orderBy("x", "y").as[(Long, Long)].collect().toSeq
+    val byZ = grid.orderBy(F.zorder2(col("x"), col("y")), col("x"), col("y"))
+      .as[(Long, Long)].collect().toSeq
+    val yFilter = (p: (Long, Long)) => p._2 < 4
+    val xFilter = (p: (Long, Long)) => p._1 < 4
+    // x-major sort: a filter on y touches EVERY block; z-order bounds both
+    assert(blocksTouched(byX, yFilter) == 16)
+    assert(blocksTouched(byZ, yFilter) <= 8, s"z ${blocksTouched(byZ, yFilter)}")
+    assert(blocksTouched(byZ, xFilter) <= 8, s"z ${blocksTouched(byZ, xFilter)}")
+  }
+
   test("compaction collapses small files per partition without losing rows") {
     val inPath = tmp("compact_in")
     val rows = (1 to 300).map(i =>
