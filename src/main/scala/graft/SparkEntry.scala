@@ -490,6 +490,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
+    // 49. multi-grain aggregation: ROLLUP produces (status, priority),
+    // (status), and grand-total grains in one shuffle
+    "q49_rollup" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))),
+
+    // 50. argmax/argmin per group without a self-join (max_by/min_by);
+    // the ordering key is an exact-decimal composite (price, orderkey) so
+    // ties resolve identically in every engine
+    "q50_argmax" -> ((s, dir) => {
+      val rank = dec2(col("o_totalprice")) * lit(10000000000L) + col("o_orderkey")
+      Tables(s, dir).orders
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_orderkey"), rank).as("biggest_order"),
+          min_by(col("o_orderkey"), rank).as("smallest_order"),
+          max(dec2(col("o_totalprice"))).cast("double").as("max_price"))
+    }),
+
+    // 51. running totals per key (cumulative window aggregation)
+    "q51_running_total" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .where(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice")))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate"), col("o_orderkey"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("double").as("running_total"))),
+
+    // 52. histogram binning of a measure (explicit bin arithmetic —
+    // engine-portable where width_bucket isn't)
+    "q52_histogram" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(
+          when(col("o_totalprice") < 0, 0L)
+            .when(col("o_totalprice") >= 600000.0, 13L)
+            .otherwise(floor(col("o_totalprice") / 50000.0) + 1)
+            .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
     // 48. fuzzy (edit-distance) join via q-gram blocking + exact
     // Levenshtein — right side is a deterministically corrupted copy of
     // the nation names (3rd char dropped)
@@ -897,6 +944,30 @@ object SparkEntry {
         |FROM orders ASOF LEFT JOIN scd
         |  ON o_custkey = scd.k AND o_orderdate >= scd.eff_date
         |GROUP BY tier""".stripMargin,
+    "q49_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q50_argmax" ->
+      """SELECT o_orderstatus,
+        | arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000000 + o_orderkey) AS biggest_order,
+        | arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000000 + o_orderkey) AS smallest_order,
+        | CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q51_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_total
+        |FROM orders WHERE o_custkey < 20""".stripMargin,
+    "q52_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |  WHEN o_totalprice >= 600000.0 THEN 13
+        |  ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "q48_fuzzy_join" ->
       """WITH l AS (SELECT n_nationkey AS lid, lower(n_name) AS ls FROM nation),
         |r AS (SELECT n_nationkey AS rid,
