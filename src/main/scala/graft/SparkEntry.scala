@@ -490,6 +490,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
+    // 53. heavy-hitter frequency estimates from a count-min sketch built
+    // by the custom typed Aggregator (constant state per partition, one
+    // bounded sketch row to the driver) [rows-only; CountMinSpec gates
+    // the overestimate guarantee and distributed-merge parity]
+    "q53_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select(explode(F.tokensLower(col("text"))).as("term"))
+      val r = toks.agg(graft.functions.CountMin.sketch(col("term")).as("sk"))
+        .select("sk.*").as[(Int, Int, Array[Long])].head()
+      val sk = graft.functions.Cms(r._1, r._2, r._3)
+      Seq("the", "a", "and", "of", "to")
+        .map(t => (t, sk.estimate(t))).toDF("term", "est_count")
+    }),
+
     // 49. multi-grain aggregation: ROLLUP produces (status, priority),
     // (status), and grand-total grains in one shuffle
     "q49_rollup" -> ((s, dir) =>
