@@ -1,0 +1,53 @@
+package graft
+
+/** Plan-shape regression tests: the performance properties the engine
+  * depends on (dimension broadcasts, scan-level filter pushdown, column
+  * pruning, top-k pushdown, no accidental cartesian products) asserted
+  * against the actual physical plans, so a refactor that silently
+  * degrades a plan fails CI rather than a 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("star join broadcasts every dimension and never sort-merges") {
+    val p = plan("q3_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("date-window predicate reaches the parquet scan") {
+    val p = plan("q2_date_window")
+    assert(p.contains("o_orderdate") && p.contains("1995-03-01"),
+      "window filter not pushed into the scan")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "no pushed filters on the scan")
+  }
+
+  test("flagship aggregation prunes the scan to referenced columns") {
+    val p = plan("q1_agg")
+    assert(p.contains("l_quantity") && p.contains("l_extendedprice"))
+    assert(!p.contains("l_shipdate") && !p.contains("l_comment"),
+      "scan reads columns the query never touches")
+  }
+
+  test("top-k per group gets the WindowGroupLimit pushdown") {
+    assert(plan("q9_topk_per_group").contains("WindowGroupLimit"),
+      "per-partition top-k pushdown missing — full sort per group at scale")
+  }
+
+  test("no query plans a cartesian product") {
+    // q37/q53 execute eagerly when built (iterative loop / sketch collect)
+    // and are covered by their own specs
+    val skip = Set("q37_dedup_clusters", "q53_heavy_hitters")
+    SparkEntry.queries.keys.filterNot(skip).toSeq.sorted.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
+  test("LSH ANN keeps the corpus scan shuffle-free (broadcast query side)") {
+    val p = plan("q22_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), "query side not broadcast")
+  }
+}
