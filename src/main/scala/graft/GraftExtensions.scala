@@ -54,10 +54,46 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(Hashing.getClass.getCanonicalName, name),
         builder))
+    }
+    ext.injectOptimizerRule(_ => RomanRoundTripElimination)
+  }
+}
+
+/** Optimizer rule: `from_roman(to_roman(x))` collapses to the algebraic
+  * identity `IF(x BETWEEN 1 AND 3999, x, NULL)` — the codec round-trip
+  * never needs to materialize the Roman string. Domain handling is exact:
+  * outside 1..3999 `to_roman` yields null, which propagates through
+  * `from_roman` as null, so the rewrite substitutes null there too.
+  * Demonstrates the engine's injectable-optimization surface on graft's
+  * own expression family.
+  */
+object RomanRoundTripElimination
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.IntegerType
+
+  private def isCodec(cls: Class[_], method: String, si: StaticInvoke): Boolean =
+    si.staticObject == cls && si.functionName == method
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case outer: StaticInvoke
+          if isCodec(classOf[functions.RomanCodec.type], "fromRoman", outer) &&
+            outer.arguments.headOption.exists {
+              case inner: StaticInvoke =>
+                isCodec(classOf[functions.RomanCodec.type], "toRoman", inner)
+              case _ => false
+            } =>
+        val x = outer.arguments.head.asInstanceOf[StaticInvoke].arguments.head
+        If(And(GreaterThanOrEqual(x, Literal(1)), LessThanOrEqual(x, Literal(3999))),
+          x, Literal(null, IntegerType))
     }
 }

@@ -44,4 +44,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(GraftFunctions.builders.map(_._1).distinct.size ==
       GraftFunctions.builders.size)
   }
+
+  test("roman round-trip elimination removes the codec calls and preserves semantics") {
+    import graft.functions.F
+    import org.apache.spark.sql.functions.col
+    // a Range source so constant folding can't pre-evaluate the codec
+    val df = spark.range(5).select((col("id") * 1000).cast("int").as("x"))
+    def roundTrip = df.select(F.fromRoman(F.toRoman(col("x"))).as("y"))
+    val before = roundTrip.queryExecution.optimizedPlan.toString
+    assert(before.contains("static_invoke"), "baseline should call the codec")
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(RomanRoundTripElimination)
+    try {
+      val after = roundTrip.queryExecution.optimizedPlan.toString
+      assert(!after.contains("static_invoke"),
+        s"codec calls survived the rewrite:\n$after")
+      val got = roundTrip.orderBy("y").as[Option[Int]].collect().toSeq
+      assert(got.flatten.sorted == Seq(1000, 2000, 3000) &&
+        got.count(_.isEmpty) == 2) // 0 and 4000 are out of codec range
+    } finally spark.experimental.extraOptimizations = saved
+  }
 }
