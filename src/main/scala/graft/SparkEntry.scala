@@ -490,6 +490,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
+    // 54. temporal gap fill: dense hourly series per event type with
+    // zero-filled empty buckets (generated spine, no driver loop)
+    "q54_time_fill" -> ((s, dir) =>
+      TimeFill.denseHourly(
+        Tables(s, dir).events.where(col("event_type").isin("purchase", "signup")),
+        "ts", "event_type", count(lit(1)))),
+
+    // 55. SCD type-2 interval construction (the producer side of the
+    // as-of join): change log → validity ranges via lead()
+    "q55_scd2_intervals" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Scd2.intervals(scdFixture(t), "o_custkey", col("eff_date"), Seq("tier"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"))
+    }),
+
     // 53. heavy-hitter frequency estimates from a count-min sketch built
     // by the custom typed Aggregator (constant state per partition, one
     // bounded sketch row to the driver) [rows-only; CountMinSpec gates
@@ -959,6 +976,35 @@ object SparkEntry {
         |FROM orders ASOF LEFT JOIN scd
         |  ON o_custkey = scd.k AND o_orderdate >= scd.eff_date
         |GROUP BY tier""".stripMargin,
+    "q54_time_fill" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'signup')
+        |  GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM b
+        |), spine AS (
+        |  SELECT k.event_type, g.ts AS bucket_ts
+        |  FROM (SELECT DISTINCT event_type FROM b) k,
+        |    bounds, LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts) g
+        |)
+        |SELECT spine.event_type, spine.bucket_ts, COALESCE(b.v, 0) AS v
+        |FROM spine LEFT JOIN b
+        |  ON spine.event_type = b.event_type AND spine.bucket_ts = b.bucket_ts""".stripMargin,
+    "q55_scd2_intervals" ->
+      """WITH scd AS (
+        |  SELECT c_custkey, CAST(eff AS TIMESTAMP) AS valid_from,
+        |    c_custkey % 5 * 10 + ver AS tier
+        |  FROM customer, (VALUES (0, '1993-01-01'), (1, '1995-02-15'),
+        |    (2, '1996-01-01')) AS v(ver, eff)
+        |), iv AS (
+        |  SELECT tier, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to
+        |  FROM scd
+        |)
+        |SELECT tier, COUNT(*) AS n_versions,
+        | COUNT(*) FILTER (WHERE valid_to IS NULL) AS n_open
+        |FROM iv GROUP BY tier""".stripMargin,
     "q49_rollup" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         | COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n,

@@ -442,6 +442,54 @@ object TimeBuckets {
   }
 }
 
+object TimeFill {
+
+  /** Densify a sparse time series: emit EVERY bucket in [global min,
+    * global max] for every key, zero-filling buckets with no data — the
+    * temporal analog of DimAlign.zeroFill (downstream window/ML code
+    * usually assumes gap-free series). The bucket spine is generated by
+    * key (sequence + explode, no driver loop) and left-joined to the
+    * aggregated facts; the tiny (min, max) bound comes from one scalar
+    * aggregation, cross-joined — never collected.
+    */
+  def denseHourly(df: DataFrame, tsCol: String, keyCol: String,
+      valueAgg: Column): DataFrame = {
+    val buckets = df
+      .withColumn("bucket_ts", date_trunc("hour", col(tsCol)))
+      .groupBy(col(keyCol), col("bucket_ts"))
+      .agg(valueAgg.as("v"))
+    val bounds = buckets.agg(min(col("bucket_ts")).as("lo"),
+      max(col("bucket_ts")).as("hi"))
+    val spine = buckets.select(col(keyCol)).distinct()
+      .crossJoin(bounds)
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("bucket_ts"))
+    spine
+      .join(buckets, Seq(keyCol.toString, "bucket_ts"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0L)))
+  }
+}
+
+object Scd2 {
+
+  /** Build slowly-changing-dimension TYPE 2 validity intervals from a
+    * change-event log: each (key, effective_ts, attrs) change row becomes
+    * a version valid [effective_ts, next change's ts), the latest version
+    * open-ended (null valid_to). One shuffle on the key + a lead()
+    * window — the construction side of what AsOfJoin consumes.
+    */
+  def intervals(changes: DataFrame, keyCol: String, tsCol: Column,
+      attrs: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    changes
+      .withColumn("valid_from", tsCol)
+      .select((col(keyCol) +: attrs.map(col) :+ col("valid_from")): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+  }
+}
+
 object PartitionedSink {
 
   /** Monthly-partitioned, clustered parquet sink — the Spark analog of the
