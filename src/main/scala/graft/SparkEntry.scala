@@ -53,7 +53,8 @@ object SparkEntry {
       Seq("click", "view", "purchase", "signup", "error"), 100),
     Between("value_range", col("value"), 0.0, 500.0, 100),
     NotNull("ts_not_null", col("ts"), 100),
-    Between("user_id_low", col("user_id"), 0L, 99L, 50))
+    Between("user_id_low", col("user_id"), 0L, 99L, 50),
+    Unique("event_id_unique", col("event_id"), 100))
 
   // ---- per-session memoization --------------------------------------------
   // q17/q19 share one persisted signature + candidate frame (VERDICT r1: q19
@@ -490,6 +491,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
+    // 56. the full dedup funnel in one result: raw → exact-dedup
+    // survivors → near-dup-cluster survivors
+    "q56_dedup_funnel" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = memoized(s, s"vpairs|$dir") {
+        NgramJaccard.verify(docs, minhashCandidates(s, dir),
+          "doc_id", "text", ShingleK, minJaccardPct = 50)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      val raw = docs.agg(count(lit(1)).as("n_docs"))
+        .withColumn("stage", lit("raw"))
+      val exact = ExactDedup.groups(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("stage", lit("exact_dedup"))
+      val near = DedupClusters.connectedComponents(docs, "doc_id", pairs)
+        .agg(countDistinct(col("component")).as("n_docs"))
+        .withColumn("stage", lit("near_dedup"))
+      raw.unionByName(exact).unionByName(near).select("stage", "n_docs")
+    }),
+
     // 54. temporal gap fill: dense hourly series per event type with
     // zero-filled empty buckets (generated spine, no driver loop)
     "q54_time_fill" -> ((s, dir) =>
@@ -803,7 +824,7 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rnk <= 5""".stripMargin,
-    "q10_validation" -> Seq(
+    "q10_validation" -> (Seq(
       expectationOracle("props_format",
         """props IS NOT NULL AND regexp_matches(props, '^\{"k": [0-9]+\}$')""", 100),
       expectationOracle("event_type_in_set",
@@ -811,7 +832,11 @@ object SparkEntry {
       expectationOracle("value_range", "value >= 0.0 AND value <= 500.0", 100),
       expectationOracle("ts_not_null", "ts IS NOT NULL", 100),
       expectationOracle("user_id_low", "user_id >= 0 AND user_id <= 99", 50)
-    ).mkString("\nUNION ALL\n"),
+    ) :+
+      """SELECT 'event_id_unique' AS expectation, COUNT(*) AS n_rows,
+        | COUNT(DISTINCT event_id) AS n_pass, 100 AS mostly_pct,
+        | (COUNT(DISTINCT event_id) * 100 >= 100 * COUNT(*)) AS success
+        |FROM events""".stripMargin).mkString("\nUNION ALL\n"),
     "q11_deromanize" ->
       s"""SELECT p_size, ${romanCase("p_size")} AS roman, p_size AS back
          |FROM (SELECT DISTINCT p_size FROM part WHERE p_size BETWEEN 1 AND 30)""".stripMargin,
@@ -976,6 +1001,33 @@ object SparkEntry {
         |FROM orders ASOF LEFT JOIN scd
         |  ON o_custkey = scd.k AND o_orderdate >= scd.eff_date
         |GROUP BY tier""".stripMargin,
+    "q56_dedup_funnel" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks)-1, 1)),
+         |    i -> CASE WHEN i+1 <= len(toks) THEN toks[i] || ' ' || toks[i+1]
+         |         ELSE toks[i] END)) AS sh FROM t
+         |), p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE floor(len(list_intersect(a.sh, b.sh)) * 100.0 /
+         |        greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)) >= 50
+         |), e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p
+         |), reach AS (
+         |  SELECT doc_id AS id, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.src, reach.comp FROM e JOIN reach ON e.dst = reach.id
+         |), comp AS (
+         |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+         |)
+         |SELECT 'raw' AS stage, COUNT(*) AS n_docs FROM documents
+         |UNION ALL
+         |SELECT 'exact_dedup', COUNT(DISTINCT text) FROM documents
+         |UNION ALL
+         |SELECT 'near_dedup', COUNT(DISTINCT component) FROM comp""".stripMargin,
     "q54_time_fill" ->
       """WITH b AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS v

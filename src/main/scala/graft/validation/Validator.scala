@@ -43,6 +43,18 @@ final case class Between(name: String, column: Column, lo: Any, hi: Any,
   def passCond: Column = column >= lit(lo) && column <= lit(hi)
 }
 
+/** Column-level uniqueness (expect_column_values_to_be_unique): unlike the
+  * row-predicate expectations this one is an AGGREGATE property — n_pass
+  * is the distinct count, so `mostly` reads "≥ pct% of rows carry a
+  * value no other row has... approximately": duplicates subtract from
+  * the distinct tally. Evaluates in the same single pass.
+  */
+final case class Unique(name: String, column: Column, mostlyPct: Int = 100)
+    extends Expectation {
+  // unused for aggregate expectations; Validator special-cases the counter
+  def passCond: Column = lit(true)
+}
+
 object Validator {
 
   /** Evaluate all expectations in a single pass. Output: one row per
@@ -51,8 +63,9 @@ object Validator {
     */
   def validate(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     val counters = count(lit(1)).as("n_rows") +:
-      expectations.zipWithIndex.map { case (e, i) =>
-        sum(when(e.passCond, 1L).otherwise(0L)).as(s"_pass_$i")
+      expectations.zipWithIndex.map {
+        case (u: Unique, i) => countDistinct(u.column).as(s"_pass_$i")
+        case (e, i) => sum(when(e.passCond, 1L).otherwise(0L)).as(s"_pass_$i")
       }
     val one = df.agg(counters.head, counters.tail: _*)
     val rows = expectations.zipWithIndex.map { case (e, i) =>
