@@ -181,7 +181,7 @@ object IvfAnn {
     val pr = probes(queries, cents, nProbe, idCol, vecCol)
     val cells = pr.select("cell").distinct().collect().map(_.getLong(0))
     val idx = spark.read.parquet(s"$path/index")
-      .where(col("cell").isin(cells: _*))
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
     rankWithin(idx.join(broadcast(pr), Seq("cell")), k)
   }
 }

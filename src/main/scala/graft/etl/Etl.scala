@@ -583,7 +583,7 @@ object PartitionedSink {
       filesPerPartition: Int): Unit = {
     val df = spark.read.parquet(inPath)
     val dataCols = df.columns.filterNot(partitionCols.contains)
-    val split = pmod(hash(struct(dataCols.map(col): _*)), lit(filesPerPartition))
+    val split = pmod(hash(struct(dataCols.toIndexedSeq.map(col): _*)), lit(filesPerPartition))
     val writer = df
       .repartition(partitionCols.map(col) :+ split: _*)
       .write.mode("overwrite")
