@@ -672,6 +672,14 @@ object SparkEntry {
       graft.functions.Diversity.metrics(Tables(s, dir).documents,
         "doc_id", "text")),
 
+    // 57. stratified sampling: per-language rates rebalance the corpus,
+    // same engine-portable hash membership as q41
+    "q57_stratified" -> ((s, dir) =>
+      Sampling.stratified(Tables(s, dir).documents, "doc_id", col("lang"),
+        Map("en" -> 2500, "de" -> 5000, "fr" -> 5000), defaultBp = 10000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
+
     // 41. deterministic hash sampling + train/val/test split — bucket
     // function is bit-identical to DuckDB's hash(BIGINT), so the oracle
     // recomputes the exact same membership
@@ -1142,6 +1150,12 @@ object SparkEntry {
         |    FROM documents)
         |  GROUP BY doc_id, term)
         |GROUP BY doc_id""".stripMargin,
+    "q57_stratified" ->
+      """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
+        |  SELECT lang, doc_id, (hash(doc_id) >> 16) % 10000 AS bkt FROM documents)
+        |WHERE bkt < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+        |  WHEN 'fr' THEN 5000 ELSE 10000 END
+        |GROUP BY lang""".stripMargin,
     "q41_sample_split" ->
       """WITH b AS (
         |  SELECT doc_id, (hash(doc_id) >> 16) % 10000 AS bkt FROM documents

@@ -50,6 +50,21 @@ object Sampling {
     df.withColumn("split_id", splitId).where(col("split_id").isNotNull)
   }
 
+  /** Stratified deterministic sampling: a per-stratum rate map (basis
+    * points), e.g. down-sample dominant languages while keeping rare ones
+    * whole — corpus rebalancing with the same pure-function-of-id
+    * membership guarantee as [[sample]]. Strata absent from the map get
+    * `defaultBp`.
+    */
+  def stratified(df: DataFrame, idCol: String, strataCol: Column,
+      ratesBp: Map[String, Int], defaultBp: Int = 0,
+      seed: Long = 0L): DataFrame = {
+    val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (k, bp)) =>
+      when(strataCol === k, lit(bp)).otherwise(acc)
+    }
+    df.where(bucket(col(idCol), seed) < rate)
+  }
+
   /** Deterministic per-epoch global shuffle: ordering is a pure function
     * of (id, epoch), so every worker resuming epoch N reproduces the same
     * permutation. A total sort = one range-partitioned exchange — the

@@ -236,6 +236,18 @@ class EtlSpec extends SparkSpec {
     assert(math.abs(sp(0L) - 9000) < 300 && math.abs(sp(1L) - 500) < 150)
   }
 
+  test("stratified sampling applies per-stratum rates deterministically") {
+    val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "big" else "rare"))
+      .toDF("id", "cls")
+    val out = Sampling.stratified(rows, "id", col("cls"),
+      Map("big" -> 1000), defaultBp = 10000)
+    val counts = out.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(counts("rare") == 2000L, "unmapped strata must use the default rate")
+    assert(math.abs(counts("big") - 200L) < 80, s"big: ${counts("big")}")
+    assert(out.collect().toSeq == Sampling.stratified(rows, "id", col("cls"),
+      Map("big" -> 1000), defaultBp = 10000).collect().toSeq)
+  }
+
   test("epoch shuffle permutes deterministically per epoch") {
     val ids = (1L to 500L).map(i => (i, i)).toDF("id", "v")
     val e1a = Sampling.epochShuffle(ids, "id", 1L).select("id").as[Long].collect().toSeq
