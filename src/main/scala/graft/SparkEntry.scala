@@ -672,6 +672,12 @@ object SparkEntry {
       graft.functions.Diversity.metrics(Tables(s, dir).documents,
         "doc_id", "text")),
 
+    // 58. unigram-LM perplexity quality scores (the corpus is its own LM)
+    // [rows-only; invariants in EtlSpec]
+    "q58_perplexity" -> ((s, dir) =>
+      graft.functions.Perplexity.score(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // 57. stratified sampling: per-language rates rebalance the corpus,
     // same engine-portable hash membership as q41
     "q57_stratified" -> ((s, dir) =>

@@ -133,6 +133,41 @@ object Diversity {
   }
 }
 
+object Perplexity {
+
+  /** Unigram-LM perplexity quality filter: the corpus itself is the
+    * language model (token frequency over total tokens, add-one
+    * smoothed), and each document scores its mean negative
+    * log-likelihood — high = rare-token/gibberish/off-language text, low
+    * = stereotypical text. The standard first-cut quality filter for
+    * training corpora when no external LM is available.
+    *
+    * Scale shape: the LM is a narrow (term, count) aggregate joined back
+    * to the exploded tokens — no driver-side vocabulary. Per-token NLL
+    * quantizes to DECIMAL(18,9) BEFORE summing, so document scores are
+    * exact and partitioning-independent (a raw double sum is
+    * merge-order-dependent).
+    */
+  def score(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(F.tokensLower(col(textCol))).as("term"))
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .join(lm, "term")
+      .crossJoin(total)
+      .withColumn("nll",
+        (-log((col("tf") + 1).cast("double") /
+          (col("n_total") + lit(1)).cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        floor(sum(col("nll")) * 1000 / count(lit(1))).cast("long")
+          .as("avg_nll_x1000"))
+  }
+}
+
 object TermScores {
 
   /** Top-k distinguishing terms per document, scored by tf/df (term

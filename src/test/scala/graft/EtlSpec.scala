@@ -282,6 +282,21 @@ class EtlSpec extends SparkSpec {
     assert(nfc == "é", "combining acute must compose to é")
   }
 
+  test("perplexity scores rare-token docs above stereotypical docs, deterministically") {
+    import graft.functions.Perplexity
+    val docs = (
+      (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog")) :+
+        (100L, "zxqj vvkp wwrt uuio ppas ddfg hhjk llqw eerr ttyy")
+      ).toDF("doc_id", "text")
+    val out = Perplexity.score(docs, "doc_id", "text")
+      .select("doc_id", "avg_nll_x1000").as[(Long, Long)].collect().toMap
+    assert(out(100L) > out(1L), "rare-token doc must score higher perplexity")
+    assert(out(1L) == out(20L), "identical docs must score identically")
+    val again = Perplexity.score(docs.repartition(7), "doc_id", "text")
+      .select("doc_id", "avg_nll_x1000").as[(Long, Long)].collect().toMap
+    assert(again == out, "scores must be partitioning-independent")
+  }
+
   test("diversity metrics flag repetitive text") {
     import graft.functions.Diversity
     val df = Seq(
