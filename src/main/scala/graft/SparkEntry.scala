@@ -116,6 +116,29 @@ object SparkEntry {
     StructField("o_orderdate", StringType), // coerced to timestamp post-scan
     StructField("o_totalprice", DoubleType)))
 
+  /** ZIP archive over the q28 CSV fixture — the reference's actual wire
+    * format (a downloaded ZIP containing the delimiter-CSV). Same rows as
+    * q28, so q59 shares its oracle.
+    */
+  private def zipFixture(s: SparkSession, dir: String): String =
+    memoized(s, s"zip|$dir") {
+      val csvDir = new java.io.File(csvFixture(s, dir))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zip_orders_" +
+        Integer.toHexString(dir.hashCode)
+      val outDir = new java.io.File(path)
+      outDir.mkdirs()
+      val zip = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(new java.io.File(outDir, "orders.zip")))
+      csvDir.listFiles().filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+        .foreach { f =>
+          zip.putNextEntry(new java.util.zip.ZipEntry(f.getName))
+          java.nio.file.Files.copy(f.toPath, zip)
+          zip.closeEntry()
+        }
+      zip.close()
+      path
+    }
+
   /** q29 fixture: customers classified into code-cleanse cases by
     * c_custkey mod 10 — raw code present (valid / bad prefix / one digit
     * short), fallback-column fill, name-containment lookup against the
@@ -304,14 +327,14 @@ object SparkEntry {
     "q18_simhash" -> ((s, dir) =>
       SimHashDedup.hashes(Tables(s, dir).documents, "doc_id", "text")),
 
-    // 19. exact n-gram jaccard over the SHARED q17 candidates; DuckDB
-    // all-pairs oracle (LSH recall at the J>=50 operating point is
-    // 1-(1-J^4)^32 ≈ 1-1e-15 for the J>=0.9 population, so the
-    // candidate restriction is invisible to the exact compare)
+    // 19. exact n-gram jaccard join via rare-first prefix filtering —
+    // recall is exactly 1 at every J>=50 (no LSH banding miss, which at
+    // J=0.5 would be (1-0.5^4)^32 ≈ 12.7%), so the all-pairs DuckDB
+    // oracle matches by construction, not by fixture luck. The LSH
+    // candidate path (q17) is separately recall-floor-gated in DedupSpec.
     "q19_ngram_jaccard" -> ((s, dir) =>
-      NgramJaccard.verify(Tables(s, dir).documents,
-        minhashCandidates(s, dir), "doc_id", "text", ShingleK,
-        minJaccardPct = 50)),
+      NgramJaccard.exactPairs(Tables(s, dir).documents, "doc_id", "text",
+        ShingleK, minJaccardPct = 50)),
 
     // 20. embedding cosine near-dup pairs via BANDED hyperplane LSH
     // (32 tables × 4 planes: recall at cos 0.5 is 1-(1-0.2)^32 ≈ 0.9993
@@ -376,6 +399,21 @@ object SparkEntry {
     // coercion (the reference's entry point, helpers.py:183-197)
     "q28_csv_ingest" -> ((s, dir) => {
       val df = GraftCsv.read(s, csvFixture(s, dir), csvOrdersSchema,
+        delimiter = "#", timestampCols = Seq("o_orderdate"))
+      GraftCsv.goodRecords(df)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+            .as("n_bad_date"),
+          xsum(col("o_totalprice")).as("total"))
+    }),
+
+    // 29c. ZIP-archived CSV ingest — the reference's real entry format
+    // (download ZIP → extract → read_csv, helpers.py:22-31) as a streaming
+    // ZipInputStream → same PERMISSIVE parse; identical rows to q28, so the
+    // aggregation and oracle match q28's exactly
+    "q59_zip_ingest" -> ((s, dir) => {
+      val df = GraftCsv.readZip(s, zipFixture(s, dir), csvOrdersSchema,
         delimiter = "#", timestampCols = Seq("o_orderdate"))
       GraftCsv.goodRecords(df)
         .groupBy(col("o_orderstatus"))
@@ -661,9 +699,9 @@ object SparkEntry {
           concat(lit("<p>Contact: bob"), (col("doc_id") % 100).cast("string"),
             lit("@mail.example.com</p> "), col("text")))
       d.select(col("doc_id"),
-        length(col("dirty")).as("len_dirty"),
+        length(col("dirty")).cast("long").as("len_dirty"),
         length(graft.functions.TextClean.cleanChain(col("dirty")))
-          .as("len_clean"))
+          .cast("long").as("len_clean"))
     }),
 
     // 43. lexical diversity / dominance quality metrics (Gopher-style
@@ -672,8 +710,9 @@ object SparkEntry {
       graft.functions.Diversity.metrics(Tables(s, dir).documents,
         "doc_id", "text")),
 
-    // 58. unigram-LM perplexity quality scores (the corpus is its own LM)
-    // [rows-only; invariants in EtlSpec]
+    // 58. unigram-LM perplexity quality scores (the corpus is its own LM);
+    // oracle-backed since r3 — the DECIMAL(18,9) NLL quantization absorbs
+    // engine ln() ulp differences (plus invariants in EtlSpec)
     "q58_perplexity" -> ((s, dir) =>
       graft.functions.Perplexity.score(Tables(s, dir).documents,
         "doc_id", "text")),
@@ -936,6 +975,12 @@ object SparkEntry {
         | COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS n_bad_date,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // q59 reads the SAME rows through the ZIP path, so the oracle is q28's
+    "q59_zip_ingest" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS n_bad_date,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q29_name_lookup" -> {
       val prefixes = validCodePrefixes.map(p => s"'$p'").mkString(", ")
       s"""WITH f AS (
@@ -1127,7 +1172,7 @@ object SparkEntry {
     },
     "q44_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        | SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         | MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         | MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
@@ -1146,7 +1191,7 @@ object SparkEntry {
         |   '\s+', ' ', 'g'))) AS BIGINT) AS len_clean
         |FROM d""".stripMargin,
     "q43_diversity" ->
-      """SELECT doc_id, SUM(tf) AS n_tokens, COUNT(*) AS n_distinct,
+      """SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
         | MAX(tf) AS top_tf,
         | CAST(floor(COUNT(*) * 100.0 / SUM(tf)) AS BIGINT) AS diversity_pct,
         | CAST(floor(MAX(tf) * 100.0 / SUM(tf)) AS BIGINT) AS dominance_pct
@@ -1155,6 +1200,24 @@ object SparkEntry {
         |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |    FROM documents)
         |  GROUP BY doc_id, term)
+        |GROUP BY doc_id""".stripMargin,
+    // q58: the per-token NLL is quantized to DECIMAL(18,9) on BOTH sides
+    // before summing, so engine ln() ulp differences are absorbed by the
+    // quantization (verified value-exact at sf0.01); the decimal sum and
+    // floor are then exact integer arithmetic on either engine
+    "q58_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), lm AS (
+        |  SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS n_total FROM toks
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(floor(SUM(CAST(-ln((tf + 1) / (n_total + 1.0)) AS DECIMAL(18,9))) * 1000
+        |    / COUNT(*)) AS BIGINT) AS avg_nll_x1000
+        |FROM toks JOIN lm USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
     "q57_stratified" ->
       """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_id FROM (
@@ -1166,7 +1229,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT doc_id, (hash(doc_id) >> 16) % 10000 AS bkt FROM documents
         |)
-        |SELECT CASE WHEN bkt < 9000 THEN 0 WHEN bkt < 9500 THEN 1 ELSE 2 END AS split_id,
+        |SELECT CAST(CASE WHEN bkt < 9000 THEN 0 WHEN bkt < 9500 THEN 1 ELSE 2 END AS BIGINT) AS split_id,
         | COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM b GROUP BY 1""".stripMargin,
     "q40_range_join" ->

@@ -209,6 +209,48 @@ object NgramJaccard {
       .select("id_a", "id_b", "jaccard_pct")
   }
 
+  /** Exact Jaccard similarity self-join via rare-first prefix filtering
+    * (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 "All-Pairs"; Xiao et
+    * al. WWW'08 PPJoin). A pair with Jaccard >= t MUST share a token among
+    * the first |x| - ceil(t*|x|) + 1 tokens of each set under ANY global
+    * token order, so only those prefix tokens are posted to the
+    * inverted-index self-join. Ordering tokens rarest-document-frequency-
+    * first pushes boilerplate shingles past every prefix, so the
+    * hot-posting-list blowup of a naive shared-token join never happens.
+    * Unlike LSH candidate generation, recall is exactly 1 at every J >= t
+    * — no banding miss probability — which is what makes an all-pairs
+    * oracle comparable by construction rather than by fixture luck.
+    * Shuffles: shingle df count, df join-back, per-doc re-collect, the
+    * prefix-token join, and the narrow pair dedup — (id, tok, n) rows at
+    * widest, never text or full shingle sets. A size-ratio filter
+    * (min*100 >= t*max) prunes pairs no verification could pass.
+    */
+  def exactPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, minJaccardPct: Int = 50): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(transform(
+        F.shingles(F.tokensLower(col(textCol)), shingleK),
+        s => F.hash64(s)))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("tok")))),
+        x => x.getField("tok")).as("sho"))
+    val prefixLen = size(col("sho")) -
+      ceil(size(col("sho")) * minJaccardPct / 100.0).cast("int") + 1
+    val posted = ordered.select(col("id"), size(col("sho")).as("n"),
+      explode(slice(col("sho"), lit(1), prefixLen)).as("tok"))
+    val cands = posted.select(col("tok"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(posted.select(col("tok"), col("id").as("id_b"), col("n").as("n_b")),
+        "tok")
+      .where(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) * 100 >=
+          greatest(col("n_a"), col("n_b")) * minJaccardPct)
+      .select("id_a", "id_b")
+      .distinct()
+    verify(docs, cands, idCol, textCol, shingleK, minJaccardPct)
+  }
+
   /** Convenience: candidate generation + exact verification in one call.
     * Prefer [[verify]] with a shared candidate frame when MinHash pairs are
     * also needed on their own — candidate generation is the expensive leg.
@@ -239,7 +281,7 @@ object DedupClusters {
     * pipeline groups on.
     */
   def connectedComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10, failOnMaxIter: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -275,6 +317,17 @@ object DedupClusters {
       iter += 1
     }
     edges.unpersist()
+    // A non-fixpoint exit would silently return PARTIALLY-merged components
+    // (any chain with diameter > maxIter) — that is data corruption for a
+    // dedup keep-one-per-cluster consumer, so the default is to fail loudly;
+    // opt out only for diagnostics on a known-pathological graph.
+    if (!converged) {
+      val msg = s"connectedComponents did not reach a fixpoint in $maxIter " +
+        "iterations — labels are partially merged (graph diameter exceeds " +
+        "maxIter); raise maxIter"
+      if (failOnMaxIter) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     docs.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("component", "_c"), Seq("id"), "left")
       .withColumn("component", coalesce(col("_c"), col("id")))
@@ -405,4 +458,62 @@ object EmbeddingDedup {
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
+
+  /** Payload-slim variant of [[pairs]] for WIDE vectors (≥ ~4 KB — long
+    * embeddings make the (id, vec)×tables bucket shuffle of [[pairs]] the
+    * dominant cost): the bucket shuffle carries ONLY (table, code, id),
+    * candidate pairs dedup on narrow ids, and vectors join back exactly
+    * twice for the survivors' exact-cosine verification. The trade
+    * reverses when near-dups are dense: the dense candidate pair set then
+    * shuffles twice through the joins, which [[pairs]]' inline
+    * verification avoids — hence two entry points instead of a flag
+    * buried in a heuristic. Results are identical (DedupSpec asserts it).
+    */
+  def pairsSlim(embeddings: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, tables: Int = 16, minCosine: Double = 0.95,
+      maxBucket: Int = 4096): DataFrame = {
+    val coded = embeddings.select(
+      posexplode(F.hyperplaneCodes(col(vecCol), planes, tables))
+        .as(Seq("table", "code")),
+      col(idCol).as("id"))
+    val cands = DedupInternals
+      .distinctBucketPairs(coded, Seq("table", "code"), "id", maxBucket)
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .where(F.cosine(col("vec_a"), col("vec_b")) >= minCosine)
+      .select("id_a", "id_b")
+  }
+
+  /** Occupancy-cap observability: per LSH table, how many buckets exceed
+    * `maxBucket` and how many rows sit inside them — the rows whose pairs
+    * [[pairs]]/[[pairsSlim]] silently exclude. An over-capped table means
+    * `planes` is undersized for the corpus (see [[planesFor]]); wire this
+    * into the same job as the pair generation (it reuses the bucket
+    * aggregate shape) and alert on nonzero counts instead of discovering
+    * recall loss downstream.
+    */
+  def droppedBuckets(embeddings: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, tables: Int = 16, maxBucket: Int = 4096): DataFrame =
+    embeddings.select(
+      posexplode(F.hyperplaneCodes(col(vecCol), planes, tables))
+        .as(Seq("table", "code")),
+      col(idCol).as("id"))
+      .groupBy(col("table"), col("code"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+      .groupBy(col("table"))
+      .agg(count(lit(1)).as("n_over_cap_buckets"),
+        sum(col("n")).as("n_rows_in_over_cap"))
+
+  /** The calibration rule from §4's 10× probe as code: size `planes` so the
+    * EXPECTED bucket occupancy (corpus / 2^planes) stays a comfortable
+    * factor under the cap — hot buckets run well above expectation.
+    * planes=5 at 10^4 vectors, 8 at 10^5, 11 at 10^6, ~21 at 10^9.
+    */
+  def planesFor(corpusSize: Long, targetOccupancy: Int = 512): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt)
 }

@@ -68,12 +68,22 @@ object PivotAggregates {
       values1: Seq[String], col2Roman: String,
       values2Roman: Seq[String]): DataFrame = {
     import graft.functions.RomanCodec
-    val combos = for (a <- values1; r <- values2Roman) yield s"${a}_$r"
+    // The compound key joins on the ASCII unit separator, not '_': values1
+    // entries legitimately contain underscores (the reference's
+    // rodzaj_zam_budowlanego values do), and an ambiguous separator would
+    // mis-split the key and feed garbage to fromRomanStr, or let distinct
+    // (value1, value2) combos collide into one pivot column.
+    val Sep = "\u001F"
+    require(values1.forall(v => !v.contains(Sep)) &&
+      values2Roman.forall(v => !v.contains(Sep)),
+      s"pivot values must not contain the reserved separator U+001F")
+    val combos = for (a <- values1; r <- values2Roman) yield (a, r)
+    val keys = combos.map { case (a, r) => s"$a$Sep$r" }
     val pivoted = df
-      .withColumn("_pk", concat_ws("_", col(col1), col(col2Roman)))
-      .groupBy(col(groupCol)).pivot("_pk", combos).count()
-    combos.foldLeft(pivoted) { (acc, c) =>
-      val Array(a, r) = c.split("_", 2)
+      .withColumn("_pk", concat_ws(Sep, col(col1), col(col2Roman)))
+      .groupBy(col(groupCol)).pivot("_pk", keys).count()
+    combos.foldLeft(pivoted) { case (acc, (a, r)) =>
+      val c = s"$a$Sep$r"
       acc.withColumn(s"cnt_${a}_${RomanCodec.fromRomanStr(r)}",
           coalesce(col(s"`$c`"), lit(0L)))
         .drop(c)
@@ -125,11 +135,14 @@ object DimAlign {
   /** Emit every dimension row with its aggregate, zero-filled when the fact
     * side has no rows — the reference's "adding_empty_records_for_powiats
     * _with_zero_permissions" (helpers.py:589-633) via a pandas right merge +
-    * concat; here one outer join + coalesce, dim side broadcast.
+    * concat. The *aggregated* side is broadcast: it is the small one
+    * (post-groupBy, at most |dim| rows), and Spark cannot build the
+    * preserved (left) side of a left-outer join, so hinting the dim side
+    * would be silently discarded and fall back to a shuffle join.
     */
   def zeroFill(dim: DataFrame, agg: DataFrame, dimKey: String, aggKey: String,
       zeroCols: Seq[String]): DataFrame = {
-    val joined = broadcast(dim).join(agg, dim(dimKey) === agg(aggKey), "left")
+    val joined = dim.join(broadcast(agg), dim(dimKey) === agg(aggKey), "left")
     zeroCols
       .foldLeft(joined)((acc, c) => acc.withColumn(c, coalesce(col(c), lit(0L))))
       .drop(aggKey)

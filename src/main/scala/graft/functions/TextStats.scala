@@ -147,12 +147,21 @@ object Perplexity {
     * quantizes to DECIMAL(18,9) BEFORE summing, so document scores are
     * exact and partitioning-independent (a raw double sum is
     * merge-order-dependent).
+    *
+    * The token⋈LM join keys on Zipf-skewed terms; `broadcastLm` (default)
+    * hints the LM side so the hot terms never shuffle — a unigram vocab
+    * grows sublinearly in the corpus (Heaps' law) and a (term, count)
+    * frame fits executor memory far past 10^8 distinct terms. Set false
+    * only for genuinely unbounded junk-token vocabularies, where AQE's
+    * skew-join split carries the shuffle instead.
     */
   def score(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String,
+      broadcastLm: Boolean = true): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(F.tokensLower(col(textCol))).as("term"))
-    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val lmPlain = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val lm = if (broadcastLm) broadcast(lmPlain) else lmPlain
     val total = toks.agg(count(lit(1)).as("n_total"))
     toks
       .join(lm, "term")

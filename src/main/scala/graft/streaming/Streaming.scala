@@ -169,7 +169,12 @@ object StatefulSessionize {
       }
       open.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.lastMs + gapMs)
+        // Clamp to just past the watermark: flatMapGroupsWithState does not
+        // auto-drop late rows, and a batch whose newest event already sits
+        // behind the watermark (lastMs + gapMs < watermark) would make an
+        // unclamped setTimeoutTimestamp throw and kill the query.
+        state.setTimeoutTimestamp(
+          math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
       }
       closed.result().iterator
     }

@@ -87,6 +87,44 @@ object Validator {
     */
   def renderJson(result: DataFrame): String =
     result.toJSON.collect().mkString("[", ",", "]")
+
+  /** Render a validation result as a standalone HTML page — the analog of
+    * the reference's great_expectations report render
+    * (aggregates_python_helpers.py:59-68; the DAG then emails the page,
+    * which stays orchestration-layer here). The input is the ≤|expectations|
+    * -row metrics frame from [[validate]], so the collect is bounded; cell
+    * values are HTML-escaped. Failed expectations carry class="fail" and
+    * the page reports overall success in <h1>, so both humans and a smoke
+    * test can read the outcome.
+    */
+  def renderHtml(result: DataFrame, title: String = "graft validation"): String = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val cols = result.columns
+    val rows = result.collect()
+    val allPass = rows.forall(r => r.getAs[Boolean]("success"))
+    val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = rows.map { r =>
+      val cls = if (r.getAs[Boolean]("success")) "pass" else "fail"
+      val tds = cols.map(c => s"<td>${esc(String.valueOf(r.getAs[Any](c)))}</td>")
+      s"""<tr class="$cls">${tds.mkString}</tr>"""
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>
+       |table { border-collapse: collapse; font: 14px sans-serif; }
+       |th, td { border: 1px solid #999; padding: 4px 10px; }
+       |tr.fail td { background: #fdd; }
+       |tr.pass td { background: #dfd; }
+       |</style></head><body>
+       |<h1>${esc(title)}: ${if (allPass) "SUCCESS" else "FAILURE"}</h1>
+       |<table><thead><tr>$head</tr></thead>
+       |<tbody>
+       |$body
+       |</tbody></table>
+       |</body></html>""".stripMargin
+  }
 }
 
 object Profiler {

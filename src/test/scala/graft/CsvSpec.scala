@@ -36,4 +36,35 @@ class CsvSpec extends SparkSpec {
     assert(byId(2L).isEmpty, "malformed date must coerce to null, not fail")
     assert(byId(3L).contains(java.sql.Timestamp.valueOf("1995-04-15 12:30:00")))
   }
+
+  test("reads CSVs out of ZIP archives with the same parse semantics, across entries and archives") {
+    val dir = Files.createTempDirectory("graft_zip").toString
+    def writeZip(name: String, entries: (String, Seq[String])*): Unit = {
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(s"$dir/$name"))
+      entries.foreach { case (entry, lines) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(entry))
+        zos.write(lines.mkString("\n").getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+    }
+    // two archives, one with two entries — the reference's monthly-ZIP layout
+    writeZip("a.zip",
+      "jan.csv" -> Seq("1#alice#1995-03-01 00:00:00", "2#bob#not-a-date"),
+      "feb.csv" -> Seq("3#carol#1995-04-15 12:30:00"))
+    writeZip("b.zip",
+      "mar.csv" -> Seq("4#dave#1995-05-01 00:00:00",
+        "oops-not-a-long#eve#1995-01-01 00:00:00"))
+    val df = GraftCsv.readZip(spark, dir, schema, delimiter = "#",
+      timestampCols = Seq("ts"), cacheForAudit = true)
+    assert(GraftCsv.badRecords(df).count() == 1)
+    val good = GraftCsv.goodRecords(df)
+    assert(good.count() == 4)
+    val byId = good.select("id", "ts")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L))
+    assert(byId(2L).isEmpty, "malformed date must coerce to null through the zip path")
+    assert(byId(3L).contains(java.sql.Timestamp.valueOf("1995-04-15 12:30:00")))
+  }
 }

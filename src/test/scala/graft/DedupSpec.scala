@@ -62,6 +62,43 @@ class DedupSpec extends SparkSpec {
     assert(exact((1L, 2L)) >= 80L && exact((1L, 2L)) < 100L)
   }
 
+  test("prefix-filtered exact join equals brute-force all-pairs, incl. the mid-J regime LSH can miss") {
+    // docs 5↔6 share 8 of 14 distinct bigram shingles → J = 8/14 ≈ 0.57 —
+    // inside [0.5, 0.8) where (r=4, b=32) banding misses with p ≈ 13%, so
+    // this fixture would eventually break an LSH-candidate-based q19.
+    val mid = Seq(
+      (5L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (6L, ((1 to 9).map(i => s"t$i") ++ (1 to 3).map(i => s"u$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val all = docs.union(mid)
+    val allPairs = all.select(col("doc_id").as("id_a"))
+      .crossJoin(all.select(col("doc_id").as("id_b")))
+      .where(col("id_a") < col("id_b"))
+    val brute = NgramJaccard.verify(all, allPairs, "doc_id", "text",
+      shingleK = 2, minJaccardPct = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = NgramJaccard.exactPairs(all, "doc_id", "text",
+      shingleK = 2, minJaccardPct = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exact == brute, s"exact=$exact brute=$brute")
+    assert(exact.exists { case (a, b, j) => (a, b) == ((5L, 6L)) && j >= 50 && j < 80 },
+      "fixture must exercise the mid-J regime")
+  }
+
+  test("LSH candidates cover every exact pair in the guaranteed-recall high-J population") {
+    // miss probability at J=0.85 with (r=4, b=32) is (1-0.85^4)^32 ≈ 2e-9 —
+    // effectively deterministic; this transitively validates q17's
+    // candidate pipeline now that q19 is the exact prefix-filtered join.
+    val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+      shingleK = 2, numPerms = 128, bands = 32, minJaccardPct = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val high = NgramJaccard.exactPairs(docs, "doc_id", "text",
+      shingleK = 2, minJaccardPct = 85)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(high.nonEmpty, "fixture must contain high-J pairs")
+    assert(high.subsetOf(cands), s"LSH missed guaranteed pairs: ${high -- cands}")
+  }
+
   test("simhash pairs finds near-dups within hamming 3 and dedups band multiplicity") {
     val p = SimHashDedup.pairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
@@ -93,6 +130,57 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), "planted cosine pair missed")
     // exact-cosine verification keeps random pairs out
     assert(pairs.size <= 3, s"too many false pairs: $pairs")
+  }
+
+  test("payload-slim embedding pairs equal the inline-verified implementation") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.25f * rnd.nextGaussian().toFloat)
+    val vecs = Seq(0L -> base, 1L -> near) ++
+      (2L to 60L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Int, Int,
+        Double, Int) => org.apache.spark.sql.DataFrame) =
+      f(df, "vec_id", "embedding", 4, 32, 0.5, 4096)
+        .as[(Long, Long)].collect().toSet
+    val inline = run(EmbeddingDedup.pairs)
+    val slim = run(EmbeddingDedup.pairsSlim)
+    assert(slim == inline, s"slim=$slim inline=$inline")
+    assert(inline.contains((0L, 1L)))
+  }
+
+  test("over-cap bucket drops are observable, and planes sizing follows the corpus") {
+    // 300 identical vectors collapse into ONE bucket per table; with the cap
+    // at 100 every pair is silently excluded — droppedBuckets must say so
+    val same = (1L to 300L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(EmbeddingDedup.pairs(same, "vec_id", "embedding", planes = 4,
+      tables = 4, minCosine = 0.5, maxBucket = 100).count() == 0)
+    val dropped = EmbeddingDedup.droppedBuckets(same, "vec_id", "embedding",
+      planes = 4, tables = 4, maxBucket = 100)
+      .as[(Int, Long, Long)].collect()
+    assert(dropped.length == 4, "every table must report its over-cap bucket")
+    dropped.foreach { case (_, nBuckets, nRows) =>
+      assert(nBuckets == 1L && nRows == 300L)
+    }
+    // the §4 calibration rule as code
+    assert(EmbeddingDedup.planesFor(10L * 1000) == 5)
+    assert(EmbeddingDedup.planesFor(100L * 1000) == 8)
+    assert(EmbeddingDedup.planesFor(1000L * 1000) == 11)
+    assert(EmbeddingDedup.planesFor(1000L * 1000 * 1000) == 21)
+  }
+
+  test("non-convergent connected components fail loudly, not with truncated labels") {
+    val n = 12L
+    val nodes = (1L to n).map(i => (i, "")).toDF("doc_id", "text")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(nodes, "doc_id", chain, maxIter = 3)
+    }
+    // diagnostics opt-out returns the partial labels instead of throwing
+    val partial = DedupClusters.connectedComponents(nodes, "doc_id", chain,
+      maxIter = 3, failOnMaxIter = false).collect()
+    assert(partial.length == n)
   }
 
   test("connected components chain transitive near-dup pairs into one cluster") {

@@ -121,6 +121,21 @@ class EtlSpec extends SparkSpec {
     assert(m("g2") == Seq(0L, 0L, 0L, 0L, 0L, 1L))
   }
 
+  test("two-level pivot keys survive values containing underscores") {
+    // the reference's rodzaj_zam_budowlanego values contain '_'; a '_'-joined
+    // compound key would mis-split and collide (budowa_I + nowy vs budowa +
+    // I_nowy) — the U+001F separator keeps the parts unambiguous
+    val rows = Seq(("g1", "budowa_nowego", "I"), ("g1", "budowa_nowego", "I"),
+      ("g1", "przebudowa", "II")).toDF("g", "t", "cat")
+    val out = PivotAggregates.countPivot2(rows, "g", "t",
+      Seq("budowa_nowego", "przebudowa"), "cat", Seq("I", "II"))
+    assert(out.columns.toSet == Set("g", "cnt_budowa_nowego_1",
+      "cnt_budowa_nowego_2", "cnt_przebudowa_1", "cnt_przebudowa_2"))
+    val r = out.collect().head
+    assert(r.getAs[Long]("cnt_budowa_nowego_1") == 2L)
+    assert(r.getAs[Long]("cnt_przebudowa_2") == 1L)
+  }
+
   test("ranking top-k breaks ties deterministically") {
     val rows = Seq(("g", 10.0, 2L), ("g", 10.0, 1L), ("g", 5.0, 3L))
       .toDF("g", "score", "id")
@@ -142,6 +157,27 @@ class EtlSpec extends SparkSpec {
     assert(rows("v_range") == ((2L, false)))      // 2/3 < 100%
     val json = Validator.renderJson(res)
     assert(json.startsWith("[") && json.contains("email_format"))
+  }
+
+  test("validator renders an HTML report with every expectation row and the verdict") {
+    import graft.validation._
+    val df = Seq(("a@x.io", 5), ("bad", 50), ("c<script>@y.io", 7))
+      .toDF("email", "v")
+    val res = Validator.validate(df, Seq(
+      MatchRegex("email_format", col("email"), "^[^@<>]+@[^@]+$", 60),
+      Between("v_range", col("v"), 0, 10, 100),
+      NotNull("email_present", col("email"))))
+    val html = Validator.renderHtml(res, title = "unit <check>")
+    Seq("email_format", "v_range", "email_present").foreach(e =>
+      assert(html.contains(s"<td>$e</td>"), s"expectation row $e missing"))
+    assert(html.contains("FAILURE"), "v_range fails, page must say FAILURE")
+    assert(html.contains("""<tr class="fail">""") &&
+      html.contains("""<tr class="pass">"""))
+    assert(html.contains("unit &lt;check&gt;") && !html.contains("<check>"),
+      "title must be HTML-escaped")
+    val allPass = Validator.validate(df,
+      Seq(NotNull("email_present", col("email"))))
+    assert(Validator.renderHtml(allPass).contains("SUCCESS"))
   }
 
   test("as-of join picks the latest version at or before each fact timestamp") {
