@@ -68,10 +68,17 @@ object SparkEntry {
     memo.computeIfAbsent(s"${System.identityHashCode(s)}|$key",
       _ => build).asInstanceOf[T]
 
-  /** Minhash LSH config shared by q17/q19. */
+  /** Minhash LSH config shared by q17/q19. Bands = 64 → 2 perms per band:
+    * the miss probability at the q19 verify threshold J = 0.5 is
+    * (1 - 0.5²)^64 ≈ 1e-8 (vs 12.7% with the r1/r2 4-perm bands — the
+    * ADVICE r2 mid-J gap), so LSH candidate restriction is invisible to
+    * the exact all-pairs oracle across the whole J ≥ 0.5 population, not
+    * just J ≥ 0.9. Narrower bands cost one extra (band, bucket, id) row
+    * per doc per band — still a narrow shuffle.
+    */
   private val ShingleK = 2
   private val NumPerms = 128
-  private val Bands = 32
+  private val Bands = 64
 
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
     memoized(s, s"cands|$dir") {
@@ -164,6 +171,31 @@ object SparkEntry {
           .otherwise(concat(lpad((col("c_custkey") % 40).cast("string"), 2, "0"),
             lit("12345"))).as("rawcode"),
         when(col("c_custkey") % 10 === 1, lit("0555555")).as("fb"))
+
+  /** q60 fixtures: an 8-vertex star polygon per nation (integer vertices —
+    * fixed compass directions, per-(nation, k) radius, so some rings are
+    * non-convex) and customer points scattered in a box around their
+    * nation's center. Everything is integer arithmetic on table columns,
+    * so a pure-SQL DuckDB oracle reproduces the ray cast bit-for-bit.
+    */
+  private val polyDirs = Seq((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0),
+    (-1, -1), (0, -1), (1, -1))
+
+  private def polygonFixture(t: Tables): DataFrame = {
+    val nk = col("n_nationkey").cast("long")
+    val verts = array(polyDirs.zipWithIndex.map { case ((dx, dy), k) =>
+      val r = lit(50L) + (nk * 7 + k * 13) % 30
+      struct((nk * 1000 + r * dx).as("x"), (nk * 500 + r * dy).as("y"))
+    }: _*)
+    t.nation.select(nk.as("poly_id"), verts.as("vertices"))
+  }
+
+  private def pointFixture(t: Tables): DataFrame =
+    t.customer.select(col("c_custkey").as("pt_id"),
+      (col("c_nationkey").cast("long") * 1000 +
+        col("c_custkey") * 37 % 200 - 100).as("px"),
+      (col("c_nationkey").cast("long") * 500 +
+        col("c_custkey") * 53 % 200 - 100).as("py"))
 
   // ---- the inventory -------------------------------------------------------
 
@@ -327,14 +359,19 @@ object SparkEntry {
     "q18_simhash" -> ((s, dir) =>
       SimHashDedup.hashes(Tables(s, dir).documents, "doc_id", "text")),
 
-    // 19. exact n-gram jaccard join via rare-first prefix filtering —
-    // recall is exactly 1 at every J>=50 (no LSH banding miss, which at
-    // J=0.5 would be (1-0.5^4)^32 ≈ 12.7%), so the all-pairs DuckDB
-    // oracle matches by construction, not by fixture luck. The LSH
-    // candidate path (q17) is separately recall-floor-gated in DedupSpec.
+    // 19. exact n-gram jaccard over the SHARED q17 candidates. With r=2
+    // bands (see the Bands doc above) the candidate miss probability at
+    // the J=0.5 verify threshold is ~1e-8 — the restriction is invisible
+    // to the all-pairs DuckDB oracle across the ENTIRE output population
+    // (ADVICE r2's mid-J regime included, DedupSpec-planted). The fully
+    // exact prefix-filtered join (NgramJaccard.exactPairs) stays the
+    // offline option: recall exactly 1 at any J, but its posting-list
+    // join scales with shingle document frequency, not near-dup density —
+    // 160x slower on this corpus (34 s vs 0.2 s at sf0.1).
     "q19_ngram_jaccard" -> ((s, dir) =>
-      NgramJaccard.exactPairs(Tables(s, dir).documents, "doc_id", "text",
-        ShingleK, minJaccardPct = 50)),
+      NgramJaccard.verify(Tables(s, dir).documents,
+        minhashCandidates(s, dir), "doc_id", "text", ShingleK,
+        minJaccardPct = 50)),
 
     // 20. embedding cosine near-dup pairs via BANDED hyperplane LSH
     // (32 tables × 4 planes: recall at cos 0.5 is 1-(1-0.2)^32 ≈ 0.9993
@@ -421,6 +458,19 @@ object SparkEntry {
           sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
             .as("n_bad_date"),
           xsum(col("o_totalprice")).as("total"))
+    }),
+
+    // 38. point-in-polygon spatial join (the reference's shapefile dim as a
+    // polygon layer): grid-cell blocking + integer-exact ray casting, all
+    // reproduced by a pure-SQL DuckDB oracle over the same fixtures
+    "q60_spatial_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      SpatialJoin.pointInPolygon(pointFixture(t), "pt_id", col("px"),
+        col("py"), polygonFixture(t), "poly_id", col("vertices"),
+        cellSize = 64L)
+        .groupBy(col("poly_id"))
+        .agg(count(lit(1)).as("n_inside"), min(col("pt_id")).as("min_pt"),
+          max(col("pt_id")).as("max_pt"))
     }),
 
     // 29. code cleanse with the name-containment dimension fallback lookup
@@ -981,6 +1031,36 @@ object SparkEntry {
         | COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS n_bad_date,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // q60: the same integer ray cast over ALL (point, polygon) pairs —
+    // blocking is recall-complete (a contained point is inside the bbox),
+    // so the restricted Spark join and the all-pairs oracle agree exactly
+    "q60_spatial_join" ->
+      """WITH dirs(k, dx, dy) AS (
+        |  VALUES (0,1,0),(1,1,1),(2,0,1),(3,-1,1),(4,-1,0),(5,-1,-1),(6,0,-1),(7,1,-1)
+        |), v AS (
+        |  SELECT n_nationkey AS poly_id, k,
+        |    CAST(n_nationkey AS BIGINT)*1000 + (50 + (CAST(n_nationkey AS BIGINT)*7 + k*13) % 30)*dx AS x,
+        |    CAST(n_nationkey AS BIGINT)*500  + (50 + (CAST(n_nationkey AS BIGINT)*7 + k*13) % 30)*dy AS y
+        |  FROM nation CROSS JOIN dirs
+        |), e AS (
+        |  SELECT a.poly_id, a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj
+        |  FROM v a JOIN v b ON a.poly_id = b.poly_id AND b.k = (a.k + 1) % 8
+        |), p AS (
+        |  SELECT c_custkey AS pt_id,
+        |    CAST(c_nationkey AS BIGINT)*1000 + c_custkey*37 % 200 - 100 AS px,
+        |    CAST(c_nationkey AS BIGINT)*500  + c_custkey*53 % 200 - 100 AS py
+        |  FROM customer
+        |), c AS (
+        |  SELECT pt_id, poly_id,
+        |    COUNT(*) FILTER (WHERE ((yi > py) != (yj > py)) AND
+        |      (CASE WHEN yj - yi > 0 THEN (px - xi)*(yj - yi) < (py - yi)*(xj - xi)
+        |            ELSE (px - xi)*(yj - yi) > (py - yi)*(xj - xi) END)) AS nc
+        |  FROM p CROSS JOIN e
+        |  GROUP BY pt_id, poly_id
+        |)
+        |SELECT CAST(poly_id AS BIGINT) AS poly_id, COUNT(*) AS n_inside,
+        |  MIN(pt_id) AS min_pt, MAX(pt_id) AS max_pt
+        |FROM c WHERE nc % 2 = 1 GROUP BY poly_id""".stripMargin,
     "q29_name_lookup" -> {
       val prefixes = validCodePrefixes.map(p => s"'$p'").mkString(", ")
       s"""WITH f AS (

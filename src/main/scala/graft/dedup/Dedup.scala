@@ -214,15 +214,23 @@ object NgramJaccard {
     * al. WWW'08 PPJoin). A pair with Jaccard >= t MUST share a token among
     * the first |x| - ceil(t*|x|) + 1 tokens of each set under ANY global
     * token order, so only those prefix tokens are posted to the
-    * inverted-index self-join. Ordering tokens rarest-document-frequency-
-    * first pushes boilerplate shingles past every prefix, so the
-    * hot-posting-list blowup of a naive shared-token join never happens.
-    * Unlike LSH candidate generation, recall is exactly 1 at every J >= t
-    * — no banding miss probability — which is what makes an all-pairs
-    * oracle comparable by construction rather than by fixture luck.
-    * Shuffles: shingle df count, df join-back, per-doc re-collect, the
-    * prefix-token join, and the narrow pair dedup — (id, tok, n) rows at
-    * widest, never text or full shingle sets. A size-ratio filter
+    * inverted-index self-join, rarest-document-frequency-first. Unlike LSH
+    * candidate generation, recall is exactly 1 at every J >= t — no
+    * banding miss probability.
+    *
+    * COST PROFILE — measured, be honest about it: the posting-list join is
+    * Σ_tok df(tok)² over prefix tokens, which scales with SHINGLE DOCUMENT
+    * FREQUENCY, not with near-dup density. On a shared-vocabulary corpus
+    * (sf0.1 documents) that is 34 s vs 0.2 s for banded-LSH candidates +
+    * exact verify at the same threshold — the batch-SQL shape cannot apply
+    * PPJoin's positional/suffix pruning that keeps the in-memory algorithm
+    * subquadratic. Use this as the OFFLINE exactness baseline and for
+    * distinctive-token corpora; at scale prefer [[verify]] over
+    * [[MinHashDedup.candidatePairs]] with 2-perm bands, whose miss
+    * probability at J = t is (1 - t²)^bands (~1e-8 at t=0.5, b=64).
+    * Shuffles here: shingle df count, df join-back, per-doc re-collect,
+    * the prefix-token join, and the narrow pair dedup — (id, tok, n) rows
+    * at widest, never text or full shingle sets. A size-ratio filter
     * (min*100 >= t*max) prunes pairs no verification could pass.
     */
   def exactPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -85,18 +85,32 @@ class DedupSpec extends SparkSpec {
       "fixture must exercise the mid-J regime")
   }
 
-  test("LSH candidates cover every exact pair in the guaranteed-recall high-J population") {
-    // miss probability at J=0.85 with (r=4, b=32) is (1-0.85^4)^32 ≈ 2e-9 —
-    // effectively deterministic; this transitively validates q17's
-    // candidate pipeline now that q19 is the exact prefix-filtered join.
-    val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
-      shingleK = 2, numPerms = 128, bands = 32, minJaccardPct = 5)
+  test("2-perm-band LSH candidates cover every exact J>=50 pair, incl. the mid-J regime") {
+    // q19's config: r=2, b=64 → miss probability (1-J²)^64 ≤ 1e-8 for every
+    // J ≥ 0.5 — the planted J≈0.57 pair (the ADVICE r2 regime that r=4
+    // banding missed with p≈13%) must be covered deterministically.
+    val mid = Seq(
+      (5L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (6L, ((1 to 9).map(i => s"t$i") ++ (1 to 3).map(i => s"u$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val all = docs.union(mid)
+    val cands = MinHashDedup.candidatePairs(all, "doc_id", "text",
+      shingleK = 2, numPerms = 128, bands = 64, minJaccardPct = 5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val high = NgramJaccard.exactPairs(docs, "doc_id", "text",
-      shingleK = 2, minJaccardPct = 85)
+    val exact = NgramJaccard.exactPairs(all, "doc_id", "text",
+      shingleK = 2, minJaccardPct = 50)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(high.nonEmpty, "fixture must contain high-J pairs")
-    assert(high.subsetOf(cands), s"LSH missed guaranteed pairs: ${high -- cands}")
+    assert(exact.contains((5L, 6L)), "fixture must exercise the mid-J regime")
+    assert(exact.subsetOf(cands), s"LSH missed guaranteed pairs: ${exact -- cands}")
+    // and verify-over-candidates ≡ the exact join at the q19 threshold
+    val viaLsh = NgramJaccard.verify(all,
+      cands.toSeq.toDF("id_a", "id_b"), "doc_id", "text",
+      shingleK = 2, minJaccardPct = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = NgramJaccard.exactPairs(all, "doc_id", "text",
+      shingleK = 2, minJaccardPct = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaLsh == direct)
   }
 
   test("simhash pairs finds near-dups within hamming 3 and dedups band multiplicity") {
