@@ -784,6 +784,69 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))),
 
+    // 39b. CDC changelog apply (MERGE INTO analog): ordered I/U/D stream
+    // merged into a snapshot in ONE key shuffle (max_by, no window sort)
+    "q61_cdc_merge" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val snap = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      CdcMerge(snap, cdcFixture(t), "c_custkey", "seq", "op",
+        Seq("c_mktsegment"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+    }),
+
+    // 23b. context-window chunking: fixed-size overlapping token windows
+    // (LM pretraining example prep) — pure map-side arithmetic, no shuffle
+    "q62_chunking" -> ((s, dir) =>
+      Chunking.tokenWindows(Tables(s, dir).documents, "doc_id", "text",
+        window = 32, stride = 24)),
+
+    // 37b. exact percentile-band trim (drop length outliers) WITHOUT a
+    // global sort: per-value counts + running offsets + in-value ranks
+    "q64_length_trim" -> ((s, dir) =>
+      RankTrim.middleBand(
+        Tables(s, dir).documents.select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars")),
+        "doc_id", "n_chars", trimBp = 500)),
+
+    // 26f. inverted index: doc_id-ordered posting lists with df — the
+    // retrieval-side layout of the q36 term statistics
+    "q66_inverted_index" -> ((s, dir) =>
+      TermScores.invertedIndex(Tables(s, dir).documents, "doc_id", "text")),
+
+    // 26g. PII scrub: URL / IPv4 / phone / email redaction with per-kind
+    // match counts, over a deterministic injection fixture (doc_id mod 4
+    // picks the PII kind) — all dialect-neutral regex, DuckDB-oracled
+    "q63_pii_redact" -> ((s, dir) => {
+      import graft.functions.TextClean
+      val m = col("doc_id") % 4
+      val d = Tables(s, dir).documents.withColumn("dirty",
+        concat(col("text"),
+          when(m === 0, concat(lit(" visit https://example.org/p/"),
+            col("doc_id").cast("string"), lit(" now")))
+            .when(m === 1, concat(lit(" call +48 123-456-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit(" now")))
+            .when(m === 2, concat(lit(" from 10."),
+              (col("doc_id") % 256).cast("string"), lit(".0.1 node")))
+            .otherwise(lit(""))))
+      d.select(col("doc_id"),
+        regexp_count(col("dirty"), lit(TextClean.UrlPattern)).cast("long")
+          .as("n_urls"),
+        regexp_count(col("dirty"), lit(TextClean.Ipv4Pattern)).cast("long")
+          .as("n_ips"),
+        regexp_count(col("dirty"), lit(TextClean.PhonePattern)).cast("long")
+          .as("n_phones"),
+        length(col("dirty")).cast("long").as("len_dirty"),
+        length(TextClean.redactPii(col("dirty"))).cast("long").as("len_clean"))
+    }),
+
+    // 16b. duplicated-n-gram fraction (RefinedWeb-style quality filter):
+    // per doc, the share of 5-gram occurrences appearing in >= 2 docs
+    "q68_dup_ngrams" -> ((s, dir) =>
+      DupNgramStats.fraction(Tables(s, dir).documents, "doc_id", "text",
+        k = 5)),
+
     // 40. binned point-in-interval range join — oracled against a DuckDB
     // inequality join
     "q40_range_join" -> ((s, dir) => {
@@ -809,6 +872,29 @@ object SparkEntry {
       .select(col("o_custkey"),
         col("eff").cast("timestamp").as("eff_date"),
         (col("o_custkey") % 5 * 10 + col("ver")).cast("long").as("tier"))
+
+  /** q61 CDC fixture: a deterministic I/U/D changelog over the customer
+    * snapshot — keyed cases by c_custkey mod 4: two ordered updates (the
+    * later must win), a delete, a single update, and an insert of a brand
+    * new key. Exercises every CdcMerge path incl. seq ordering.
+    */
+  private def cdcFixture(t: Tables): DataFrame = {
+    val m = col("c_custkey") % 4
+    def row(key: Column, seq: Long, op: String, seg: Column) =
+      struct(key.cast("long").as("c_custkey"), lit(seq).as("seq"),
+        lit(op).as("op"), seg.cast("string").as("c_mktsegment"))
+    t.customer.select(col("c_custkey"),
+        explode(array(
+          when(m === 1, row(col("c_custkey"), 1L, "U", lit("UPGRADED"))),
+          when(m === 1, row(col("c_custkey"), 2L, "U", lit("FINAL"))),
+          when(m === 2, row(col("c_custkey"), 1L, "D", lit(null))),
+          when(m === 3, row(col("c_custkey"), 1L, "U", lit("TOUCHED"))),
+          when(m === 0, row(col("c_custkey") + 10000000L, 1L, "I",
+            lit("NEWSEG"))))).as("r"))
+      .where(col("r").isNotNull)
+      .select(col("r.c_custkey").as("c_custkey"), col("r.seq").as("seq"),
+        col("r.op").as("op"), col("r.c_mktsegment").as("c_mktsegment"))
+  }
 
   /** Fixed price bands for q40 (overlapping on purpose — a point can land
     * in the wide band and a narrow one).
@@ -1312,6 +1398,117 @@ object SparkEntry {
         |SELECT CAST(CASE WHEN bkt < 9000 THEN 0 WHEN bkt < 9500 THEN 1 ELSE 2 END AS BIGINT) AS split_id,
         | COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM b GROUP BY 1""".stripMargin,
+    "q61_cdc_merge" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, 1 AS seq, 'U' AS op, 'UPGRADED' AS seg
+        |  FROM customer WHERE c_custkey % 4 = 1
+        |  UNION ALL SELECT c_custkey, 2, 'U', 'FINAL'
+        |  FROM customer WHERE c_custkey % 4 = 1
+        |  UNION ALL SELECT c_custkey, 1, 'D', NULL
+        |  FROM customer WHERE c_custkey % 4 = 2
+        |  UNION ALL SELECT c_custkey, 1, 'U', 'TOUCHED'
+        |  FROM customer WHERE c_custkey % 4 = 3
+        |  UNION ALL SELECT c_custkey + 10000000, 1, 'I', 'NEWSEG'
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |), allr AS (
+        |  SELECT c_custkey, CAST(-9223372036854775808 AS BIGINT) AS seq,
+        |    'S' AS op, c_mktsegment AS seg FROM customer
+        |  UNION ALL SELECT c_custkey, CAST(seq AS BIGINT), op, seg FROM chg
+        |), w AS (
+        |  SELECT c_custkey, seg, op,
+        |    row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |  FROM allr
+        |)
+        |SELECT seg AS c_mktsegment, COUNT(*) AS n,
+        |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        |FROM w WHERE rn = 1 AND op <> 'D' GROUP BY 1""".stripMargin,
+    "q62_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+        |), c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS chunk_id
+        |  FROM n
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+        |  CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tok_chunk,
+        |  CAST(length(array_to_string(
+        |    toks[CAST(chunk_id*24 + 1 AS BIGINT):
+        |         CAST(chunk_id*24 + least(32, n - chunk_id*24) AS BIGINT)],
+        |    ' ')) AS BIGINT) AS n_chars_chunk
+        |FROM c""".stripMargin,
+    "q64_length_trim" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS grank,
+        |    COUNT(*) OVER () AS total
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, grank FROM r
+        |WHERE grank > total * 500 // 10000
+        |  AND grank <= total - total * 500 // 10000""".stripMargin,
+    "q63_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 4 = 0 THEN ' visit https://example.org/p/' ||
+        |      CAST(doc_id AS VARCHAR) || ' now'
+        |    WHEN doc_id % 4 = 1 THEN ' call +48 123-456-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' now'
+        |    WHEN doc_id % 4 = 2 THEN ' from 10.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.0.1 node'
+        |    ELSE '' END AS dirty
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(dirty, '\+\d{2} \d{3}-\d{3}-\d{3}')) AS BIGINT) AS n_phones,
+        |  CAST(length(dirty) AS BIGINT) AS len_dirty,
+        |  CAST(length(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+\d{2} \d{3}-\d{3}-\d{3}', '<PHONE>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g')
+        |  ) AS BIGINT) AS len_clean
+        |FROM d""".stripMargin,
+    "q68_dup_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(toks)-4, 1)),
+        |    i -> list_aggregate(toks[i:least(i+4, len(toks))], 'string_agg', ' ')))
+        |    AS gram
+        |  FROM t
+        |), pd AS (
+        |  SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY 1, 2
+        |), df AS (
+        |  SELECT gram, COUNT(*) AS ndocs FROM pd GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) * 100 // SUM(occ)
+        |    AS BIGINT) AS dup_pct
+        |FROM pd JOIN df USING (gram) GROUP BY doc_id""".stripMargin,
+    "q66_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |)
+        |SELECT term, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+        |  doc_id,
+        |  CAST(row_number() OVER (PARTITION BY term ORDER BY doc_id) AS BIGINT) AS prank,
+        |  tf
+        |FROM tf""".stripMargin,
     "q40_range_join" ->
       """WITH bands(band_id, band_lo, band_hi) AS (
         |  SELECT i, i * 50000.0, (i + 1) * 50000.0

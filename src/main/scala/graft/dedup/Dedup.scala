@@ -375,6 +375,38 @@ object Contamination {
   }
 }
 
+/** Duplicated-n-gram document statistics — the occurrence-weighted
+  * intra-corpus cousin of [[Contamination]]: for each document, the share
+  * of its word-k-gram OCCURRENCES whose gram also appears in at least one
+  * OTHER document. High shares flag boilerplate/template documents that
+  * per-document dedup misses (the RefinedWeb / Gopher "fraction of
+  * characters in duplicated n-grams" family of quality filters).
+  *
+  * Scale shape: grams reduce to 64-bit hashes map-side; shuffles carry
+  * (doc_id, hash, count) and (hash, doc-frequency) — never text. Two
+  * aggregations + one hash-keyed join; gram df is Zipf-ish but the rows
+  * are 24 bytes, and AQE's skew split covers the head grams.
+  */
+object DupNgramStats {
+
+  def fraction(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(transform(F.shingles(F.tokensLower(col(textCol)), k),
+        s => F.hash64(s))).as("h"))
+    val perDoc = grams.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("occ"))
+    val docFreq = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("ndocs"))
+    perDoc.join(docFreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("ndocs") >= 2, col("occ")).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_pct",
+        (col("n_dup") * 100 / col("n_grams")).cast("long"))
+  }
+}
+
 object Packing {
 
   /** Greedy sequence packing: route documents to `partitions` deterministic

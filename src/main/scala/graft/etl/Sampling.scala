@@ -73,3 +73,48 @@ object Sampling {
   def epochShuffle(df: DataFrame, idCol: String, epoch: Long): DataFrame =
     df.orderBy(F.murmur64(col(idCol).bitwiseXOR(lit(epoch))), col(idCol))
 }
+
+/** Exact percentile-band selection WITHOUT a global sort: keep the rows
+  * whose global (value, id) rank falls inside the middle band — the
+  * standard "trim length outliers" cut for training corpora, done
+  * integer-exact so any engine reproduces the same kept set.
+  *
+  * Scale shape: a naive `row_number() OVER (ORDER BY value)` is a
+  * single-partition window — a scale killer. Instead: (1) per-value counts
+  * (one narrow shuffle on the value; the distinct-value domain of a length
+  * column is tiny vs the row count), (2) a running offset over that tiny
+  * per-value frame, (3) broadcast-join the offsets back and rank within
+  * each value partition only. global_rank = offset + rank_in_value, exactly
+  * the rank the naive sort would give, with the widest window bounded by
+  * the hottest single value.
+  */
+object RankTrim {
+
+  /** Rows with trimBp..(10000-trimBp) per-10000 global rank by
+    * (valueCol, idCol). Output: id, value, grank.
+    */
+  def middleBand(df: DataFrame, idCol: String, valueCol: String,
+      trimBp: Int): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000, s"trimBp must be in [0, 5000)")
+    import org.apache.spark.sql.expressions.Window
+    val cnts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_n_v"))
+    // tiny frame: one row per distinct value — the single-partition window
+    // here sorts |distinct values| rows, not |rows|
+    val offsets = cnts
+      .withColumn("_off",
+        coalesce(sum(col("_n_v")).over(
+          Window.orderBy(col(valueCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_total", sum(col("_n_v")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col(valueCol), col("_off"), col("_total"))
+    val wIn = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
+    val lo = (col("_total") * trimBp / Sampling.Buckets).cast("long")
+    df.join(broadcast(offsets), valueCol)
+      .withColumn("grank",
+        (col("_off") + row_number().over(wIn)).cast("long"))
+      .where(col("grank") > lo && col("grank") <= col("_total") - lo)
+      .select(col(idCol), col(valueCol), col("grank"))
+  }
+}

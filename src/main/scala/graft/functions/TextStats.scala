@@ -99,6 +99,37 @@ object TextClean {
   /** The standard cleaning chain: strip tags → NFC → redact → collapse. */
   def cleanChain(text: Column): Column =
     collapseWhitespace(redactEmails(nfc(stripHtml(text))))
+
+  // ---- PII / leakage scrubbing --------------------------------------------
+  // All patterns avoid lookarounds and backreferences so Java regex (Spark)
+  // and RE2 (DuckDB, and most scan-time filter engines) match byte-for-byte.
+
+  /** http(s) URL: scheme plus the maximal non-space run. */
+  val UrlPattern = "https?://[^\\s]+"
+
+  /** Dotted-quad IPv4 (syntactic — no octet range check, which would need
+    * alternations that RE2 and Java order differently).
+    */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** International phone in the +CC DDD-DDD-DDD shape. */
+  val PhonePattern = "\\+\\d{2} \\d{3}-\\d{3}-\\d{3}"
+
+  def redactUrls(text: Column, mask: String = "<URL>"): Column =
+    regexp_replace(text, UrlPattern, mask)
+
+  def redactIps(text: Column, mask: String = "<IP>"): Column =
+    regexp_replace(text, Ipv4Pattern, mask)
+
+  def redactPhones(text: Column, mask: String = "<PHONE>"): Column =
+    regexp_replace(text, PhonePattern, mask)
+
+  /** Full PII scrub: URLs first (a URL may embed a dotted quad — once the
+    * URL is masked the IP pass cannot double-redact it), then IPs, phones,
+    * emails. Pure codegen'd regexp_replace chain, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    redactEmails(redactPhones(redactIps(redactUrls(text))))
 }
 
 object TextCleanKernels {
@@ -206,5 +237,32 @@ object TermScores {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("doc_id", "rnk", "term")
+  }
+
+  /** Inverted index: one row per posting (term → doc), with the term's
+    * document frequency and the posting's position in the doc_id-ordered
+    * list — the layout a search/retrieval layer consumes (doc_id order
+    * makes postings delta-encodable).
+    *
+    * Scale shape: one (doc, term) tf aggregation, then a term-partitioned
+    * window — each window is bounded by that term's df. `maxDf` drops
+    * ultra-common terms (classic stopword posting suppression): at corpus
+    * scale a term appearing in every document yields a posting list the
+    * size of the corpus and carries no retrieval signal, so capping df
+    * bounds the hottest partition.
+    */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxDf: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(F.tokensLower(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy(col("term"))
+    tf.withColumn("df", count(lit(1)).over(byTerm).cast("long"))
+      .where(col("df") <= maxDf)
+      .withColumn("prank",
+        row_number().over(byTerm.orderBy(col("doc_id"))).cast("long"))
+      .select("term", "df", "doc_id", "prank", "tf")
   }
 }

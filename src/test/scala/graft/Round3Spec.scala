@@ -1,0 +1,141 @@
+package graft
+
+import graft.dedup.DupNgramStats
+import graft.etl.{CdcMerge, Chunking, RankTrim}
+import graft.functions.{TermScores, TextClean}
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: CDC merge, context-window chunking, rank-band trim,
+  * inverted index — hand-computable fixtures.
+  */
+class Round3Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("CdcMerge: latest seq wins, deletes drop, inserts land, untouched rows survive") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val chg = Seq(
+      (1L, 1L, "U", "a1"), (1L, 2L, "U", "a2"), // two updates → a2 wins
+      (2L, 1L, "D", null), // delete
+      (4L, 1L, "I", "d") // insert new key
+    ).toDF("k", "seq", "op", "v")
+    val got = CdcMerge(snap, chg, "k", "seq", "op", Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("CdcMerge: a delete followed by a re-insert at a higher seq resurrects the key") {
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val chg = Seq((1L, 1L, "D", null), (1L, 2L, "I", "a9"))
+      .toDF("k", "seq", "op", "v")
+    val got = CdcMerge(snap, chg, "k", "seq", "op", Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a9"))
+  }
+
+  test("Chunking: windows cover every token, overlap by window-stride, last chunk clamps") {
+    // 10 tokens, window 4, stride 3 → chunks at 0,3,6 and a clamped 9th-start
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Chunking.tokenWindows(docs, "doc_id", "text", window = 4, stride = 3)
+      .select("chunk_id", "start_tok", "n_tok_chunk")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    // every token index is inside at least one chunk
+    val covered = got.flatMap { case (_, s, n) => s until (s + n) }.toSet
+    assert(covered == (0L until 10L).toSet)
+    // exactly-window-sized doc → one chunk
+    val one = Chunking.tokenWindows(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+      .count()
+    assert(one == 1L)
+  }
+
+  test("Chunking: chunk text arithmetic matches a hand slice") {
+    val docs = Seq((7L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val got = Chunking.tokenWindows(docs, "doc_id", "text", 3, 2)
+      .select("chunk_id", "n_tok_chunk", "n_chars_chunk")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // chunks: [aa bb cc] (8 chars), [cc dd ee] (8 chars — starts at token 2)
+    assert(got.toSeq == Seq((0L, 3L, 8L), (1L, 3L, 8L)))
+  }
+
+  test("RankTrim.middleBand equals the naive global-sort rank filter") {
+    val df = (1L to 200L).map(i => (i, (i * 37) % 23)).toDF("id", "v")
+    val got = RankTrim.middleBand(df, "id", "v", trimBp = 1000)
+      .select("id", "grank").as[(Long, Long)].collect().toMap
+    // naive: global row_number over (v, id)
+    val naive = df.as[(Long, Long)].collect().sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }
+    val n = naive.length
+    val lo = n * 1000 / 10000
+    val expected = naive.filter { case (_, r) => r > lo && r <= n - lo }.toMap
+    assert(got == expected)
+  }
+
+  test("RankTrim: boundary ties split by id, trimBp=0 keeps everything") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("id", "v")
+    val all = RankTrim.middleBand(df, "id", "v", 0).collect()
+    assert(all.length == 4)
+    // 25% trim of 4 rows → drop rank 1 (id 1) and rank 4 (id 4)
+    val mid = RankTrim.middleBand(df, "id", "v", 2500)
+      .select("id").as[Long].collect().sorted
+    assert(mid.toSeq == Seq(2L, 3L))
+  }
+
+  test("invertedIndex: postings are doc-ordered, df counts docs not occurrences, maxDf caps") {
+    val docs = Seq(
+      (3L, "x y x"), // x tf=2
+      (1L, "x z"),
+      (2L, "z z z")
+    ).toDF("doc_id", "text")
+    val idx = TermScores.invertedIndex(docs, "doc_id", "text")
+      .select("term", "df", "doc_id", "prank", "tf")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val x = idx.filter(_._1 == "x").sortBy(_._4)
+    assert(x.map(r => (r._3, r._4, r._5)).toSeq == Seq((1L, 1L, 1L), (3L, 2L, 2L)))
+    assert(x.forall(_._2 == 2L)) // df of x = 2 docs (not 3 occurrences)
+    val y = idx.filter(_._1 == "y")
+    assert(y.length == 1 && y.head._2 == 1L)
+    // maxDf=1 drops x and z (df 2), keeps y
+    val capped = TermScores.invertedIndex(docs, "doc_id", "text", maxDf = 1)
+      .select("term").as[String].collect().toSet
+    assert(capped == Set("y"))
+  }
+
+  test("redactPii masks URL, IP, phone, email; URL-embedded IPs are not double-masked") {
+    val rows = Seq(
+      (1L, "see https://x.org/a?b=1 and http://10.0.0.1/path then 10.2.3.4 " +
+        "call +48 123-456-789 mail bob@x.example.org end"),
+      (2L, "clean text, no pii 1.2.3 (three octets, not an ip)")
+    ).toDF("id", "t")
+    val got = rows.select(col("id"), TextClean.redactPii(col("t")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "see <URL> and <URL> then <IP> call <PHONE> mail <EMAIL> end")
+    assert(got(2L) == "clean text, no pii 1.2.3 (three octets, not an ip)")
+  }
+
+  test("DupNgramStats: a fully duplicated doc scores 100, a unique doc scores 0") {
+    val shared = "p q r s t u v w" // 8 tokens → 4 distinct 5-grams
+    val docs = Seq(
+      (1L, shared), (2L, shared), // exact near-dups: every gram in 2 docs
+      (3L, "aa bb cc dd ee ff gg hh") // all grams unique to doc 3
+    ).toDF("doc_id", "text")
+    val got = DupNgramStats.fraction(docs, "doc_id", "text", k = 5)
+      .select("doc_id", "n_grams", "dup_pct")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4L, 100L)) && got(2L) == ((4L, 100L)))
+    assert(got(3L) == ((4L, 0L)))
+  }
+
+  test("DupNgramStats weights by occurrences: repeated grams inside one doc count once for df") {
+    // doc 1 repeats its own gram (df must stay 1 → not duplicated)
+    val docs = Seq(
+      (1L, "a b c d e a b c d e"), // grams recur within the doc only
+      (2L, "z y x w v u t s")
+    ).toDF("doc_id", "text")
+    val got = DupNgramStats.fraction(docs, "doc_id", "text", k = 5)
+      .select("doc_id", "dup_pct").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
+}
