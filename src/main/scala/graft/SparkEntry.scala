@@ -515,6 +515,19 @@ object SparkEntry {
         BruteForce.topK(e, queries, k = 5), k = 5)
     }),
 
+    // 22c. product-quantization ANN: 32x-compressed codes + ADC table
+    // lookups, reported as per-query recall@5 vs the exact top-k
+    // [rows-only; AnnSpec gates the floor and the zero-quantization-error
+    // exactness property]
+    "q65_pq_ann" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val queries = e.where(col("vec_id") < 50)
+      LshAnn.recallAtK(
+        graft.ann.PqAnn.topK(e, queries, k = 5, m = 8, ksub = 16, dim = 64,
+          lloydIters = 2, rerank = 50),
+        BruteForce.topK(e, queries, k = 5), k = 5)
+    }),
+
     // 33. single-pass column profiler (counts / distinct / min / max per
     // column in ONE scan)
     "q33_profile" -> ((s, dir) =>
@@ -846,6 +859,21 @@ object SparkEntry {
     "q68_dup_ngrams" -> ((s, dir) =>
       DupNgramStats.fraction(Tables(s, dir).documents, "doc_id", "text",
         k = 5)),
+
+    // 33b. Bloom-filter semi-join reduction: the fact scan pre-filters
+    // through a literal Bloom sketch of the selective dim keys before the
+    // shuffle join; result provably equals the plain join, which is what
+    // the oracle checks (the q34 salted-join proof pattern)
+    "q67_bloom_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val dim = t.orders
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      BloomSemiJoin.filtered(t.lineitem, dim, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), xsum(col("l_quantity")).as("sum_qty"))
+    }),
 
     // 40. binned point-in-interval range join — oracled against a DuckDB
     // inequality join
@@ -1477,6 +1505,14 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g')
         |  ) AS BIGINT) AS len_clean
         |FROM d""".stripMargin,
+    // q67: the oracle is the PLAIN join — equality proves the Bloom
+    // pre-filter dropped only non-matching rows (no false negatives)
+    "q67_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin,
     "q68_dup_ngrams" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -185,3 +185,172 @@ object IvfAnn {
     rankWithin(idx.join(broadcast(pr), Seq("cell")), k)
   }
 }
+
+/** Product quantization ANN (Jégou/Douze/Schmid 2011, public): vectors are
+  * chopped into `m` subspaces, each subvector quantized to one of `ksub`
+  * per-subspace centroids, so a d-dim float vector compresses to m small
+  * codes (here 64 floats → 8 bytes at m=8/ksub=16 — a 32× memory cut).
+  * Search runs Asymmetric Distance Computation: each query precomputes its
+  * distance to every centroid of every subspace (m × ksub doubles), and a
+  * corpus vector's approximate squared-L2 is the SUM of m table lookups —
+  * no float-vector math touches the corpus at query time.
+  *
+  * Codebooks are a DETERMINISTIC per-subspace hash-sample of the corpus's
+  * own subvectors (the same no-RNG/no-driver-state centroid rule IvfAnn
+  * uses; a Lloyd refinement would need fp-order-stable means to keep the
+  * engine's byte-identical-across-partitionings guarantee, so graft trades
+  * a few recall points for exact reproducibility and documents it).
+  *
+  * Scale shape: codebook build ranks a NARROW (id, sub, hash) frame (the
+  * vectors join back only for the m × ksub winners); encode joins the
+  * broadcast codebook and reduces map-side to one code per (vector,
+  * subspace); search joins corpus codes against a BROADCAST per-query
+  * distance table on (sub, code) — the corpus never reshuffles per query.
+  * ADC partial distances are quantized to DECIMAL(18,9) before the sum so
+  * ranking is merge-order-independent (the Perplexity NLL trick).
+  *
+  * The corpus vectors here are unit-norm, so squared L2 = 2 - 2·cosine and
+  * PQ's L2 ranking is directly comparable to the cosine exact baseline.
+  */
+object PqAnn {
+
+  /** Per-subspace codebook: (sub, code, c_sub). code is the 0-based rank of
+    * the donor vector's (id, sub)-mixed hash — deterministic and
+    * subspace-independent.
+    */
+  def codebook(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val w = Window.partitionBy(col("sub")).orderBy(col("_r"), col("_id"))
+    // rank on a narrow (id, sub, hash) frame; vectors join back for winners
+    val winners = corpus.select(col(idCol).as("_id"))
+      .select(col("_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("_r",
+        F.murmur64(col("_id").cast("long") * 31 + col("sub")))
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .where(col("code") < ksub)
+      .select("_id", "sub", "code")
+    winners
+      .join(corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")), "_id")
+      .select(col("sub"), col("code"),
+        slice(col("_v"), col("sub") * subDim + 1, lit(subDim)).as("c_sub"))
+  }
+
+  /** Deterministic Lloyd refinement of a codebook: assign every corpus
+    * subvector to its nearest centroid, recompute centroids as per-
+    * dimension means, repeat. Means accumulate in DECIMAL(27,9) — exact
+    * and associative — then divide and cast back to float, so the refined
+    * codebook is BYTE-IDENTICAL across partitionings/core counts (a plain
+    * double mean is merge-order-dependent, which would break the engine's
+    * reproducibility guarantee). Codes that lose all members keep their
+    * previous centroid. Each iteration: one assign pass + one narrow
+    * (sub, code, dim) aggregation.
+    */
+  def refineCodebook(corpus: DataFrame, cb0: DataFrame, m: Int, dim: Int,
+      iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val subs = corpus.select(col(idCol).as("nid"), col(vecCol).as("_v"))
+      .select(col("nid"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("_v"))
+      .withColumn("n_sub",
+        slice(col("_v"), col("sub") * subDim + 1, lit(subDim)))
+      .select("nid", "sub", "n_sub")
+    var cb = cb0
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(cb), "sub")
+        .groupBy(col("nid"), col("sub"))
+        .agg(min_by(col("code"),
+          struct(F.l2sq(col("n_sub"), col("c_sub")).as("d"),
+            col("code").as("c"))).as("code"))
+      val means = subs.join(assigned, Seq("nid", "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("n_sub")).as(Seq("di", "x")))
+        .groupBy(col("sub"), col("code"), col("di"))
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+          / count(lit(1))).cast("float").as("cx"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("di"), col("cx")))),
+          s => s.getField("cx")).as("new_sub"))
+      cb = cb.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("new_sub"), col("c_sub")).as("c_sub"))
+        .localCheckpoint(true) // truncate the per-iteration plan growth
+    }
+    cb
+  }
+
+  /** PQ codes per corpus vector: (nid, sub, code) — nearest centroid per
+    * subspace, deterministic (dist, code) tie-break, map-side partial
+    * min_by.
+    */
+  def encode(corpus: DataFrame, cb: DataFrame, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("_v"))
+      .select(col("nid"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("_v"))
+      .withColumn("n_sub",
+        slice(col("_v"), col("sub") * subDim + 1, lit(subDim)))
+      .join(broadcast(cb), "sub")
+      .groupBy(col("nid"), col("sub"))
+      .agg(min_by(col("code"),
+        struct(F.l2sq(col("n_sub"), col("c_sub")).as("d"),
+          col("code").as("c"))).as("code"))
+  }
+
+  /** ADC top-k: corpus codes ⋈ broadcast per-query centroid-distance table
+    * on (sub, code); approximate distance = exact decimal sum of the m
+    * partial squared-L2s; rank ascending with nid tie-break.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, dim: Int = 64, lloydIters: Int = 2, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val cb0 = codebook(corpus, m, ksub, dim, idCol, vecCol)
+    val cb =
+      if (lloydIters > 0) refineCodebook(corpus, cb0, m, dim, lloydIters,
+        idCol, vecCol)
+      else cb0
+    val codes = encode(corpus, cb, m, dim, idCol, vecCol)
+    val qd = queries.select(col(idCol).as("qid"), col(vecCol).as("_v"))
+      .select(col("qid"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("_v"))
+      .withColumn("q_sub",
+        slice(col("_v"), col("sub") * subDim + 1, lit(subDim)))
+      .join(broadcast(cb), "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        F.l2sq(col("q_sub"), col("c_sub"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("d"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    val adc = codes.join(broadcast(qd), Seq("sub", "code"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("d")).as("dist"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    if (rerank <= 0) adc.where(col("rnk") <= k).select("qid", "nid", "rnk")
+    else {
+      // standard ADC + exact re-rank: the compressed scan only SHORTLISTS
+      // (top `rerank` per query); true vectors join back for the shortlist
+      // rows alone — |q| × rerank of them — and the final k rank on exact
+      // distances. Buys back most quantization-error recall at the cost of
+      // one narrow id-keyed join.
+      val short = adc.where(col("rnk") <= math.max(rerank, k))
+        .select("qid", "nid")
+      val qv = broadcast(queries
+        .select(col(idCol).as("qid"), col(vecCol).as("q_vec")))
+      val wx = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      short
+        .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("n_vec")),
+          "nid")
+        .join(qv, "qid")
+        .withColumn("cos", F.cosine(col("q_vec"), col("n_vec")))
+        .withColumn("rnk", row_number().over(wx).cast("long"))
+        .where(col("rnk") <= k)
+        .select("qid", "nid", "rnk")
+    }
+  }
+}

@@ -619,3 +619,35 @@ object PartitionedSink {
       .format("parquet")
       .saveAsTable(table)
 }
+
+/** Bloom-filter semi-join reduction — the engine's explicit runtime-filter
+  * operator (what Spark's runtime bloom-filter rule injects implicitly
+  * when statistics allow; here it is a first-class, always-on API): build
+  * a Bloom sketch of the dim-side keys with the [[graft.functions.Bloom]]
+  * Aggregator (map-side partial OR-merge, ONE bounded sketch row to the
+  * driver), inline it as a literal codegen probe on the fact scan, and
+  * only then join. The fact side shuffles only rows that MIGHT match —
+  * at a selective dim this cuts the dominant shuffle by the dim's
+  * selectivity, and the result is PROVABLY equal to the plain join: Bloom
+  * filters have no false negatives, and false positives are eliminated by
+  * the real join that follows.
+  */
+object BloomSemiJoin {
+
+  /** `fact ⋈ dim` on `factKey = dimKey`, with the fact scan pre-filtered by
+    * a Bloom sketch of the dim keys. numBits/numHashes size the filter:
+    * fpp ≈ (1 - e^(-kn/m))^k; 2^16 bits / 4 hashes holds ~6k keys at <1%.
+    */
+  def filtered(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    import graft.functions.{Bloom, F}
+    val bf = dim.select(col(dimKey).cast("long").as("k"))
+      .agg(Bloom.sketch(col("k"), numBits, numHashes).as("bf"))
+      .select(col("bf.numHashes"), col("bf.words"))
+      .head() // ONE row: the finished sketch — bounded at numBits/8 bytes
+    val words = bf.getSeq[Long](1).toArray
+    fact
+      .where(F.bloomContains(words, bf.getInt(0), col(factKey).cast("long")))
+      .join(dim, fact(factKey) === dim(dimKey))
+  }
+}

@@ -93,6 +93,15 @@ object F {
   def zorder2(a: Column, b: Column): Column =
     invoke(LongType, "interleave2", Seq(ex(a), ex(b)))
 
+  /** Bloom membership of a long key against a driver-built filter — the
+    * filter's word array inlines as a LITERAL, so the probe runs inside
+    * whole-stage codegen on the scan side (a runtime filter, not a join).
+    */
+  def bloomContains(words: Array[Long], numHashes: Int, key: Column): Column =
+    invoke(BooleanType, "bloomContains",
+      Seq(Literal.create(words, ArrayType(LongType, containsNull = false)),
+        Literal(numHashes), ex(key)))
+
   // ---- vector math --------------------------------------------------------
 
   /** Cosine similarity of two array<float> columns (double accumulation). */
@@ -102,6 +111,10 @@ object F {
   /** Dot product of two array<float> columns (double accumulation). */
   def dot(a: Column, b: Column): Column =
     invoke(DoubleType, "dotF", Seq(ex(a), ex(b)))
+
+  /** Squared L2 distance of two array<float> columns (double accumulation). */
+  def l2sq(a: Column, b: Column): Column =
+    invoke(DoubleType, "l2sqF", Seq(ex(a), ex(b)))
 
   /** Banded random-hyperplane LSH codes (array<long>, one sign-bit code per
     * table) of an array<float> column. AND within a table, OR across tables.

@@ -211,6 +211,23 @@ object Hashing {
     new GenericArrayData(selected.toArray)
   }
 
+  /** Bloom-filter membership probe against a word array (the same probe
+    * sequence [[graft.functions.BloomF.add]] sets). Called from codegen
+    * with the filter words as a LITERAL array, so the whole fact-side
+    * pre-filter stays inside whole-stage codegen.
+    */
+  def bloomContains(words: ArrayData, numHashes: Int, key: Long): Boolean = {
+    val numBits = words.numElements().toLong * 64
+    var i = 0
+    while (i < numHashes) {
+      val h = mix(key ^ (0x9e3779b97f4a7c15L * (i + 1)))
+      val idx = (((h % numBits) + numBits) % numBits).toInt
+      if ((words.getLong(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double.
     * Returns 0.0 for zero-norm inputs.
     */
@@ -226,6 +243,21 @@ object Hashing {
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Squared L2 distance of two float vectors in double precision. */
+  def l2sqF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x(i).toDouble - y(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
   }
 
   /** Dot product of two float vectors in double precision. */

@@ -1,8 +1,8 @@
 package graft
 
 import graft.dedup.DupNgramStats
-import graft.etl.{CdcMerge, Chunking, RankTrim}
-import graft.functions.{TermScores, TextClean}
+import graft.etl.{BloomSemiJoin, CdcMerge, Chunking, RankTrim}
+import graft.functions.{BloomF, TermScores, TextClean}
 import org.apache.spark.sql.functions._
 
 /** Round-3 operators: CDC merge, context-window chunking, rank-band trim,
@@ -126,6 +126,44 @@ class Round3Spec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got(1L) == ((4L, 100L)) && got(2L) == ((4L, 100L)))
     assert(got(3L) == ((4L, 0L)))
+  }
+
+  test("BloomF: no false negatives ever; fpp on disjoint keys stays under 5%") {
+    val bf = BloomF.empty(1 << 14, 4)
+    (0L until 1000L).foreach(bf.add)
+    assert((0L until 1000L).forall(bf.mightContain)) // hard guarantee
+    val fp = (1000000L until 1010000L).count(bf.mightContain)
+    assert(fp < 500, s"fpp too high: $fp/10000") // ~0.3% expected at this fill
+  }
+
+  test("BloomF merge is a bitwise OR: merged filter contains both sides' keys") {
+    val a = BloomF.empty(1 << 12, 4)
+    val b = BloomF.empty(1 << 12, 4)
+    (0L until 100L).foreach(a.add)
+    (100L until 200L).foreach(b.add)
+    val m = a.merge(b)
+    assert((0L until 200L).forall(m.mightContain))
+  }
+
+  test("BloomSemiJoin.filtered equals the plain join and prunes non-matching fact rows") {
+    val fact = (1L to 2000L).map(i => (i, i % 50)).toDF("fk", "payload")
+    val dim = Seq((3L, "x"), (7L, "y"), (1500L, "z")).toDF("dk", "name")
+    val got = BloomSemiJoin.filtered(fact, dim, "fk", "dk")
+      .select("fk", "payload", "name")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((3L, 3L, "x"), (7L, 7L, "y"), (1500L, 0L, "z")))
+    // the pre-filter itself (before the join) must keep all 3 true keys and
+    // pass only a small false-positive surplus
+    val bfOnly = {
+      val words = {
+        val f = BloomF.empty(1 << 16, 4)
+        Seq(3L, 7L, 1500L).foreach(f.add)
+        f
+      }
+      fact.where(
+        graft.functions.F.bloomContains(words.words, 4, col("fk"))).count()
+    }
+    assert(bfOnly >= 3 && bfOnly < 50)
   }
 
   test("DupNgramStats weights by occurrences: repeated grams inside one doc count once for df") {
