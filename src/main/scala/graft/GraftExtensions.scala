@@ -41,7 +41,12 @@ object GraftFunctions {
     ("graft_cosine", "cosine similarity of two array<float> vectors",
       invoke(classOf[Hashing.type], DoubleType, "cosineF", nullableOut = false) _),
     ("graft_dot", "dot product of two array<float> vectors",
-      invoke(classOf[Hashing.type], DoubleType, "dotF", nullableOut = false) _))
+      invoke(classOf[Hashing.type], DoubleType, "dotF", nullableOut = false) _),
+    ("graft_l2sq", "squared L2 distance of two array<float> vectors",
+      invoke(classOf[Hashing.type], DoubleType, "l2sqF", nullableOut = false) _),
+    ("graft_bloom_contains",
+      "Bloom membership probe of (words array<long>, numHashes, key)",
+      invoke(classOf[Hashing.type], BooleanType, "bloomContains", nullableOut = false) _))
 
   /** Register every graft function into a live session's catalog. */
   def register(spark: SparkSession): Unit =

@@ -612,6 +612,59 @@ object SparkEntry {
       raw.unionByName(exact).unionByName(near).select("stage", "n_docs")
     }),
 
+    // 20e. quality-aware dedup keeper selection: per near-dup cluster,
+    // keep the HIGHEST-quality member (not min-id) — the production
+    // "which duplicate survives" policy; reuses the shared verified pairs
+    "q69_best_keeper" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = memoized(s, s"vpairs|$dir") {
+        NgramJaccard.verify(docs, minhashCandidates(s, dir),
+          "doc_id", "text", ShingleK, minJaccardPct = 50)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      val comps = DedupClusters.connectedComponents(docs, "doc_id", pairs)
+      val q = docs.select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      comps.join(q, col("id") === col("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          // max quality, then min id: one exact integer composite
+          max_by(col("id"), col("quality") * lit(1000000000000L) - col("id"))
+            .as("keeper_id"),
+          max(col("quality")).as("keeper_quality"))
+    }),
+
+    // 37c. source-mixing weights: per-source doc share and the per-doc
+    // sampling weight that rebalances to a uniform source mixture — the
+    // data-mixture step of corpus assembly, integer-exact
+    "q70_mix_weights" -> ((s, dir) => {
+      val per = Tables(s, dir).documents
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum(col("n_docs")).as("n_total"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs") * 10000 / col("n_total")).cast("long").as("share_bp"),
+          (lit(10000L) * col("n_total") / (col("n_sources") * col("n_docs")))
+            .cast("long").as("weight_x10000"))
+    }),
+
+    // 25b. per-language perplexity terciles (CCNet-style head/middle/tail
+    // quality buckets): ntile over the deterministic decimal NLL
+    "q71_ppl_buckets" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val ppl = graft.functions.Perplexity.score(docs, "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("avg_nll_x1000"), col("doc_id"))
+      ppl.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("avg_nll_x1000")).as("min_nll"),
+          max(col("avg_nll_x1000")).as("max_nll"))
+    }),
+
     // 54. temporal gap fill: dense hourly series per event type with
     // zero-filled empty buckets (generated spine, no driver loop)
     "q54_time_fill" -> ((s, dir) =>
@@ -1556,6 +1609,78 @@ object SparkEntry {
         |FROM orders JOIN bands
         |  ON o_totalprice >= band_lo AND o_totalprice < band_hi
         |GROUP BY band_id""".stripMargin,
+    "q69_best_keeper" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks)-1, 1)),
+         |    i -> CASE WHEN i+1 <= len(toks) THEN toks[i] || ' ' || toks[i+1]
+         |         ELSE toks[i] END)) AS sh FROM t
+         |), p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE floor(len(list_intersect(a.sh, b.sh)) * 100.0 /
+         |        greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)) >= 50
+         |), e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p
+         |), reach AS (
+         |  SELECT doc_id AS id, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.src, reach.comp FROM e JOIN reach ON e.dst = reach.id
+         |), comp AS (
+         |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+         |), q AS (
+         |  SELECT doc_id,
+         |    least(100, CAST(floor(500.0 * n_stop / n_tokens) AS BIGINT)) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST((length(p2) - length(replace(p2, ' the ', ''))) / 5
+         |         + (length(p2) - length(replace(p2, ' a ', ''))) / 3
+         |         + (length(p2) - length(replace(p2, ' and ', ''))) / 5 AS BIGINT) AS n_stop,
+         |      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |    FROM (SELECT doc_id, text, ' ' || text || ' ' AS p2 FROM documents))
+         |)
+         |SELECT component, COUNT(*) AS n_members,
+         |  arg_max(id, quality * 1000000000000 - id) AS keeper_id,
+         |  MAX(quality) AS keeper_quality
+         |FROM comp JOIN q ON comp.id = q.doc_id
+         |GROUP BY component""".stripMargin,
+    "q70_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+        |    COUNT(*) AS n_sources FROM per
+        |)
+        |SELECT source, n_docs,
+        |  n_docs * 10000 // n_total AS share_bp,
+        |  10000 * n_total // (n_sources * n_docs) AS weight_x10000
+        |FROM per, tot""".stripMargin,
+    "q71_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), lm AS (
+        |  SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS n_total FROM toks
+        |), ppl AS (
+        |  SELECT doc_id,
+        |    CAST(floor(SUM(CAST(-ln((tf + 1) / (n_total + 1.0)) AS DECIMAL(18,9))) * 1000
+        |      / COUNT(*)) AS BIGINT) AS avg_nll_x1000
+        |  FROM toks JOIN lm USING (term) CROSS JOIN tot
+        |  GROUP BY doc_id
+        |), b AS (
+        |  SELECT lang, avg_nll_x1000,
+        |    CAST(ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY avg_nll_x1000, d.doc_id) AS BIGINT) AS bucket
+        |  FROM ppl JOIN documents d USING (doc_id)
+        |)
+        |SELECT lang, bucket, COUNT(*) AS n,
+        |  MIN(avg_nll_x1000) AS min_nll, MAX(avg_nll_x1000) AS max_nll
+        |FROM b GROUP BY lang, bucket""".stripMargin,
     "q37_dedup_clusters" ->
       s"""WITH RECURSIVE t AS (
          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents

@@ -214,58 +214,58 @@ object IvfAnn {
   */
 object PqAnn {
 
-  /** Per-subspace codebook: (sub, code, c_sub). code is the 0-based rank of
-    * the donor vector's (id, sub)-mixed hash — deterministic and
-    * subspace-independent.
+  /** Exploded (id, sub, n_sub) subvector frame — built ONCE per search and
+    * persisted; codebook build, every Lloyd iteration, and encode all read
+    * it (recomputing the explode+slice per pass dominated the PQ runtime).
     */
-  def codebook(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    val subDim = dim / m
-    val w = Window.partitionBy(col("sub")).orderBy(col("_r"), col("_id"))
-    // rank on a narrow (id, sub, hash) frame; vectors join back for winners
-    val winners = corpus.select(col(idCol).as("_id"))
-      .select(col("_id"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .withColumn("_r",
-        F.murmur64(col("_id").cast("long") * 31 + col("sub")))
-      .withColumn("code", (row_number().over(w) - 1).cast("int"))
-      .where(col("code") < ksub)
-      .select("_id", "sub", "code")
-    winners
-      .join(corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")), "_id")
-      .select(col("sub"), col("code"),
-        slice(col("_v"), col("sub") * subDim + 1, lit(subDim)).as("c_sub"))
-  }
-
-  /** Deterministic Lloyd refinement of a codebook: assign every corpus
-    * subvector to its nearest centroid, recompute centroids as per-
-    * dimension means, repeat. Means accumulate in DECIMAL(27,9) — exact
-    * and associative — then divide and cast back to float, so the refined
-    * codebook is BYTE-IDENTICAL across partitionings/core counts (a plain
-    * double mean is merge-order-dependent, which would break the engine's
-    * reproducibility guarantee). Codes that lose all members keep their
-    * previous centroid. Each iteration: one assign pass + one narrow
-    * (sub, code, dim) aggregation.
-    */
-  def refineCodebook(corpus: DataFrame, cb0: DataFrame, m: Int, dim: Int,
-      iters: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val subDim = dim / m
-    val subs = corpus.select(col(idCol).as("nid"), col(vecCol).as("_v"))
-      .select(col("nid"),
+  private def subvectors(df: DataFrame, m: Int, subDim: Int, idOut: String,
+      idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as(idOut), col(vecCol).as("_v"))
+      .select(col(idOut),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("_v"))
       .withColumn("n_sub",
         slice(col("_v"), col("sub") * subDim + 1, lit(subDim)))
-      .select("nid", "sub", "n_sub")
+      .select(idOut, "sub", "n_sub")
+
+  /** Initial codebook from the subvector frame: per subspace, the ksub
+    * donors with the smallest (id, sub)-mixed hash. The rank runs on a
+    * NARROW (id, sub, hash) projection; subvectors join back for the
+    * m x ksub winners only.
+    */
+  private def codebookFromSubs(subs: DataFrame, ksub: Int): DataFrame = {
+    val w = Window.partitionBy(col("sub")).orderBy(col("_r"), col("nid"))
+    val winners = subs.select(col("nid"), col("sub"))
+      .withColumn("_r", F.murmur64(col("nid").cast("long") * 31 + col("sub")))
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .where(col("code") < ksub)
+      .select("nid", "sub", "code")
+    winners.join(subs, Seq("nid", "sub"))
+      .select(col("sub"), col("code"), col("n_sub").as("c_sub"))
+  }
+
+  /** Nearest-centroid assignment: deterministic (dist, code) tie-break,
+    * map-side partial min_by.
+    */
+  private def assign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "sub")
+      .groupBy(col("nid"), col("sub"))
+      .agg(min_by(col("code"),
+        struct(F.l2sq(col("n_sub"), col("c_sub")).as("d"),
+          col("code").as("c"))).as("code"))
+
+  /** Deterministic Lloyd refinement: assign every subvector to its nearest
+    * centroid, recompute centroids as per-dimension means, repeat. Means
+    * accumulate in DECIMAL(27,9) — exact and associative — then divide and
+    * cast back to float, so the refined codebook is BYTE-IDENTICAL across
+    * partitionings/core counts (a plain double mean is merge-order-
+    * dependent, which would break the engine's reproducibility guarantee).
+    * Codes that lose all members keep their previous centroid.
+    */
+  private def refineFromSubs(subs: DataFrame, cb0: DataFrame,
+      iters: Int): DataFrame = {
     var cb = cb0
     for (_ <- 1 to iters) {
-      val assigned = subs.join(broadcast(cb), "sub")
-        .groupBy(col("nid"), col("sub"))
-        .agg(min_by(col("code"),
-          struct(F.l2sq(col("n_sub"), col("c_sub")).as("d"),
-            col("code").as("c"))).as("code"))
-      val means = subs.join(assigned, Seq("nid", "sub"))
+      val means = subs.join(assign(subs, cb), Seq("nid", "sub"))
         .select(col("sub"), col("code"),
           posexplode(col("n_sub")).as(Seq("di", "x")))
         .groupBy(col("sub"), col("code"), col("di"))
@@ -282,47 +282,46 @@ object PqAnn {
     cb
   }
 
-  /** PQ codes per corpus vector: (nid, sub, code) — nearest centroid per
-    * subspace, deterministic (dist, code) tie-break, map-side partial
-    * min_by.
-    */
-  def encode(corpus: DataFrame, cb: DataFrame, m: Int, dim: Int,
+  /** Public codebook surface (unpersisted one-shot build). */
+  def codebook(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val subDim = dim / m
-    corpus.select(col(idCol).as("nid"), col(vecCol).as("_v"))
-      .select(col("nid"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("_v"))
-      .withColumn("n_sub",
-        slice(col("_v"), col("sub") * subDim + 1, lit(subDim)))
-      .join(broadcast(cb), "sub")
-      .groupBy(col("nid"), col("sub"))
-      .agg(min_by(col("code"),
-        struct(F.l2sq(col("n_sub"), col("c_sub")).as("d"),
-          col("code").as("c"))).as("code"))
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    codebookFromSubs(subvectors(corpus, m, dim / m, "nid", idCol, vecCol), ksub)
   }
+
+  /** PQ codes per corpus vector: (nid, sub, code). */
+  def encode(corpus: DataFrame, cb: DataFrame, m: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assign(subvectors(corpus, m, dim / m, "nid", idCol, vecCol), cb)
 
   /** ADC top-k: corpus codes ⋈ broadcast per-query centroid-distance table
     * on (sub, code); approximate distance = exact decimal sum of the m
-    * partial squared-L2s; rank ascending with nid tie-break.
+    * partial squared-L2s; rank ascending with nid tie-break. With
+    * `rerank` > 0, the compressed scan only SHORTLISTS (top `rerank` per
+    * query) and true vectors join back for the shortlist rows alone —
+    * |q| × rerank of them — the standard ADC + exact re-rank that buys
+    * back quantization-error recall for one narrow id-keyed join.
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16, dim: Int = 64, lloydIters: Int = 2, rerank: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val subDim = dim / m
-    val cb0 = codebook(corpus, m, ksub, dim, idCol, vecCol)
-    val cb =
-      if (lloydIters > 0) refineCodebook(corpus, cb0, m, dim, lloydIters,
-        idCol, vecCol)
-      else cb0
-    val codes = encode(corpus, cb, m, dim, idCol, vecCol)
-    val qd = queries.select(col(idCol).as("qid"), col(vecCol).as("_v"))
-      .select(col("qid"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("_v"))
-      .withColumn("q_sub",
-        slice(col("_v"), col("sub") * subDim + 1, lit(subDim)))
+    val subs = subvectors(corpus, m, subDim, "nid", idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb0 = codebookFromSubs(subs, ksub)
+    val cbLazy = if (lloydIters > 0) refineFromSubs(subs, cb0, lloydIters) else cb0
+    // materialize the narrow artifacts (codebook: m x ksub rows; codes: one
+    // small row per (vector, subspace)) and RELEASE the wide exploded
+    // frame — without this every topK call leaks a persisted corpus-sized
+    // frame into the block manager (measured as a whole-bench slowdown)
+    val cb = cbLazy.localCheckpoint(true)
+    val codes = assign(subs, cb).localCheckpoint(true)
+    subs.unpersist(false)
+    val qd = subvectors(queries, m, subDim, "qid", idCol, vecCol)
       .join(broadcast(cb), "sub")
       .select(col("qid"), col("sub"), col("code"),
-        F.l2sq(col("q_sub"), col("c_sub"))
+        F.l2sq(col("n_sub"), col("c_sub"))
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("d"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
     val adc = codes.join(broadcast(qd), Seq("sub", "code"))
@@ -332,11 +331,6 @@ object PqAnn {
       .withColumn("rnk", row_number().over(w).cast("long"))
     if (rerank <= 0) adc.where(col("rnk") <= k).select("qid", "nid", "rnk")
     else {
-      // standard ADC + exact re-rank: the compressed scan only SHORTLISTS
-      // (top `rerank` per query); true vectors join back for the shortlist
-      // rows alone — |q| × rerank of them — and the final k rank on exact
-      // distances. Buys back most quantization-error recall at the cost of
-      // one narrow id-keyed join.
       val short = adc.where(col("rnk") <= math.max(rerank, k))
         .select("qid", "nid")
       val qv = broadcast(queries

@@ -391,9 +391,12 @@ object DupNgramStats {
 
   def fraction(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
-      explode(transform(F.shingles(F.tokensLower(col(textCol)), k),
-        s => F.hash64(s))).as("h"))
+    // null text must not fabricate an empty-string gram (concat_ws inside
+    // the shingle transform maps a null slice to "")
+    val grams = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(F.shingles(F.tokensLower(col(textCol)), k),
+          s => F.hash64(s))).as("h"))
     val perDoc = grams.groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("occ"))
     val docFreq = perDoc.groupBy(col("h"))

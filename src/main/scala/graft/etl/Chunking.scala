@@ -23,10 +23,14 @@ object Chunking {
       s"need 0 < stride <= window, got window=$window stride=$stride")
     val toks = F.tokens(col(textCol))
     val n = size(toks).cast("long")
-    // ceil((n - window) / stride) in integer arithmetic, clamped at 0
+    // ceil((n - window) / stride) in integer arithmetic, clamped at 0.
+    // Null text must yield NO chunks — but Spark's greatest() IGNORES
+    // nulls (greatest(0, null) = 0), so without the explicit where() a
+    // null doc would fabricate one empty chunk.
     val nChunks = lit(1L) +
       greatest(lit(0L), floor((n - window + stride - 1) / lit(stride.toLong)))
     docs
+      .where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), toks.as("toks"), n.as("n_tok"),
         nChunks.as("n_chunks"))
       .select(col("doc_id"), col("toks"), col("n_tok"),

@@ -28,6 +28,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == (("XIV", 14, true, 0, true, true, 1.0, 11.0)))
   }
 
+  test("graft_l2sq and graft_bloom_contains SQL functions compute kernel results") {
+    GraftFunctions.register(spark)
+    val l2 = spark.sql(
+      """SELECT graft_l2sq(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |                  array(CAST(4 AS FLOAT), CAST(6 AS FLOAT))) AS d
+        |""".stripMargin).as[Double].head()
+    assert(l2 == 25.0) // 3^2 + 4^2
+    // filter with key 42 set must contain 42; an empty filter contains nothing
+    val f = graft.functions.BloomF.empty(256, 4).add(42L)
+    val words = f.words.mkString("array(", "L,", "L)")
+    val got = spark.sql(
+      s"""SELECT graft_bloom_contains($words, 4, 42L) AS hit,
+         |  graft_bloom_contains(array(0L, 0L, 0L, 0L), 4, 42L) AS miss
+         |""".stripMargin).as[(Boolean, Boolean)].head()
+    assert(got == ((true, false)))
+  }
+
   test("graft functions run on table data through SQL") {
     GraftFunctions.register(spark)
     Seq((1, "the quick fox"), (2, "the quick fox"), (3, "other text"))

@@ -37,10 +37,28 @@ class PlanSpec extends SparkSpec {
       "per-partition top-k pushdown missing — full sort per group at scale")
   }
 
+  test("context-window chunking plans ZERO exchanges (pure map-side op)") {
+    // Tables.spread's round-robin repartition (single-file fixture
+    // workaround) is the loader's, not the operator's — mask it out
+    val p = plan("q62_chunking")
+      .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
+    assert(!p.contains("Exchange"), "chunking introduced a shuffle:\n" + p.take(1200))
+  }
+
+  test("Bloom semi-join probes the literal filter on the fact scan side and broadcasts the dim") {
+    val p = plan("q67_bloom_join")
+    assert(p.contains("bloomContains"), "no Bloom probe in the plan:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "dim side not broadcast")
+    // the probe must sit BELOW the join (scan-side pre-filter, not post-join)
+    assert(p.indexOf("bloomContains") > p.indexOf("BroadcastHashJoin"),
+      "Bloom probe is not on the scan side of the join")
+  }
+
   test("no query plans a cartesian product") {
-    // q37/q53 execute eagerly when built (iterative loop / sketch collect)
-    // and are covered by their own specs
-    val skip = Set("q37_dedup_clusters", "q53_heavy_hitters", "q56_dedup_funnel")
+    // q37/q53/q56/q69 execute eagerly when built (iterative loop / sketch
+    // collect) and are covered by their own specs
+    val skip = Set("q37_dedup_clusters", "q53_heavy_hitters",
+      "q56_dedup_funnel", "q69_best_keeper")
     SparkEntry.queries.keys.filterNot(skip).toSeq.sorted.foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
     }

@@ -54,6 +54,25 @@ class RobustnessSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)))
   }
 
+  test("round-3 ops survive null/empty text and empty inputs") {
+    import graft.etl.{CdcMerge, Chunking, RankTrim}
+    // null text → chunking drops the row (null sequence explodes to none)
+    val ch = Chunking.tokenWindows(messy, "doc_id", "text", 4, 3).collect()
+    assert(!ch.map(_.getLong(0)).contains(2L))
+    // dup-ngram stats: null/blank docs must not appear
+    val dn = DupNgramStats.fraction(messy, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dn == Set(1L, 3L, 4L, 5L)) // empty string still tokenizes to [""]
+    // empty changelog → snapshot passes through unchanged
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val noChg = Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "op", "v")
+    assert(CdcMerge(snap, noChg, "k", "seq", "op", Seq("v"))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // trim of a single-row frame keeps the row at trimBp=0
+    val one = Seq((1L, 10L)).toDF("id", "v")
+    assert(RankTrim.middleBand(one, "id", "v", 0).count() == 1L)
+  }
+
   test("csv coercion handles empty files and all-bad files") {
     import graft.sources.GraftCsv
     import org.apache.spark.sql.types._
