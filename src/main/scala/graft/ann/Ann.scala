@@ -302,22 +302,36 @@ object PqAnn {
     * |q| × rerank of them — the standard ADC + exact re-rank that buys
     * back quantization-error recall for one narrow id-keyed join.
     */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      ksub: Int = 16, dim: Int = 64, lloydIters: Int = 2, rerank: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Train the PQ index: (codebook, codes), both eagerly materialized via
+    * localCheckpoint so repeated searches reuse them without replanning,
+    * and the wide exploded subvector frame is RELEASED before returning —
+    * without that every build leaked a persisted corpus-sized frame into
+    * the block manager (measured as a whole-bench slowdown). Like
+    * [[IvfAnn.buildIndex]] and [[graft.functions.Bpe.train]], training is
+    * the one-time step; [[search]] is the per-query-batch step.
+    */
+  def train(corpus: DataFrame, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      lloydIters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    val subDim = dim / m
-    val subs = subvectors(corpus, m, subDim, "nid", idCol, vecCol)
+    val subs = subvectors(corpus, m, dim / m, "nid", idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb0 = codebookFromSubs(subs, ksub)
     val cbLazy = if (lloydIters > 0) refineFromSubs(subs, cb0, lloydIters) else cb0
-    // materialize the narrow artifacts (codebook: m x ksub rows; codes: one
-    // small row per (vector, subspace)) and RELEASE the wide exploded
-    // frame — without this every topK call leaks a persisted corpus-sized
-    // frame into the block manager (measured as a whole-bench slowdown)
     val cb = cbLazy.localCheckpoint(true)
     val codes = assign(subs, cb).localCheckpoint(true)
     subs.unpersist(false)
+    (cb, codes)
+  }
+
+  /** ADC search over a trained index. `corpus` is only touched when
+    * `rerank` > 0 (true vectors join back for the shortlist rows).
+    */
+  def search(cb: DataFrame, codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, m: Int = 8, dim: Int = 64,
+      rerank: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
     val qd = subvectors(queries, m, subDim, "qid", idCol, vecCol)
       .join(broadcast(cb), "sub")
       .select(col("qid"), col("sub"), col("code"),
@@ -346,5 +360,13 @@ object PqAnn {
         .where(col("rnk") <= k)
         .select("qid", "nid", "rnk")
     }
+  }
+
+  /** One-shot convenience: train + search. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, dim: Int = 64, lloydIters: Int = 2, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cb, codes) = train(corpus, m, ksub, dim, lloydIters, idCol, vecCol)
+    search(cb, codes, corpus, queries, k, m, dim, rerank, idCol, vecCol)
   }
 }

@@ -90,6 +90,20 @@ class AnnSpec extends SparkSpec {
     assert(pq.toSet == exact.toSet)
   }
 
+  test("a trained PQ index serves repeated searches with identical results") {
+    val e = Tables(spark, sf0001).embeddings
+    val (cb, codes) = PqAnn.train(e, m = 8, ksub = 16, dim = 64, lloydIters = 1)
+    val q1 = e.where(col("vec_id") < 10)
+    val a = PqAnn.search(cb, codes, e, q1, k = 3, m = 8, dim = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = PqAnn.search(cb, codes, e, q1, k = 3, m = 8, dim = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val oneShot = PqAnn.topK(e, q1, k = 3, m = 8, ksub = 16, dim = 64,
+      lloydIters = 1).as[(Long, Long, Long)].collect().toSet
+    assert(a == oneShot, "index search diverges from one-shot topK")
+  }
+
   test("PQ ANN clears a recall floor (avg 60%) vs exact top-5 on sf0.001") {
     val e = Tables(spark, sf0001).embeddings
     val queries = e.where(col("vec_id") < 50)
