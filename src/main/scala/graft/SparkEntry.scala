@@ -671,6 +671,14 @@ object SparkEntry {
           max(col("avg_nll_x1000")).as("max_nll"))
     }),
 
+    // 14b. trailing 7-day RANGE-frame moving aggregates: gaps in the
+    // series shrink the window (a ROWS frame would silently reach back)
+    "q72_moving_avg" -> ((s, dir) =>
+      MovingAgg.trailingDaily(
+        Tables(s, dir).orders.where(col("o_orderdate") < lit("1995-07-01")),
+        col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"),
+        days = 7)),
+
     // 54. temporal gap fill: dense hourly series per event type with
     // zero-filled empty buckets (generated spine, no driver loop)
     "q54_time_fill" -> ((s, dir) =>
@@ -1340,6 +1348,20 @@ object SparkEntry {
          |SELECT 'exact_dedup', COUNT(DISTINCT text) FROM documents
          |UNION ALL
          |SELECT 'near_dedup', COUNT(DISTINCT component) FROM comp""".stripMargin,
+    "q72_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT grp, d, CAST(t AS DOUBLE) AS day_total,
+        |  CAST(SUM(t) OVER w AS DOUBLE) AS total_w,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_days_w,
+        |  CAST(SUM(t) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_w
+        |FROM daily
+        |WINDOW w AS (PARTITION BY grp ORDER BY d
+        |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)""".stripMargin,
     "q54_time_fill" ->
       """WITH b AS (
         |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS v

@@ -651,3 +651,35 @@ object BloomSemiJoin {
       .join(dim, fact(factKey) === dim(dimKey))
   }
 }
+
+/** Trailing event-time moving aggregates — a RANGE window frame, not a row
+  * frame: each (key, day) aggregates exactly the days inside the trailing
+  * interval, so gaps in the series shrink the window instead of silently
+  * reaching further back (what a ROWS frame would do). The daily pre-
+  * aggregation keeps the windowed partition at one row per (key, day) —
+  * the window sort cost tracks the series length, not the raw row count.
+  */
+object MovingAgg {
+
+  /** Per-key daily totals plus the trailing `days`-day (inclusive) sum /
+    * day-count / average. Totals are decimal-exact; the average divides
+    * two exactly-determined numbers, so it is engine-portable.
+    */
+  def trailingDaily(df: DataFrame, keyCol: Column, dateCol: Column,
+      valueCol: Column, days: Int): DataFrame = {
+    require(days >= 1, "window must cover at least the current day")
+    import org.apache.spark.sql.types.DecimalType
+    val daily = df
+      .groupBy(keyCol.as("grp"), dateCol.cast("date").as("d"))
+      .agg(sum(valueCol.cast(DecimalType(18, 2))).as("t"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(unix_date(col("d")))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    daily.select(col("grp"), col("d"),
+      col("t").cast("double").as("day_total"),
+      sum(col("t")).over(w).cast("double").as("total_w"),
+      count(lit(1)).over(w).cast("long").as("n_days_w"),
+      (sum(col("t")).over(w).cast("double") / count(lit(1)).over(w))
+        .as("avg_w"))
+  }
+}

@@ -106,6 +106,39 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark(keyCols)
 }
 
+final case class CdcEvent(k: Long, seq: Long, op: String, v: String)
+final case class CdcState(seq: Long, op: String, v: String)
+final case class CdcRow(k: Long, op: String, v: String)
+
+object StreamCdc {
+
+  /** Streaming latest-wins CDC apply — the incremental twin of
+    * [[graft.etl.CdcMerge]]: per-key state holds the highest-seq
+    * (op, payload); every trigger emits the key's current row (Update
+    * mode), so a downstream materialized view always reflects the merged
+    * snapshot. Out-of-order arrivals within AND across triggers resolve
+    * by seq exactly like the batch merge — replaying the changelog
+    * through the stream converges to the same table. Deletes keep a
+    * TOMBSTONE in state (op='D') rather than removing it, so a late
+    * lower-seq update cannot resurrect a deleted key; state is one small
+    * row per live key — the streaming warehouse's table state.
+    */
+  def run(spark: SparkSession, changes: Dataset[CdcEvent]): Dataset[CdcRow] = {
+    import spark.implicits._
+    def fn(k: Long, it: Iterator[CdcEvent],
+        state: GroupState[CdcState]): Iterator[CdcRow] = {
+      var st = state.getOption.getOrElse(CdcState(Long.MinValue, "S", null))
+      it.foreach { e => if (e.seq > st.seq) st = CdcState(e.seq, e.op, e.v) }
+      state.update(st)
+      Iterator.single(CdcRow(k, st.op, st.v))
+    }
+    changes
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+}
+
 object StatefulSessionize {
 
   /** Stateful sessionization with flatMapGroupsWithState: per-user state is

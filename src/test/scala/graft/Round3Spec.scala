@@ -103,6 +103,23 @@ class Round3Spec extends SparkSpec {
     assert(capped == Set("y"))
   }
 
+  test("MovingAgg RANGE frame shrinks over series gaps (a ROWS frame would reach back)") {
+    import graft.etl.MovingAgg
+    val rows = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 20.0),
+      ("a", "2024-01-03", 30.0),
+      ("a", "2024-01-20", 40.0) // 17-day gap: its 3-day window is ONLY itself
+    ).toDF("k", "d", "v")
+    val got = MovingAgg.trailingDaily(rows, col("k"),
+      col("d").cast("date"), col("v"), days = 3)
+      .select("d", "total_w", "n_days_w")
+      .as[(java.sql.Date, Double, Long)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3))).toMap
+    assert(got("2024-01-03") == ((60.0, 3L)))
+    assert(got("2024-01-20") == ((40.0, 1L)), "gap day must not see old rows")
+    assert(got("2024-01-01") == ((10.0, 1L)))
+  }
+
   test("redactPii masks URL, IP, phone, email; URL-embedded IPs are not double-masked") {
     val rows = Seq(
       (1L, "see https://x.org/a?b=1 and http://10.0.0.1/path then 10.2.3.4 " +
