@@ -671,6 +671,21 @@ object SparkEntry {
           max(col("avg_nll_x1000")).as("max_nll"))
     }),
 
+    // 14c. time-in-state weighting over SCD2 intervals: total days each
+    // tier was in effect inside a horizon (open versions clipped) — the
+    // temporal-weighting consumer of q55's interval construction
+    "q73_time_weighted" -> ((s, dir) =>
+      Scd2.timeInState(scdFixture(Tables(s, dir)), "o_custkey",
+        col("eff_date"), "tier",
+        lit("1994-01-01"), lit("1996-06-01"))),
+
+    // 9b. exact lower median per group via rank arithmetic — a MEMBER of
+    // the group, bit-identical across engines where interpolated
+    // percentiles drift in the last ulp
+    "q74_group_median" -> ((s, dir) =>
+      GroupStats.medianBy(Tables(s, dir).orders, col("o_orderstatus"),
+        dec2(col("o_totalprice")).cast("double"), col("o_orderkey"))),
+
     // 14b. trailing 7-day RANGE-frame moving aggregates: gaps in the
     // series shrink the window (a ROWS frame would silently reach back)
     "q72_moving_avg" -> ((s, dir) =>
@@ -1348,6 +1363,41 @@ object SparkEntry {
          |SELECT 'exact_dedup', COUNT(DISTINCT text) FROM documents
          |UNION ALL
          |SELECT 'near_dedup', COUNT(DISTINCT component) FROM comp""".stripMargin,
+    "q73_time_weighted" ->
+      """WITH scd AS (
+        |  SELECT c_custkey, CAST(eff AS TIMESTAMP) AS valid_from,
+        |    c_custkey % 5 * 10 + ver AS tier
+        |  FROM customer, (VALUES (0, '1993-01-01'), (1, '1995-02-15'),
+        |    (2, '1996-01-01')) AS v(ver, eff)
+        |), iv AS (
+        |  SELECT tier, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to
+        |  FROM scd
+        |), clipped AS (
+        |  SELECT tier,
+        |    greatest(CAST(valid_from AS DATE), DATE '1994-01-01') AS lo,
+        |    least(COALESCE(CAST(valid_to AS DATE), DATE '1996-06-01'),
+        |      DATE '1996-06-01') AS hi
+        |  FROM iv
+        |), d AS (
+        |  SELECT tier, CAST(greatest(hi - lo, 0) AS BIGINT) AS days FROM clipped
+        |)
+        |SELECT tier, CAST(SUM(days) AS BIGINT) AS total_days,
+        |  COUNT(*) FILTER (WHERE days > 0) AS n_intervals
+        |FROM d GROUP BY tier""".stripMargin,
+    "q74_group_median" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v,
+        |    o_orderkey AS id,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE),
+        |        o_orderkey) AS BIGINT) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+        |  FROM orders
+        |)
+        |SELECT grp, v AS median_v, id AS median_id, n AS n_rows
+        |FROM r WHERE rnk = (n + 1) // 2""".stripMargin,
     "q72_moving_avg" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,

@@ -501,6 +501,51 @@ object Scd2 {
       .select((col(keyCol) +: attrs.map(col) :+ col("valid_from")): _*)
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
   }
+
+  /** Time-in-state weighting: total days each `attr` value was in effect
+    * across all keys, intervals clipped to [horizonLo, horizonHi) and the
+    * open-ended latest version closed at the horizon — the temporal-
+    * weighting consumer of [[intervals]] (a plain row count over versions
+    * answers "how many changes", this answers "for how LONG"). Pure
+    * integer day arithmetic on top of the intervals window — no extra
+    * shuffle beyond the groupBy.
+    */
+  def timeInState(changes: DataFrame, keyCol: String, tsCol: Column,
+      attr: String, horizonLo: Column, horizonHi: Column): DataFrame = {
+    val iv = intervals(changes, keyCol, tsCol, Seq(attr))
+    iv.select(col(attr),
+      greatest(col("valid_from").cast("date"), horizonLo.cast("date"))
+        .as("lo"),
+      least(coalesce(col("valid_to").cast("date"), horizonHi.cast("date")),
+        horizonHi.cast("date")).as("hi"))
+      .withColumn("days", greatest(datediff(col("hi"), col("lo")), lit(0))
+        .cast("long"))
+      .groupBy(col(attr))
+      .agg(sum(col("days")).as("total_days"),
+        count(when(col("days") > 0, 1)).as("n_intervals"))
+  }
+}
+
+/** Exact per-group order statistics WITHOUT fp percentile interpolation:
+  * the lower median is the element at rank floor((n+1)/2) of the
+  * (value, id)-ordered group — a deterministic MEMBER of the group, so
+  * any engine reproduces it bit-for-bit where interpolated percentiles
+  * drift in the last ulp. One key shuffle + an in-group window.
+  */
+object GroupStats {
+
+  def medianBy(df: DataFrame, groupCol: Column, valueCol: Column,
+      idCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    df.select(groupCol.as("grp"), valueCol.as("v"), idCol.as("id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+      .where(col("rnk") === ((col("n") + 1) / 2).cast("long")) // floor((n+1)/2)
+      .select(col("grp"), col("v").as("median_v"), col("id").as("median_id"),
+        col("n").cast("long").as("n_rows"))
+  }
 }
 
 object PartitionedSink {

@@ -103,6 +103,38 @@ class Round3Spec extends SparkSpec {
     assert(capped == Set("y"))
   }
 
+  test("timeInState clips open intervals to the horizon and weights by days") {
+    import graft.etl.Scd2
+    import java.sql.Timestamp
+    // key 1: state A [jan1, jan11) then B [jan11, open) — horizon ends feb1
+    val chg = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "A"),
+      (1L, Timestamp.valueOf("2024-01-11 00:00:00"), "B"))
+      .toDF("k", "eff", "st")
+    val got = Scd2.timeInState(chg, "k", col("eff"), "st",
+      lit("2024-01-01"), lit("2024-02-01"))
+      .select("st", "total_days").as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 10L, "B" -> 21L))
+    // interval entirely before the horizon contributes zero days
+    val early = Scd2.timeInState(chg, "k", col("eff"), "st",
+      lit("2025-01-01"), lit("2025-02-01"))
+      .select("st", "total_days").as[(String, Long)].collect().toMap
+    assert(early("A") == 0L && early("B") == 31L) // open interval clips to horizon
+  }
+
+  test("GroupStats.medianBy returns the exact lower-median member per group") {
+    import graft.etl.GroupStats
+    val df = Seq(
+      ("g1", 1.0, 1L), ("g1", 5.0, 2L), ("g1", 9.0, 3L), // odd: median 5.0
+      ("g2", 2.0, 4L), ("g2", 4.0, 5L), ("g2", 6.0, 6L), ("g2", 8.0, 7L) // even: lower median 4.0
+    ).toDF("g", "v", "id")
+    val got = GroupStats.medianBy(df, col("g"), col("v"), col("id"))
+      .select("grp", "median_v", "median_id")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("g1") == ((5.0, 2L)))
+    assert(got("g2") == ((4.0, 5L)))
+  }
+
   test("MovingAgg RANGE frame shrinks over series gaps (a ROWS frame would reach back)") {
     import graft.etl.MovingAgg
     val rows = Seq(
