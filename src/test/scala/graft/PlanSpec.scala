@@ -54,6 +54,18 @@ class PlanSpec extends SparkSpec {
       "Bloom probe is not on the scan side of the join")
   }
 
+  test("CDC merge is ONE key shuffle: no join, no window sort, single hash exchange") {
+    val p = plan("q61_cdc_merge")
+      .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the union+max_by merge must not plan a join")
+    assert(!p.contains("Window"), "latest-wins must be an aggregate, not a window sort")
+    // exactly the input-union shuffle to the key, plus the final q61
+    // reporting aggregation — nothing else
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"CDC merge shuffles $exchanges times:\n${p.take(1200)}")
+  }
+
   test("no query plans a cartesian product") {
     // q37/q53/q56/q69 execute eagerly when built (iterative loop / sketch
     // collect) and are covered by their own specs
