@@ -671,6 +671,27 @@ object SparkEntry {
           max(col("avg_nll_x1000")).as("max_nll"))
     }),
 
+    // 39c. snapshot diff: classify keys across two table versions as
+    // added/removed/changed/same by map-side payload hash — the diff of
+    // the q61 CDC merge against its input snapshot, so every status is
+    // populated by construction
+    "q75_snapshot_diff" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val snap = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      val merged = CdcMerge(snap, cdcFixture(t), "c_custkey", "seq", "op",
+        Seq("c_mktsegment"))
+      SnapshotDiff.diff(snap, merged, "c_custkey", Seq("c_mktsegment"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+    }),
+
+    // 26l. k-anonymity audit over quasi-identifier columns — the
+    // re-identification-risk counterpart of the q63 PII scrub
+    "q76_k_anonymity" -> ((s, dir) =>
+      KAnonymity.audit(Tables(s, dir).customer,
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+
     // 14c. time-in-state weighting over SCD2 intervals: total days each
     // tier was in effect inside a horizon (open versions clipped) — the
     // temporal-weighting consumer of q55's interval construction
@@ -1363,6 +1384,54 @@ object SparkEntry {
          |SELECT 'exact_dedup', COUNT(DISTINCT text) FROM documents
          |UNION ALL
          |SELECT 'near_dedup', COUNT(DISTINCT component) FROM comp""".stripMargin,
+    // q75: the oracle rebuilds the q61 merge and diffs by VALUE where the
+    // engine diffs by 64-bit payload hash - equivalence holds unless two
+    // different segments collide in hash64 (2^-64 per key; the q45/q68
+    // hash-reduction precedent)
+    "q75_snapshot_diff" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, 1 AS seq, 'U' AS op, 'UPGRADED' AS seg
+        |  FROM customer WHERE c_custkey % 4 = 1
+        |  UNION ALL SELECT c_custkey, 2, 'U', 'FINAL'
+        |  FROM customer WHERE c_custkey % 4 = 1
+        |  UNION ALL SELECT c_custkey, 1, 'D', NULL
+        |  FROM customer WHERE c_custkey % 4 = 2
+        |  UNION ALL SELECT c_custkey, 1, 'U', 'TOUCHED'
+        |  FROM customer WHERE c_custkey % 4 = 3
+        |  UNION ALL SELECT c_custkey + 10000000, 1, 'I', 'NEWSEG'
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |), allr AS (
+        |  SELECT c_custkey, CAST(-9223372036854775808 AS BIGINT) AS seq,
+        |    'S' AS op, c_mktsegment AS seg FROM customer
+        |  UNION ALL SELECT c_custkey, CAST(seq AS BIGINT), op, seg FROM chg
+        |), w AS (
+        |  SELECT c_custkey, seg, op,
+        |    row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |  FROM allr
+        |), merged AS (
+        |  SELECT c_custkey, seg FROM w WHERE rn = 1 AND op <> 'D'
+        |), snap AS (
+        |  SELECT c_custkey, c_mktsegment AS seg FROM customer
+        |)
+        |SELECT status, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM (
+        |  SELECT COALESCE(s.c_custkey, m.c_custkey) AS k,
+        |    CASE WHEN s.c_custkey IS NULL THEN 'added'
+        |         WHEN m.c_custkey IS NULL THEN 'removed'
+        |         WHEN s.seg = m.seg THEN 'same'
+        |         ELSE 'changed' END AS status
+        |  FROM snap s FULL JOIN merged m ON s.c_custkey = m.c_custkey)
+        |GROUP BY status""".stripMargin,
+    "q76_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_n
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN group_n < 10 THEN group_n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  CAST(SUM(CASE WHEN group_n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk,
+        |  MIN(group_n) AS min_group
+        |FROM g""".stripMargin,
     "q73_time_weighted" ->
       """WITH scd AS (
         |  SELECT c_custkey, CAST(eff AS TIMESTAMP) AS valid_from,

@@ -103,6 +103,27 @@ class Round3Spec extends SparkSpec {
     assert(capped == Set("y"))
   }
 
+  test("SnapshotDiff classifies added/removed/changed/same; null payloads compare stably") {
+    import graft.etl.SnapshotDiff
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val after = Seq((1L, "a"), (2L, "B2"), (5L, "e"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val got = SnapshotDiff.diff(before, after, "k", Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "same", 2L -> "changed", 3L -> "removed",
+      5L -> "added", 4L -> "same"))
+  }
+
+  test("KAnonymity counts rows and groups under the k threshold") {
+    import graft.etl.KAnonymity
+    // groups: (x: 3 rows), (y: 1 row), (z: 2 rows); k=3 → y and z at risk
+    val df = Seq("x", "x", "x", "y", "z", "z").toDF("q")
+    val got = KAnonymity.audit(df, Seq("q"), k = 3L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((3L, 3L, 2L, 1L))) // n_groups, rows_at_risk, groups_at_risk, min_group
+  }
+
   test("timeInState clips open intervals to the horizon and weights by days") {
     import graft.etl.Scd2
     import java.sql.Timestamp
