@@ -115,6 +115,21 @@ class Round3Spec extends SparkSpec {
       5L -> "added", 4L -> "same"))
   }
 
+  test("SnapshotDiff multi-column payloads don't collide across column boundaries") {
+    import graft.etl.SnapshotDiff
+    // ("ab","c") vs ("a","bc") concatenate identically without a separator
+    val before = Seq((1L, "ab", "c")).toDF("k", "x", "y")
+    val after = Seq((1L, "a", "bc")).toDF("k", "x", "y")
+    val got = SnapshotDiff.diff(before, after, "k", Seq("x", "y"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "changed", "column-boundary shift must read as a change")
+    // null vs the sentinel-looking empty string are distinct too
+    val b2 = Seq((1L, null.asInstanceOf[String], "z")).toDF("k", "x", "y")
+    val a2 = Seq((1L, "", "z")).toDF("k", "x", "y")
+    assert(SnapshotDiff.diff(b2, a2, "k", Seq("x", "y"))
+      .as[(Long, String)].collect().toMap.apply(1L) == "changed")
+  }
+
   test("KAnonymity counts rows and groups under the k threshold") {
     import graft.etl.KAnonymity
     // groups: (x: 3 rows), (y: 1 row), (z: 2 rows); k=3 → y and z at risk
