@@ -707,6 +707,26 @@ object SparkEntry {
       GroupStats.medianBy(Tables(s, dir).orders, col("o_orderstatus"),
         dec2(col("o_totalprice")).cast("double"), col("o_orderkey"))),
 
+    // 4b. unpivot/melt — the inverse of the q4 pivot: the wide aggregate
+    // back to (group, variable, value) long form via a map-side Expand
+    // (zero shuffle beyond the pivot's own)
+    "q77_unpivot" -> ((s, dir) => {
+      val wide = PivotAggregates.countPivot(Tables(s, dir).orders,
+        "o_orderpriority", "o_orderstatus", Seq("O", "F", "P"))
+      Unpivot.melt(wide, Seq("o_orderpriority"), Seq("O", "F", "P"),
+        "status", "cnt")
+    }),
+
+    // 49b. CUBE: all four grains of (status, priority) in ONE shuffle,
+    // with the GROUPING bitmask disambiguating rolled-up vs null dims
+    "q80_cube" -> ((s, dir) =>
+      CubeAgg.cubeCounts(Tables(s, dir).orders, col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("grain_id"), col("n"), col("total"))),
+
     // 14b. trailing 7-day RANGE-frame moving aggregates: gaps in the
     // series shrink the window (a ROWS frame would silently reach back)
     "q72_moving_avg" -> ((s, dir) =>
@@ -1515,6 +1535,25 @@ object SparkEntry {
         | COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q77_unpivot" ->
+      """WITH g AS (SELECT DISTINCT o_orderpriority FROM orders),
+        | v(status) AS (VALUES ('O'), ('F'), ('P')),
+        | c AS (
+        |  SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT g.o_orderpriority, v.status,
+        |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM g CROSS JOIN v
+        |LEFT JOIN c ON c.o_orderpriority = g.o_orderpriority
+        |  AND c.status = v.status""".stripMargin,
+    "q80_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grain_id,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q50_argmax" ->
       """SELECT o_orderstatus,
         | arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000000 + o_orderkey) AS biggest_order,
