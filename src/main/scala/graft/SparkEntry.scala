@@ -3,7 +3,7 @@ package graft
 import graft.ann.{BruteForce, IvfAnn, LshAnn}
 import graft.dedup._
 import graft.etl._
-import graft.functions.{Bpe, F, RomanCodec, TermScores, TextStats}
+import graft.functions.{Bm25, Bpe, F, RomanCodec, TermScores, TextStats}
 import graft.multimodal.BinaryPipeline
 import graft.sources.GraftCsv
 import graft.validation._
@@ -178,6 +178,13 @@ object SparkEntry {
     * nation's center. Everything is integer arithmetic on table columns,
     * so a pure-SQL DuckDB oracle reproduces the ray cast bit-for-bit.
     */
+  // q78's fixed retrieval workload: three queries over the synthetic vocab
+  // (identical VALUES literals in the oracle)
+  private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "window", "customer"),
+    1L -> Seq("vector", "merge", "stream"),
+    2L -> Seq("slow", "filter"))
+
   private val polyDirs = Seq((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0),
     (-1, -1), (0, -1), (1, -1))
 
@@ -950,6 +957,26 @@ object SparkEntry {
     // retrieval-side layout of the q36 term statistics
     "q66_inverted_index" -> ((s, dir) =>
       TermScores.invertedIndex(Tables(s, dir).documents, "doc_id", "text")),
+
+    // 26h. BM25 batch retrieval: broadcast query set, posting-list-pruned
+    // scoring, per-query top-k — exact integer arithmetic (rational idf,
+    // milli-quantized), so the ranking is engine-exact
+    "q78_bm25" -> ((s, dir) =>
+      Bm25.topK(Tables(s, dir).documents, "doc_id", "text", Bm25Queries,
+        k = 10)),
+
+    // 16b. corpus-level LINE dedup (boilerplate strip): lines injected
+    // deterministically — a universal footer, a doc_id%5 social line, and a
+    // per-doc unique id line — then every line in >= 3 distinct docs is
+    // removed corpus-wide and the docs reassembled
+    "q79_line_dedup" -> ((s, dir) => {
+      val dirty = Tables(s, dir).documents.select(col("doc_id"),
+        concat(col("text"), lit("\nSubscribe to our newsletter"),
+          when(col("doc_id") % 5 === 0, lit("\nFollow us on example social"))
+            .otherwise(lit("")),
+          lit("\nid: "), col("doc_id").cast("string")).as("dirty"))
+      LineDedup.stripBoilerplate(dirty, "doc_id", "dirty", minDocs = 3L)
+    }),
 
     // 26g. PII scrub: URL / IPv4 / phone / email redaction with per-kind
     // match counts, over a deterministic injection fixture (doc_id mod 4
@@ -1784,6 +1811,65 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY term ORDER BY doc_id) AS BIGINT) AS prank,
         |  tf
         |FROM tf""".stripMargin,
+    "q78_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS HUGEINT) AS tf FROM tok GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS HUGEINT) AS dl FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS nd, CAST(SUM(dl) AS HUGEINT) AS nt FROM dl
+        |), q(query_id, term) AS (
+        |  VALUES (0, 'spark'), (0, 'window'), (0, 'customer'),
+        |         (1, 'vector'), (1, 'merge'), (1, 'stream'),
+        |         (2, 'slow'), (2, 'filter')
+        |), p AS (
+        |  SELECT tf.* FROM tf WHERE term IN (SELECT DISTINCT term FROM q)
+        |), dft AS (
+        |  SELECT term, CAST(COUNT(*) AS HUGEINT) AS df FROM p GROUP BY 1
+        |), s AS (
+        |  SELECT p.doc_id, p.term,
+        |    (1000 * (2*nd - 2*df + 1) * 44 * p.tf * nt)
+        |      // ((2*df + 1) * (20*p.tf*nt + 6*nt + 18*dl.dl*nd)) AS sm
+        |  FROM p JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+        |), sq AS (
+        |  SELECT CAST(q.query_id AS BIGINT) AS query_id, s.doc_id,
+        |    CAST(SUM(sm) AS BIGINT) AS score_milli
+        |  FROM s JOIN q USING (term) GROUP BY 1, 2
+        |)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rnk,
+        |  doc_id, score_milli
+        |FROM sq QUALIFY rnk <= 10""".stripMargin,
+    "q79_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || chr(10) || 'Subscribe to our newsletter'
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN chr(10) || 'Follow us on example social' ELSE '' END
+        |    || chr(10) || 'id: ' || CAST(doc_id AS VARCHAR) AS dirty
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, string_split(dirty, chr(10)) AS arr FROM d
+        |), i AS (
+        |  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS pos
+        |  FROM a
+        |), l AS (
+        |  SELECT doc_id, pos, arr[pos] AS line FROM i
+        |), b AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY 1
+        |  ) WHERE nd >= 3
+        |)
+        |SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+        |    chr(10) ORDER BY l.pos), '') AS kept_text
+        |FROM l LEFT JOIN b ON l.line = b.line
+        |GROUP BY 1""".stripMargin,
     "q40_range_join" ->
       """WITH bands(band_id, band_lo, band_hi) AS (
         |  SELECT i, i * 50000.0, (i + 1) * 50000.0
