@@ -927,6 +927,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))),
 
+    // 37c. weighted deterministic sampling: P(keep) proportional to
+    // n_chars (clamped at 1) — pure filter, pushes to the scan
+    "q81_weighted_sample" -> ((s, dir) =>
+      Sampling.weighted(
+        Tables(s, dir).documents.select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars")),
+        "doc_id", col("n_chars") * 25)),
+
+    // 37d. per-group fixed-n sampling: exactly min(k, |group|) rows per
+    // priority by deterministic hash order (WindowGroupLimit — map-side
+    // partial top-k before the exchange)
+    "q82_group_sample" -> ((s, dir) =>
+      Sampling.perGroup(Tables(s, dir).orders
+          .select(col("o_orderpriority"), col("o_orderkey")),
+        "o_orderkey", col("o_orderpriority"), k = 20)
+        .select("o_orderpriority", "sample_rank", "o_orderkey")),
+
     // 39b. CDC changelog apply (MERGE INTO analog): ordered I/U/D stream
     // merged into a snapshot in ONE key shuffle (max_by, no window sort)
     "q61_cdc_merge" -> ((s, dir) => {
@@ -1692,6 +1709,19 @@ object SparkEntry {
         |SELECT CAST(CASE WHEN bkt < 9000 THEN 0 WHEN bkt < 9500 THEN 1 ELSE 2 END AS BIGINT) AS split_id,
         | COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM b GROUP BY 1""".stripMargin,
+    "q81_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE (hash(doc_id) >> 16) % 10000 <
+        |  LEAST(GREATEST(n_chars * 25, 0), 10000)""".stripMargin,
+    "q82_group_sample" ->
+      """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS sample_rank,
+        |  o_orderkey
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY hash(o_orderkey) >> 1, o_orderkey) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 20""".stripMargin,
     "q61_cdc_merge" ->
       """WITH chg AS (
         |  SELECT c_custkey, 1 AS seq, 'U' AS op, 'UPGRADED' AS seg

@@ -65,6 +65,38 @@ object Sampling {
     df.where(bucket(col(idCol), seed) < rate)
   }
 
+  /** Per-row WEIGHTED keep: P(keep) = weightBp/10000 per row, still a pure
+    * function of the id — e.g. length- or quality-proportional corpus
+    * up/down-weighting. `weightBp` is any integer column expression; it is
+    * clamped to [0, 10000]. Pure filter: no shuffle, pushes to the scan
+    * when weightBp only reads scan columns.
+    */
+  def weighted(df: DataFrame, idCol: String, weightBp: Column,
+      seed: Long = 0L): DataFrame =
+    df.where(bucket(col(idCol), seed) <
+      least(greatest(weightBp, lit(0)), lit(Buckets)))
+
+  /** Exactly min(k, |group|) rows per group, drawn uniformly without
+    * replacement by deterministic hash order — the "n docs per source /
+    * per language" inspection draw. Adds `sample_rank` (1-based).
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit, so every
+    * map task keeps only its local top-k per group BEFORE the exchange —
+    * the shuffle carries ≤ k·tasks rows per group, not the group. Ordering
+    * is by the top-63-bit hash (non-negative in both signed and unsigned
+    * comparison — the [[bucket]] trick — so an external engine ordering
+    * the same unsigned hash agrees), id-tie-broken.
+    */
+  def perGroup(df: DataFrame, idCol: String, groupCol: Column, k: Int,
+      seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = shiftrightunsigned(F.murmur64(col(idCol).bitwiseXOR(lit(seed))), 1)
+    df.withColumn("sample_rank", row_number()
+        .over(Window.partitionBy(groupCol).orderBy(h, col(idCol)))
+        .cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Deterministic per-epoch global shuffle: ordering is a pure function
     * of (id, epoch), so every worker resuming epoch N reproduces the same
     * permutation. A total sort = one range-partitioned exchange — the
