@@ -172,12 +172,6 @@ object SparkEntry {
             lit("12345"))).as("rawcode"),
         when(col("c_custkey") % 10 === 1, lit("0555555")).as("fb"))
 
-  /** q60 fixtures: an 8-vertex star polygon per nation (integer vertices —
-    * fixed compass directions, per-(nation, k) radius, so some rings are
-    * non-convex) and customer points scattered in a box around their
-    * nation's center. Everything is integer arithmetic on table columns,
-    * so a pure-SQL DuckDB oracle reproduces the ray cast bit-for-bit.
-    */
   // q78's fixed retrieval workload: three queries over the synthetic vocab
   // (identical VALUES literals in the oracle)
   private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
@@ -185,6 +179,12 @@ object SparkEntry {
     1L -> Seq("vector", "merge", "stream"),
     2L -> Seq("slow", "filter"))
 
+  /** q60 fixtures: an 8-vertex star polygon per nation (integer vertices —
+    * fixed compass directions, per-(nation, k) radius, so some rings are
+    * non-convex) and customer points scattered in a box around their
+    * nation's center. Everything is integer arithmetic on table columns,
+    * so a pure-SQL DuckDB oracle reproduces the ray cast bit-for-bit.
+    */
   private val polyDirs = Seq((1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0),
     (-1, -1), (0, -1), (1, -1))
 
@@ -1589,7 +1589,7 @@ object SparkEntry {
         |SELECT g.o_orderpriority, v.status,
         |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
         |FROM g CROSS JOIN v
-        |LEFT JOIN c ON c.o_orderpriority = g.o_orderpriority
+        |LEFT JOIN c ON c.o_orderpriority IS NOT DISTINCT FROM g.o_orderpriority
         |  AND c.status = v.status""".stripMargin,
     "q80_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
