@@ -977,10 +977,20 @@ object SparkEntry {
 
     // 26h. BM25 batch retrieval: broadcast query set, posting-list-pruned
     // scoring, per-query top-k — exact integer arithmetic (rational idf,
-    // milli-quantized), so the ranking is engine-exact
-    "q78_bm25" -> ((s, dir) =>
-      Bm25.topK(Tables(s, dir).documents, "doc_id", "text", Bm25Queries,
-        k = 10)),
+    // milli-quantized), so the ranking is engine-exact. The index builds
+    // ONCE per (session, sf) — the Bpe.train/IvfAnn.buildIndex protocol:
+    // the corpus tokenizes at build time, each query batch scans only the
+    // bucket partitions its terms hash into (searchIndex ≡ topK,
+    // Round6Spec-gated; the oracle scores the same corpus in SQL)
+    "q78_bm25" -> ((s, dir) => {
+      val idx = memoized(s, s"bm25|$dir") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_bm25_idx").toString
+        Bm25.buildIndex(Tables(s, dir).documents, "doc_id", "text", p)
+        p
+      }
+      Bm25.searchIndex(s, idx, Bm25Queries, k = 10)
+    }),
 
     // 16b. corpus-level LINE dedup (boilerplate strip): lines injected
     // deterministically — a universal footer, a doc_id%5 social line, and a
