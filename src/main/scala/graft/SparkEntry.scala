@@ -179,6 +179,39 @@ object SparkEntry {
     1L -> Seq("vector", "merge", "stream"),
     2L -> Seq("slow", "filter"))
 
+  /** q83 fixtures: deterministic PNG / JPEG byte streams assembled with
+    * hex arithmetic on doc_id — width/height are pure functions of doc_id,
+    * so the DuckDB oracle recomputes the expected dims WITHOUT parsing,
+    * while the Spark side must genuinely invert the encoding by walking
+    * the container headers (MediaHeader). doc_id % 3: 0 → PNG (RFC 2083
+    * signature + IHDR), 1 → JPEG (SOI + APP0/JFIF + variable-length COM
+    * segment + odd-row fill byte before SOF0, so the marker walk is
+    * exercised at varying offsets, never a fixed one), 2 → truncated
+    * garbage (every parse column NULL).
+    */
+  private def imageBlobFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def hex4(c: Column) = lpad(hex(c), 4, "0")
+    def hex8(c: Column) = lpad(hex(c), 8, "0")
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      hex8(lit(1) + id % 640), hex8(lit(1) + id % 480),
+      lit("0806000000" + "DEADBEEF"))
+    val comLen = lit(4) + id % 8 // COM length varies the SOF offset
+    val jpegHex = concat(
+      lit("FFD8" + "FFE00010" + "4A46494600" + "0102" + "00" +
+        "00010001" + "0000"),
+      lit("FFFE"), hex4(comLen), repeat(lit("00"), (comLen - 2).cast("int")),
+      when(id % 2 === 1, lit("FF")).otherwise(lit("")), // legal fill byte
+      lit("FFC00011" + "08"),
+      hex4(lit(1) + id % 800), hex4(lit(1) + id % 1000),
+      lit("03" + "011100" + "021101" + "031101"))
+    val blobHex = when(id % 3 === 0, pngHex)
+      .when(id % 3 === 1, jpegHex)
+      .otherwise(lit("89504E470D0A1A0A0000")) // truncated: no IHDR
+    docs.select(id, unhex(blobHex).as("blob"))
+  }
+
   /** q60 fixtures: an 8-vertex star polygon per nation (integer vertices —
     * fixed compass directions, per-(nation, k) radius, so some rings are
     * non-convex) and customer points scattered in a box around their
@@ -567,6 +600,18 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_bytes"))).as("total_frame_bytes"))
+    }),
+
+    // 27c. REAL image-container header decode (PNG IHDR / JPEG SOF marker
+    // walk — MediaHeader via StaticInvoke, whole-stage codegen, no UDF):
+    // the first non-stub slice of the multimodal decode path; corrupt /
+    // truncated blobs produce NULLs, never a throw
+    "q83_image_headers" -> ((s, dir) => {
+      val blobs = imageBlobFixture(Tables(s, dir).documents)
+      blobs.select(col("doc_id"),
+        F.imageFormat(col("blob")).as("format"),
+        F.imageWidth(col("blob")).cast("long").as("width"),
+        F.imageHeight(col("blob")).cast("long").as("height"))
     }),
 
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
@@ -1403,6 +1448,18 @@ object SparkEntry {
       """SELECT doc_id,
         | least(4, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS n_frames,
         | least(256, CAST(octet_length(encode(text)) AS BIGINT)) AS total_frame_bytes
+        |FROM documents""".stripMargin,
+    // q83: the fixture dims are pure doc_id arithmetic — the oracle
+    // recomputes them directly; Spark must recover the same numbers by
+    // actually parsing the headers it assembled
+    "q83_image_headers" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |      WHEN doc_id % 3 = 1 THEN 'jpeg' END AS format,
+        | CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 640
+        |      WHEN doc_id % 3 = 1 THEN 1 + doc_id % 1000 END AS width,
+        | CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 480
+        |      WHEN doc_id % 3 = 1 THEN 1 + doc_id % 800 END AS height
         |FROM documents""".stripMargin,
     "q36_top_terms" ->
       """WITH tok AS (

@@ -139,6 +139,37 @@ object F {
     col(StaticInvoke(classOf[RomanCodec.type], IntegerType, "fromRoman",
       Seq(ex(c)), Nil, propagateNull = true, returnNullable = false))
 
+  // ---- media headers ------------------------------------------------------
+
+  /** Container format of an image binary column: 'png' / 'jpeg' / null
+    * (real header parse — graft.multimodal.MediaHeader, RFC 2083 /
+    * ITU T.81 — via StaticInvoke, inside whole-stage codegen).
+    */
+  def imageFormat(blob: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.MediaHeader.type], StringType,
+      "format", Seq(ex(blob)), Nil, propagateNull = true,
+      returnNullable = true))
+
+  /** Pixel width from a PNG IHDR / JPEG SOF header; NULL when the bytes
+    * are corrupt, truncated, or not a recognized image container.
+    */
+  def imageWidth(blob: Column): Column = {
+    val w = col(StaticInvoke(classOf[graft.multimodal.MediaHeader.type],
+      IntegerType, "width", Seq(ex(blob)), Nil, propagateNull = true,
+      returnNullable = false))
+    nullif(w, lit(-1))
+  }
+
+  /** Pixel height from a PNG IHDR / JPEG SOF header; NULL like
+    * [[imageWidth]].
+    */
+  def imageHeight(blob: Column): Column = {
+    val h = col(StaticInvoke(classOf[graft.multimodal.MediaHeader.type],
+      IntegerType, "height", Seq(ex(blob)), Nil, propagateNull = true,
+      returnNullable = false))
+    nullif(h, lit(-1))
+  }
+
   // ---- decimal-exact aggregation helpers ----------------------------------
 
   /** Order-independent sum of a 2-dp double column: cast to decimal(18,2)

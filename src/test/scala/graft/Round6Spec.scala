@@ -64,6 +64,78 @@ class Round6Spec extends SparkSpec {
     assert(got.where(col("query_id") === 1L).count() == 0L)
   }
 
+  // ---- MediaHeader: real PNG/JPEG header kernels --------------------------
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val png800x600 = hexBytes(
+    "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000320" + "00000258" + "0806000000" + "DEADBEEF")
+
+  test("MediaHeader: PNG IHDR dims parse big-endian u32") {
+    import graft.multimodal.MediaHeader
+    assert(MediaHeader.format(png800x600).toString == "png")
+    assert(MediaHeader.width(png800x600) == 800)
+    assert(MediaHeader.height(png800x600) == 600)
+  }
+
+  test("MediaHeader: JPEG SOF dims survive fill bytes, standalone markers and a COM walk") {
+    import graft.multimodal.MediaHeader
+    // SOI, APP0(JFIF), COM(len 6), RST0 standalone, fill byte, SOF0 1024x768
+    val j = hexBytes(
+      "FFD8" + "FFE00010" + "4A46494600" + "010200" + "00010001" + "0000" +
+        "FFFE0006" + "00000000" + "FFD0" + "FF" +
+        "FFC00011" + "08" + "0300" + "0400" +
+        "03" + "011100" + "021101" + "031101")
+    assert(MediaHeader.format(j).toString == "jpeg")
+    assert(MediaHeader.height(j) == 768)
+    assert(MediaHeader.width(j) == 1024)
+  }
+
+  test("MediaHeader: corrupt and truncated streams yield sentinels, never throws") {
+    import graft.multimodal.MediaHeader
+    // truncated PNG (signature but no full IHDR)
+    val truncPng = png800x600.take(23)
+    assert(MediaHeader.format(truncPng) == null)
+    assert(MediaHeader.width(truncPng) == -1)
+    // PNG whose first chunk is not IHDR
+    val notIhdr = png800x600.clone(); notIhdr(12) = 'J'.toByte
+    assert(MediaHeader.format(notIhdr) == null)
+    // JPEG: EOI before any SOF
+    assert(MediaHeader.width(hexBytes("FFD8" + "FFD9")) == -1)
+    // JPEG: SOS reached without a SOF
+    assert(MediaHeader.width(hexBytes("FFD8" + "FFDA0004" + "0000")) == -1)
+    // JPEG: invalid segment length (< 2)
+    assert(MediaHeader.width(hexBytes("FFD8" + "FFE00001")) == -1)
+    // JPEG: marker sync lost
+    assert(MediaHeader.width(hexBytes("FFD8" + "00C00011")) == -1)
+    // JPEG: truncated mid-SOF payload
+    assert(MediaHeader.width(hexBytes("FFD8" + "FFC00011" + "0803")) == -1)
+    // not an image at all / empty / null
+    assert(MediaHeader.format("hello".getBytes) == null)
+    assert(MediaHeader.width(Array.emptyByteArray) == -1)
+    assert(MediaHeader.format(null) == null)
+  }
+
+  test("F.imageFormat/Width/Height: codegen path, NULL lifting, null-blob propagation") {
+    val df = Seq(
+      (1L, png800x600),
+      (2L, "not an image".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "blob")
+    val got = df.select(col("id"),
+      graft.functions.F.imageFormat(col("blob")).as("f"),
+      graft.functions.F.imageWidth(col("blob")).as("w"),
+      graft.functions.F.imageHeight(col("blob")).as("h"))
+      .as[(Long, Option[String], Option[Int], Option[Int])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some("png"), Some(800), Some(600)),
+      (2L, None, None, None),
+      (3L, None, None, None)))
+  }
+
   test("Bm25.guardedDiv: exact integral division on in-range operands") {
     val df = Seq((BigDecimal(7000), BigDecimal(3)))
       .toDF("n", "d")
