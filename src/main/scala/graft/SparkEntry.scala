@@ -421,6 +421,14 @@ object SparkEntry {
       EmbeddingDedup.pairs(Tables(s, dir).embeddings, "vec_id", "embedding",
         planes = 4, tables = 32, minCosine = 0.5)),
 
+    // 20e. SemDeDup semantic dedup: deterministic k-means clustering +
+    // within-cluster smaller-id cosine drop — full kept/dropped
+    // disposition [rows-only; Round6Spec gates planted-dup recovery and
+    // byte-identical results across partitionings]
+    "q84_semdedup" -> ((s, dir) =>
+      SemDedup.dedup(Tables(s, dir).embeddings, k = 32, iters = 2,
+        eps = 0.9)),
+
     // 21. brute-force cosine top-k (rank-only output)
     "q21_ann_bruteforce" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings

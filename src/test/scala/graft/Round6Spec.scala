@@ -64,6 +64,60 @@ class Round6Spec extends SparkSpec {
     assert(got.where(col("query_id") === 1L).count() == 0L)
   }
 
+  // ---- SemDedup: semantic dedup over embeddings ---------------------------
+
+  /** Three well-separated direction groups in 8-dim space; groups 0 and 1
+    * carry planted near-identical duplicates (cos ≈ 1 within the group,
+    * ~0 across groups), group 2 is all-distinct orthogonal-ish vectors.
+    */
+  private def semCorpus = {
+    def v(axis: Int, scale: Float, jitter: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(axis) = scale; a((axis + 4) % 8) = jitter; a
+    }
+    Seq(
+      (1L, v(0, 1f, 0.01f)), (2L, v(0, 1f, 0.02f)), (3L, v(0, 1f, 0.03f)),
+      (10L, v(1, 1f, 0.01f)), (11L, v(1, 1f, 0.02f)),
+      (20L, v(2, 1f, 0f)), (21L, v(3, 1f, 0f)), (22L, v(2, 1f, -1f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("SemDedup: planted duplicate groups keep exactly their smallest id") {
+    // one centroid per direction group → every planted group co-locates;
+    // tests the drop policy in isolation from centroid training
+    def axis(cid: Long, a: Int) = {
+      val v = Array.fill(8)(0f); v(a) = 1f; (cid, v)
+    }
+    val cents = Seq(axis(0L, 0), axis(1L, 1), axis(2L, 2), axis(3L, 3))
+      .toDF("cid", "c_vec")
+    val got = graft.dedup.SemDedup
+      .dedupWith(semCorpus, cents, eps = 0.95)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    // group A {1,2,3}: only 1 survives; group B {10,11}: only 10 survives
+    assert(got(1L) && !got(2L) && !got(3L))
+    assert(got(10L) && !got(11L))
+    // distinct vectors all survive (20 vs 22 share an axis but cos < 0.95)
+    assert(got(20L) && got(21L) && got(22L))
+  }
+
+  test("SemDedup: kept set is byte-identical across partitionings") {
+    def run(parts: Int) = graft.dedup.SemDedup
+      .dedup(semCorpus.repartition(parts), k = 4, iters = 2, eps = 0.95)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(run(2) == run(7))
+  }
+
+  test("SemDedup: threshold above 1 keeps everything; centroids are deterministic") {
+    val all = graft.dedup.SemDedup
+      .dedup(semCorpus, k = 4, iters = 1, eps = 1.5)
+      .as[(Long, Long, Boolean)].collect()
+    assert(all.length == 8 && all.forall(_._3))
+    def cents(parts: Int) = graft.dedup.SemDedup
+      .centroids(semCorpus.repartition(parts), k = 4, iters = 2)
+      .as[(Long, Array[Float])].collect()
+      .map { case (c, v) => c -> v.toSeq }.toMap
+    assert(cents(3) == cents(5))
+  }
+
   // ---- MediaHeader: real PNG/JPEG header kernels --------------------------
 
   private def hexBytes(h: String): Array[Byte] =
