@@ -14,6 +14,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Host load telemetry (VERDICT r5 #1): /proc/loadavg's 1m/5m/15m
+    * averages, captured before and after the run and emitted in the JSON
+    * line, so a load-contaminated measurement is SELF-IDENTIFYING — a
+    * start loadavg near core count means another process was competing
+    * for the box and the artifact should not be trusted as a regression
+    * signal. "0,0,0" if unreadable (non-Linux).
+    */
+  private def loadavg(): String =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .trim.split("\\s+")
+      parts.take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[0,0,0]" }
+
   private def runOnce(spark: SparkSession, sfDir: String, name: String): Double = {
     val t0 = System.nanoTime()
     try SparkEntry.queries(name)(spark, sfDir)
@@ -37,16 +51,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => runOnce(spark, sfDir, n)) // warm-up
     val results = names.map { n =>
       val ts = (1 to runs).map(_ => runOnce(spark, sfDir, n)).sorted
       n -> ts(ts.length / 2)
     }
+    val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }
