@@ -914,8 +914,10 @@ object SparkEntry {
         shingleK = 5)
     }),
 
-    // 46. deterministic greedy sequence packing [rows-only; invariants in
-    // DedupSpec]
+    // 46. deterministic greedy sequence packing — bin assignment is the
+    // DuckDB-replicable top-63-bit hash, so the oracle replays the
+    // first-fit scan as a recursive CTE and matches bit-for-bit
+    // (DedupSpec keeps the budget/coverage/determinism invariants)
     "q46_packing" -> ((s, dir) => {
       val withTokens = Tables(s, dir).documents
         .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tok"))
@@ -1722,6 +1724,31 @@ object SparkEntry {
          |FROM bs LEFT JOIN cs USING (h)
          |GROUP BY bench_id""".stripMargin
     },
+    // q46: replay the per-bin first-fit scan as a recursive CTE — the bin
+    // is the same top-63-bit hash both engines compute, the recursion
+    // steps one doc at a time per bin in id order, exactly the
+    // mapPartitions loop
+    "q46_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+        |    CAST((hash(doc_id) >> 1) % 8 AS BIGINT) AS bin
+        |  FROM documents
+        |), o AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS rn
+        |  FROM d
+        |), packed AS (
+        |  SELECT bin, rn, doc_id, n, CAST(0 AS BIGINT) AS seq, n AS used
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.bin, o.rn, o.doc_id, o.n,
+        |    CASE WHEN p.used + o.n > 512 THEN p.seq + 1 ELSE p.seq END,
+        |    CASE WHEN p.used + o.n > 512 THEN o.n ELSE p.used + o.n END
+        |  FROM packed p JOIN o ON o.bin = p.bin AND o.rn = p.rn + 1
+        |)
+        |SELECT bin * 1099511627776 + seq AS seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS seq_tokens
+        |FROM packed GROUP BY 1""".stripMargin,
     "q44_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

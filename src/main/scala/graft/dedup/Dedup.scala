@@ -420,6 +420,14 @@ object Packing {
     * re-run regenerates identical training sequences. Fill efficiency
     * trades against parallelism only through the bin count.
     *
+    * The bin is a PURE FUNCTION of the id — the top 63 bits of
+    * F.murmur64 (DuckDB's hash(BIGINT) finalizer) mod `partitions`, the
+    * q41/q82 trick — NOT the physical partition id, and the per-bin state
+    * resets on bin change rather than trusting bin↔task alignment. That
+    * makes (seq_id, seq_pos) reproducible in ANY engine with the same
+    * hash: the q46 oracle replays the first-fit scan as a DuckDB
+    * recursive CTE and matches bit-for-bit.
+    *
     * Output: (doc_id, n_tokens, seq_id, seq_pos); seq_id is unique across
     * bins (bin * 2^40 + counter).
     */
@@ -429,21 +437,23 @@ object Packing {
     import spark.implicits._
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        nTokensCol.cast("long").as("n_tokens"))
-      .repartition(partitions, pmod(hash(col(idCol)), lit(partitions)))
-      .sortWithinPartitions(col("doc_id"))
-      .as[(Long, Long)]
+        nTokensCol.cast("long").as("n_tokens"),
+        (shiftrightunsigned(F.murmur64(col(idCol).cast("long")), 1)
+          % partitions).as("bin"))
+      .repartition(partitions, col("bin"))
+      .sortWithinPartitions(col("bin"), col("doc_id"))
+      .as[(Long, Long, Long)]
       .mapPartitions { it =>
-        val bin = org.apache.spark.TaskContext.getPartitionId().toLong
+        // a physical partition may hold several bins (placement hashes the
+        // bin value); rows arrive sorted by (bin, id), so state resets at
+        // each bin boundary keep every bin's packing self-contained
+        var curBin = -1L
         var seq = 0L
         var used = 0L
         var pos = 0L
-        var first = true
-        it.map { case (id, n) =>
-          if (first || used + n > maxTokens) {
-            if (!first) seq += 1
-            used = 0L; pos = 0L; first = false
-          }
+        it.map { case (id, n, bin) =>
+          if (bin != curBin) { curBin = bin; seq = 0L; used = 0L; pos = 0L }
+          if (pos > 0L && used + n > maxTokens) { seq += 1; used = 0L; pos = 0L }
           used += n; pos += 1
           (id, n, (bin << 40) | seq, pos)
         }
