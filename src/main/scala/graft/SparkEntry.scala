@@ -622,6 +622,14 @@ object SparkEntry {
         F.imageHeight(col("blob")).cast("long").as("height"))
     }),
 
+    // 38b. geometry-typed warehouse dim (reference helpers.py:743
+    // shapefile→WKT→GEOGRAPHY analog): WKT text + bbox pruning columns,
+    // built from the q60 polygon fixtures with pure column expressions —
+    // the oracle rebuilds the WKT byte-for-byte in SQL
+    "q85_geometry_dim" -> ((s, dir) =>
+      GeometryDim.asGeometryColumns(polygonFixture(Tables(s, dir)),
+        "poly_id", col("vertices"))),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -1459,6 +1467,22 @@ object SparkEntry {
         | least(4, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS n_frames,
         | least(256, CAST(octet_length(encode(text)) AS BIGINT)) AS total_frame_bytes
         |FROM documents""".stripMargin,
+    // q85: rebuild the WKT text + bbox from the same vertex arithmetic as
+    // the q60 oracle — string_agg in ring order, closing vertex repeated
+    "q85_geometry_dim" ->
+      """WITH dirs(k, dx, dy) AS (
+        |  VALUES (0,1,0),(1,1,1),(2,0,1),(3,-1,1),(4,-1,0),(5,-1,-1),(6,0,-1),(7,1,-1)
+        |), v AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS poly_id, k,
+        |    CAST(n_nationkey AS BIGINT)*1000 + (50 + (CAST(n_nationkey AS BIGINT)*7 + k*13) % 30)*dx AS x,
+        |    CAST(n_nationkey AS BIGINT)*500  + (50 + (CAST(n_nationkey AS BIGINT)*7 + k*13) % 30)*dy AS y
+        |  FROM nation CROSS JOIN dirs
+        |)
+        |SELECT poly_id,
+        |  'POLYGON ((' || string_agg(x || ' ' || y, ', ' ORDER BY k) ||
+        |    ', ' || (array_agg(x || ' ' || y ORDER BY k))[1] || '))' AS wkt,
+        |  MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax
+        |FROM v GROUP BY poly_id""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled

@@ -85,3 +85,83 @@ object SpatialJoin {
       .select("pt_id", "poly_id")
   }
 }
+
+/** Geometry-typed warehouse dimension — the engine analog of the
+  * reference's `load_shapefile_to_bigquery` (aggregates_python_helpers
+  * .py:743: shapefile → WKT text column → BigQuery GEOGRAPHY). Parquet has
+  * no geometry type, so the portable layout is the same one BigQuery
+  * ingests: the polygon as WKT TEXT plus its integer bbox as four plain
+  * columns — and the bbox columns are what make the layout FAST, because
+  * a spatial range probe ("dims overlapping this viewport") compiles to
+  * ordinary min/max predicates that push down to the parquet scan and
+  * prune row groups; the WKT blob itself is never filtered on.
+  *
+  * Scale shape: [[write]] sorts by the Z-order key of (xmin, ymin) (the
+  * §2-34c clustering rule), so bbox-range predicates touch a bounded run
+  * of row groups instead of the whole dim. [[toWkt]]/[[fromWkt]] are pure
+  * built-in column expressions (transform/concat_ws/split) — codegen'd,
+  * no UDF, engine-reproducible text (the q85 oracle rebuilds the WKT
+  * byte-for-byte in SQL). Coordinates are assumed non-negative (shift
+  * signed CRS units upstream; the Z-order key interleaves low 32 bits).
+  */
+object GeometryDim {
+
+  /** `array<struct<x,y>>` ring → WKT POLYGON text (ring closed by
+    * repeating the first vertex, per the WKT spec).
+    */
+  def toWkt(vertices: Column): Column = {
+    val pts = transform(vertices, v =>
+      concat(v.getField("x").cast("string"), lit(" "),
+        v.getField("y").cast("string")))
+    concat(lit("POLYGON (("),
+      concat_ws(", ", concat(pts, slice(pts, 1, 1))), lit("))"))
+  }
+
+  /** WKT POLYGON text → `array<struct<x,y>>` ring (closing duplicate
+    * vertex dropped) — the read side of the round trip.
+    */
+  def fromWkt(wkt: Column): Column = {
+    val inner = regexp_replace(wkt, "^POLYGON \\(\\(|\\)\\)$", "")
+    val pts = split(inner, ", ")
+    transform(slice(pts, lit(1), size(pts) - 1), p => struct(
+      split(p, " ").getItem(0).cast("long").as("x"),
+      split(p, " ").getItem(1).cast("long").as("y")))
+  }
+
+  /** (wkt, xmin, ymin, xmax, ymax) projection of a polygon layer. */
+  def asGeometryColumns(polygons: DataFrame, polyId: String,
+      verticesCol: Column): DataFrame = {
+    val xs = transform(verticesCol, v => v.getField("x"))
+    val ys = transform(verticesCol, v => v.getField("y"))
+    polygons.select(col(polyId).as("poly_id"),
+      toWkt(verticesCol).as("wkt"),
+      array_min(xs).as("xmin"), array_min(ys).as("ymin"),
+      array_max(xs).as("xmax"), array_max(ys).as("ymax"))
+  }
+
+  /** Land the geometry dim Z-order-clustered on (xmin, ymin) so bbox
+    * range predicates prune row groups.
+    */
+  def write(polygons: DataFrame, polyId: String, verticesCol: Column,
+      path: String): Unit =
+    asGeometryColumns(polygons, polyId, verticesCol)
+      .sortWithinPartitions(
+        graft.functions.F.zorder2(col("xmin"), col("ymin")))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read back with an optional bbox-overlap probe — plain min/max
+    * predicates that push to the scan (PushedFilters; Round6Spec
+    * asserts), then the ring re-materializes from WKT.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+      bbox: Option[(Long, Long, Long, Long)] = None): DataFrame = {
+    val base = spark.read.parquet(path)
+    val probed = bbox match {
+      case Some((x0, y0, x1, y1)) =>
+        base.where(col("xmin") <= x1 && col("xmax") >= x0 &&
+          col("ymin") <= y1 && col("ymax") >= y0)
+      case None => base
+    }
+    probed.withColumn("vertices", fromWkt(col("wkt")))
+  }
+}

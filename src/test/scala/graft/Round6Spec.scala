@@ -118,6 +118,51 @@ class Round6Spec extends SparkSpec {
     assert(cents(3) == cents(5))
   }
 
+  // ---- GeometryDim: WKT + bbox geometry sink ------------------------------
+
+  private def ring(pts: (Long, Long)*) =
+    pts.map { case (x, y) => (x, y) }
+
+  test("GeometryDim: WKT round-trips the vertex ring exactly") {
+    val polys = Seq(
+      (1L, ring((0L, 0L), (10L, 0L), (10L, 8L), (0L, 8L))),
+      (2L, ring((5L, 5L), (7L, 9L), (3L, 9L)))
+    ).toDF("poly_id", "vertices")
+      .select(col("poly_id"), col("vertices")
+        .cast("array<struct<x:bigint,y:bigint>>").as("vertices"))
+    val rt = polys.select(col("poly_id"),
+      graft.etl.GeometryDim.fromWkt(
+        graft.etl.GeometryDim.toWkt(col("vertices"))).as("back"),
+      col("vertices"))
+    assert(rt.where(col("back") =!= col("vertices")).count() == 0L)
+    val wkt = polys.where(col("poly_id") === 1L)
+      .select(graft.etl.GeometryDim.toWkt(col("vertices"))).as[String].head()
+    assert(wkt == "POLYGON ((0 0, 10 0, 10 8, 0 8, 0 0))")
+  }
+
+  test("GeometryDim: bbox probe pushes min/max predicates to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("geomdim").toString + "/dim"
+    val polys = (1L to 50L).map { i =>
+      (i, ring((i * 10, i * 5), (i * 10 + 8, i * 5), (i * 10 + 4, i * 5 + 7)))
+    }.toDF("poly_id", "vertices")
+      .select(col("poly_id"), col("vertices")
+        .cast("array<struct<x:bigint,y:bigint>>").as("vertices"))
+    graft.etl.GeometryDim.write(polys, "poly_id", col("vertices"), dir)
+    val probe = graft.etl.GeometryDim.read(spark, dir,
+      bbox = Some((100L, 50L, 120L, 70L)))
+    // only polygons whose bbox overlaps the viewport survive
+    val ids = probe.select("poly_id").as[Long].collect().sorted
+    assert(ids.nonEmpty && ids.forall(i => i * 10 <= 120 && i * 10 + 8 >= 100))
+    // and the bbox predicates reached the scan
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("xmin"))
+    // round trip through the sink preserves the ring
+    val back = graft.etl.GeometryDim.read(spark, dir)
+      .select("poly_id", "vertices")
+    assert(back.join(polys.withColumnRenamed("vertices", "orig"), "poly_id")
+      .where(col("vertices") =!= col("orig")).count() == 0L)
+  }
+
   // ---- MediaHeader: real PNG/JPEG header kernels --------------------------
 
   private def hexBytes(h: String): Array[Byte] =
