@@ -212,6 +212,22 @@ object SparkEntry {
     docs.select(id, unhex(blobHex).as("blob"))
   }
 
+  /** q86 fixture: a deterministic link graph over customers — every node
+    * links up a binary tree (c → max(c div 2, 1), concentrating authority
+    * at low ids) and across a multiplicative shuffle
+    * (c → (7c mod N) + 1), so ranks are non-uniform but pure integer
+    * arithmetic both engines reproduce.
+    */
+  private def linkFixture(t: Tables): DataFrame = {
+    val nmax = t.customer.agg(max(col("c_custkey")).cast("long").as("nmax"))
+    t.customer.crossJoin(broadcast(nmax))
+      .select(col("c_custkey").cast("long").as("src"),
+        explode(array(
+          greatest(expr("c_custkey div 2"), lit(1L)).cast("long"),
+          (col("c_custkey").cast("long") * 7 % col("nmax") + 1)
+            .cast("long"))).as("dst"))
+  }
+
   /** q60 fixtures: an 8-vertex star polygon per nation (integer vertices —
     * fixed compass directions, per-(nation, k) radius, so some rings are
     * non-convex) and customer points scattered in a box around their
@@ -621,6 +637,13 @@ object SparkEntry {
         F.imageWidth(col("blob")).cast("long").as("width"),
         F.imageHeight(col("blob")).cast("long").as("height"))
     }),
+
+    // 45. deterministic integer PageRank over the customer link fixture
+    // (3 damped iterations in micro-units; the corpus-curation authority
+    // signal) — bit-identical to the oracle's unrolled CTE iterations
+    "q86_pagerank" -> ((s, dir) =>
+      graft.graph.PageRank.ranks(linkFixture(Tables(s, dir)),
+        "src", "dst", iters = 3)),
 
     // 38b. geometry-typed warehouse dim (reference helpers.py:743
     // shapefile→WKT→GEOGRAPHY analog): WKT text + bbox pruning columns,
@@ -1467,6 +1490,39 @@ object SparkEntry {
         | least(4, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS n_frames,
         | least(256, CAST(octet_length(encode(text)) AS BIGINT)) AS total_frame_bytes
         |FROM documents""".stripMargin,
+    // q86: the same three damped integer iterations, unrolled as CTEs —
+    // every per-edge contribution is one integral divide, so the engines
+    // agree bit-for-bit
+    "q86_pagerank" ->
+      """WITH nm AS (SELECT MAX(c_custkey) AS nmax FROM customer),
+        |e AS (
+        |  SELECT c_custkey AS src, GREATEST(c_custkey // 2, 1) AS dst FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, (c_custkey * 7) % nmax + 1 FROM customer, nm
+        |), n AS (
+        |  SELECT DISTINCT src AS node FROM e
+        |  UNION SELECT DISTINCT dst FROM e
+        |), outd AS (SELECT src, COUNT(*) AS o FROM e GROUP BY src),
+        |c1 AS (
+        |  SELECT e.dst AS node, SUM((1000000 * 850) // (1000 * outd.o)) AS m
+        |  FROM e JOIN outd USING (src) GROUP BY e.dst
+        |), r1 AS (
+        |  SELECT n.node, CAST(150000 + COALESCE(c1.m, 0) AS BIGINT) AS r
+        |  FROM n LEFT JOIN c1 USING (node)
+        |), c2 AS (
+        |  SELECT e.dst AS node, SUM((r1.r * 850) // (1000 * outd.o)) AS m
+        |  FROM e JOIN outd USING (src) JOIN r1 ON r1.node = e.src
+        |  GROUP BY e.dst
+        |), r2 AS (
+        |  SELECT n.node, CAST(150000 + COALESCE(c2.m, 0) AS BIGINT) AS r
+        |  FROM n LEFT JOIN c2 USING (node)
+        |), c3 AS (
+        |  SELECT e.dst AS node, SUM((r2.r * 850) // (1000 * outd.o)) AS m
+        |  FROM e JOIN outd USING (src) JOIN r2 ON r2.node = e.src
+        |  GROUP BY e.dst
+        |)
+        |SELECT n.node, CAST(150000 + COALESCE(c3.m, 0) AS BIGINT) AS rank_micro
+        |FROM n LEFT JOIN c3 USING (node)""".stripMargin,
     // q85: rebuild the WKT text + bbox from the same vertex arithmetic as
     // the q60 oracle — string_agg in ring order, closing vertex repeated
     "q85_geometry_dim" ->

@@ -118,6 +118,33 @@ class Round6Spec extends SparkSpec {
     assert(cents(3) == cents(5))
   }
 
+  // ---- PageRank: deterministic integer ranks ------------------------------
+
+  test("PageRank: two hand-computed iterations on a 3-cycle with a chord") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val r = graft.graph.PageRank.ranks(e, "s", "d", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // r1 = (1000000, 575000, 1425000); second iteration by hand:
+    assert(r == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("PageRank: dangling node keeps the teleport base and absorbs mass") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val r = graft.graph.PageRank.ranks(e, "s", "d", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("PageRank: ranks are bit-identical across partitionings") {
+    val edges = (1L to 200L)
+      .flatMap(c => Seq((c, math.max(c / 2, 1L)), (c, (c * 7) % 200 + 1)))
+      .toDF("s", "d")
+    def run(parts: Int) = graft.graph.PageRank
+      .ranks(edges.repartition(parts), "s", "d", iters = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(2) == run(9))
+  }
+
   // ---- GeometryDim: WKT + bbox geometry sink ------------------------------
 
   private def ring(pts: (Long, Long)*) =
