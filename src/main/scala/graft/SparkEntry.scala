@@ -441,9 +441,16 @@ object SparkEntry {
     // within-cluster smaller-id cosine drop — full kept/dropped
     // disposition [rows-only; Round6Spec gates planted-dup recovery and
     // byte-identical results across partitionings]
-    "q84_semdedup" -> ((s, dir) =>
-      SemDedup.dedup(Tables(s, dir).embeddings, k = 32, iters = 2,
-        eps = 0.9)),
+    "q84_semdedup" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      // k tracks corpus size (≈1.5·√n): keeps the assignment pass (n·k)
+      // and the within-cell pair stage (Σ|cell|² ≈ n²/k) BOTH
+      // sub-quadratic — the SemDeDup k-grows-with-N rule under
+      // brute-force assignment (see SemDedup scaladoc for the
+      // coarse-quantizer assignment at the 100 TB point)
+      val k = math.max(32, (1.5 * math.sqrt(e.count().toDouble)).toInt)
+      SemDedup.dedup(e, k = k, iters = 2, eps = 0.9)
+    }),
 
     // 21. brute-force cosine top-k (rank-only output)
     "q21_ann_bruteforce" -> ((s, dir) => {
@@ -636,6 +643,22 @@ object SparkEntry {
         F.imageFormat(col("blob")).as("format"),
         F.imageWidth(col("blob")).cast("long").as("width"),
         F.imageHeight(col("blob")).cast("long").as("height"))
+    }),
+
+    // 46b. point-in-time-correct feature join: per purchase label, the
+    // user's trailing click/view counts over 1h/24h look-backs, strictly
+    // before the label instant — one shuffle, one sort, all four features
+    "q87_pit_features" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+      PitFeatures.trailingCounts(
+        labels = e.where(col("event_type") === "purchase"),
+        labelId = col("event_id"), labelUser = col("user_id"),
+        labelTs = col("ts"),
+        activity = e.where(col("event_type").isin("click", "view")),
+        actUser = col("user_id"), actTs = col("ts"),
+        actClass = col("event_type"),
+        classes = Seq("click", "view"),
+        windows = Seq("1h" -> 3600L, "24h" -> 86400L))
     }),
 
     // 45. deterministic integer PageRank over the customer link fixture
@@ -1490,6 +1513,33 @@ object SparkEntry {
         | least(4, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS n_frames,
         | least(256, CAST(octet_length(encode(text)) AS BIGINT)) AS total_frame_bytes
         |FROM documents""".stripMargin,
+    // q87: the same union + RANGE-frame windows — strict-before frames
+    // ([m−W, m−1] in microseconds) and integer weights, engine-exact
+    "q87_pit_features" ->
+      """WITH m AS (
+        |  SELECT CAST(NULL AS BIGINT) AS label_id, user_id,
+        |    CAST(NULL AS TIMESTAMP) AS lts, epoch_us(ts) AS m,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS wc,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS wv
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts, epoch_us(ts), 0, 0
+        |  FROM events WHERE event_type = 'purchase'
+        |), f AS (
+        |  SELECT label_id, user_id, lts AS ts,
+        |    CAST(COALESCE(SUM(wc) OVER w1, 0) AS BIGINT) AS click_1h,
+        |    CAST(COALESCE(SUM(wv) OVER w1, 0) AS BIGINT) AS view_1h,
+        |    CAST(COALESCE(SUM(wc) OVER w2, 0) AS BIGINT) AS click_24h,
+        |    CAST(COALESCE(SUM(wv) OVER w2, 0) AS BIGINT) AS view_24h
+        |  FROM m
+        |  WINDOW
+        |    w1 AS (PARTITION BY user_id ORDER BY m
+        |           RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+        |    w2 AS (PARTITION BY user_id ORDER BY m
+        |           RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT label_id, user_id, ts, click_1h, view_1h, click_24h, view_24h
+        |FROM f WHERE label_id IS NOT NULL""".stripMargin,
     // q86: the same three damped integer iterations, unrolled as CTEs —
     // every per-edge contribution is one integral divide, so the engines
     // agree bit-for-bit

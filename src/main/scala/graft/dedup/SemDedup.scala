@@ -24,6 +24,14 @@ import org.apache.spark.sql.types.DecimalType
   * join, one distinct — compare q37's loop). Dropped ids reduce map-side
   * via distinct before the final flag join.
   *
+  * Assignment cost is n·k cosines under this brute-force pass; with
+  * k ∝ √n both stages stay sub-quadratic (the bench setting). At the
+  * 100 TB point where k must scale linearly with N, replace the flat
+  * cross join with a two-level coarse quantizer — assign to √k
+  * super-cells first, then to the k centroids within the probed
+  * super-cell, exactly the IvfAnn probe shape — without touching the
+  * pair stage or the drop policy.
+  *
   * Determinism: centroid INIT is the k corpus vectors with the smallest
   * mixed id hash (the IvfAnn.centroids rule — no RNG, no driver state);
   * Lloyd refinement accumulates per-dimension means in DECIMAL(27,9) —

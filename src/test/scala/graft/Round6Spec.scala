@@ -118,6 +118,38 @@ class Round6Spec extends SparkSpec {
     assert(cents(3) == cents(5))
   }
 
+  // ---- PitFeatures: point-in-time feature join ----------------------------
+
+  test("PitFeatures: strictly-before frames, hand-computed counts, empty frames zero-fill") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: clicks at 0s/1800s/7200s, view at 10s; labels at 3661s and
+    // at exactly 7200s (the same instant as a click — must NOT leak)
+    val activity = Seq(
+      (1L, ts(0), "click"), (1L, ts(1800), "click"), (1L, ts(7200), "click"),
+      (1L, ts(10), "view"),
+      (2L, ts(50), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val labels = Seq(
+      (100L, 1L, ts(3661)), (101L, 1L, ts(7200)), (102L, 3L, ts(1000))
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.etl.PitFeatures.trailingCounts(
+      labels, col("event_id"), col("user_id"), col("ts"),
+      activity, col("user_id"), col("ts"), col("event_type"),
+      classes = Seq("click", "view"),
+      windows = Seq("1h" -> 3600L, "24h" -> 86400L))
+      .select("label_id", "click_1h", "view_1h", "click_24h", "view_24h")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // label 100 @3661: 1h frame [61, 3660] → click@1800 only; 24h → 2 clicks, 1 view
+    assert(got(100L) == ((1L, 0L, 2L, 1L)))
+    // label 101 @7200: the click AT 7200 is excluded (strictly before) —
+    // 1h frame [3600, 7199] → none; 24h → clicks at 0 and 1800 only
+    assert(got(101L) == ((0L, 0L, 2L, 1L)))
+    // label 102: user 3 has no activity at all → zero-filled
+    assert(got(102L) == ((0L, 0L, 0L, 0L)))
+  }
+
   // ---- PageRank: deterministic integer ranks ------------------------------
 
   test("PageRank: two hand-computed iterations on a 3-cycle with a chord") {
