@@ -189,3 +189,50 @@ object Profiler {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 }
+
+/** Streaming twin of [[Validator]] (the §2-28 twin rule applied to data
+  * quality): the SAME one-pass conditional-count expectation evaluation,
+  * per event-time tumbling window over an unbounded stream — continuous
+  * data-quality monitoring with bounded state (one counter row per open
+  * window; the watermark closes windows and frees their state).
+  *
+  * Row-predicate expectations only: [[Unique]] is an aggregate property
+  * whose DISTINCT counter streaming aggregation cannot maintain
+  * incrementally — rejected loudly rather than silently approximated.
+  * Per-window metrics match the batch [[Validator.validate]] on the same
+  * slice exactly (StreamingSpec-gated), so a backfilled batch audit and
+  * the live monitor can never disagree.
+  */
+object StreamValidator {
+
+  /** Per-window expectation metrics: (window_start, expectation, n_rows,
+    * n_pass, mostly_pct, success).
+    */
+  def windowed(stream: DataFrame, tsCol: String, windowDur: String,
+      watermarkDelay: String, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "no expectations given")
+    require(!expectations.exists(_.isInstanceOf[Unique]),
+      "streaming validation supports row-predicate expectations only " +
+        "(a DISTINCT counter cannot be maintained incrementally)")
+    val counters = count(lit(1)).as("n_rows") +:
+      expectations.zipWithIndex.map { case (e, i) =>
+        sum(when(e.passCond, 1L).otherwise(0L)).as(s"_pass_$i")
+      }
+    val rows = expectations.zipWithIndex.map { case (e, i) =>
+      struct(
+        lit(e.name).as("expectation"),
+        col("n_rows"),
+        col(s"_pass_$i").as("n_pass"),
+        lit(e.mostlyPct).as("mostly_pct"))
+    }
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("w.start").as("window_start"),
+        explode(array(rows: _*)).as("r"))
+      .select(col("window_start"), col("r.*"))
+      .withColumn("success",
+        col("n_pass") * 100 >= col("mostly_pct").cast("long") * col("n_rows"))
+  }
+}

@@ -208,4 +208,54 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 2L, 3L), "duplicates crossed the stream")
     } finally q.stop()
   }
+
+  test("streaming windowed validation matches the batch Validator per window") {
+    import graft.validation._
+    val events = Seq(
+      (ts(10, 0), "click", 5L), (ts(10, 30), "bogus", 50L),
+      (ts(11, 5), "view", 7L), (ts(11, 10), "click", 500L),
+      (ts(11, 40), "view", -3L))
+    val exps: Seq[Expectation] = Seq(
+      InSet("type_in_set", col("event_type"), Seq("click", "view"), 50),
+      Between("value_range", col("value"), 0L, 100L, 100),
+      NotNull("type_not_null", col("event_type")))
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+    mem.addData(events: _*)
+    val out = StreamValidator.windowed(
+      mem.toDF().toDF("ts", "event_type", "value"),
+      "ts", "1 hour", "10 minutes", exps)
+    val q = out.writeStream.format("memory").queryName("valid_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("valid_stream")
+      .as[(java.sql.Timestamp, String, Long, Long, Int, Boolean)]
+      .collect().toSet
+    val static = events.toDF("ts", "event_type", "value")
+    val batch = Seq(10, 11).flatMap { h =>
+      Validator.validate(
+        static.where(hour(col("ts")) === h), exps)
+        .as[(String, Long, Long, Int, Boolean)].collect()
+        .map { case (e, nr, np, mp, s) =>
+          (ts(h, 0), e, nr, np, mp, s)
+        }
+    }.toSet
+    assert(streamed == batch)
+    // the mostly thresholds behave: hour 10 type_in_set passes at 50%,
+    // hour 11 value_range fails (500 and -3 out of range)
+    val byKey = streamed.map(r => (r._1.toString, r._2) -> r._6).toMap
+    assert(byKey((ts(10, 0).toString, "type_in_set")))
+    assert(!byKey((ts(11, 0).toString, "value_range")))
+  }
+
+  test("streaming validation rejects aggregate (Unique) expectations loudly") {
+    import graft.validation._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val ex = intercept[IllegalArgumentException] {
+      StreamValidator.windowed(mem.toDF().toDF("ts", "v"), "ts", "1 hour",
+        "10 minutes", Seq(Unique("u", col("v"))))
+    }
+    assert(ex.getMessage.contains("row-predicate"))
+  }
 }
