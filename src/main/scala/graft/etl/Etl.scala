@@ -682,12 +682,31 @@ object BloomSemiJoin {
   /** `fact ⋈ dim` on `factKey = dimKey`, with the fact scan pre-filtered by
     * a Bloom sketch of the dim keys. numBits/numHashes size the filter:
     * fpp ≈ (1 - e^(-kn/m))^k; 2^16 bits / 4 hashes holds ~6k keys at <1%.
+    *
+    * `numBits = 0` (the default) AUTO-SIZES from the dim cardinality —
+    * ~10 bits per key at k = 4 ≈ 1.2% fpp — because a fixed-size filter
+    * SATURATES when the dim outgrows it (every bit set → zero pruning,
+    * pure probe overhead; the round-6 10× probe caught exactly this on
+    * q67). The size pass is one count() over the small side; callers on
+    * a hot path pass an explicit numBits or cache the dim. The size is
+    * capped at 2^27 bits (16 MiB inlined probe) — past that the literal
+    * codegen probe stops paying and a broadcast/shuffle join is the
+    * right plan; the cap keeps no-false-negative correctness (result ≡
+    * plain join always; fpp just rises).
     */
   def filtered(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+      dimKey: String, numBits: Int = 0, numHashes: Int = 4): DataFrame = {
     import graft.functions.{Bloom, F}
+    val bits =
+      if (numBits > 0) numBits
+      else {
+        val n = dim.count()
+        val want = math.max(1L << 16,
+          java.lang.Long.highestOneBit(math.max(1L, 10L * n)) << 1)
+        math.min(want, 1L << 27).toInt
+      }
     val bf = dim.select(col(dimKey).cast("long").as("k"))
-      .agg(Bloom.sketch(col("k"), numBits, numHashes).as("bf"))
+      .agg(Bloom.sketch(col("k"), bits, numHashes).as("bf"))
       .select(col("bf.numHashes"), col("bf.words"))
       .head() // ONE row: the finished sketch — bounded at numBits/8 bytes
     val words = bf.getSeq[Long](1).toArray

@@ -118,6 +118,23 @@ class Round6Spec extends SparkSpec {
     assert(cents(3) == cents(5))
   }
 
+  // ---- BloomSemiJoin auto-sizing ------------------------------------------
+
+  test("BloomSemiJoin: auto-sized filter stays unsaturated on a dim that would drown the old default") {
+    // 50k keys would saturate 2^16 bits (fill ~ 1.0); auto-sizing keeps
+    // the fill bounded and the fpp real. Result must equal the plain join
+    // regardless (no false negatives).
+    val dim = (1L to 50000L).map(i => Tuple1(i * 2)).toDF("k")
+    val fact = (1L to 4000L).map(i => Tuple1(i * 25)).toDF("fk")
+    val got = graft.etl.BloomSemiJoin
+      .filtered(fact, dim, "fk", "k")
+      .select("fk").as[Long].collect().sorted
+    val plain = fact.join(dim, fact("fk") === dim("k"))
+      .select("fk").as[Long].collect().sorted
+    assert(got.toSeq == plain.toSeq)
+    assert(got.nonEmpty)
+  }
+
   // ---- PitFeatures: point-in-time feature join ----------------------------
 
   test("PitFeatures: strictly-before frames, hand-computed counts, empty frames zero-fill") {
