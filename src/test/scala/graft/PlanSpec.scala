@@ -96,4 +96,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "aggregate side not broadcast:\n" + p.take(1200))
     assert(!p.contains("SortMergeJoin"), "zero-fill fell back to a shuffle join")
   }
+
+  test("point-in-time feature join is ONE user shuffle: all frames share a single window sort") {
+    val p = plan("q87_pit_features")
+      .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
+    // one hash exchange for the user partitioning, no join anywhere
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "features did not share one shuffle:\n" + p.take(1500))
+    assert(!p.contains("Join"), "labels x activity join sneaked in")
+    // exactly one Sort feeds all four RANGE frames
+    assert("\\bSort \\[".r.findAllIn(p).size == 1,
+      "window frames did not stack on a single sort:\n" + p.take(1500))
+  }
+
+  test("BM25 index search prunes partitions and never rebuilds corpus stats") {
+    val idx = java.nio.file.Files.createTempDirectory("planbm25").toString
+    graft.functions.Bm25.buildIndex(
+      Tables(spark, sf0001).documents, "doc_id", "text", idx, nBuckets = 16)
+    val p = graft.functions.Bm25
+      .searchIndex(spark, idx, Seq(0L -> Seq("spark", "window")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), "no partition pruning on the index scan")
+    assert(!p.toLowerCase.contains("tokenslower") && !p.contains("explode"),
+      "search path re-tokenized the corpus:\n" + p.take(1200))
+  }
 }
