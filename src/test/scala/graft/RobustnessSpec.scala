@@ -86,4 +86,42 @@ class RobustnessSpec extends SparkSpec {
     assert(GraftCsv.goodRecords(df).count() +
       GraftCsv.badRecords(df).count() == 2)
   }
+
+  test("round-6 ops survive empty inputs and degenerate parameters") {
+    // PageRank on an empty edge list → empty ranks, no throw
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(graft.graph.PageRank.ranks(noEdges, "s", "d", iters = 2).count() == 0L)
+
+    // PitFeatures with no labels → empty; with no activity → zero-filled
+    val acts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val noLabels = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "ts")
+    assert(graft.etl.PitFeatures.trailingCounts(
+      noLabels, col("event_id"), col("user_id"), col("ts"),
+      acts, col("user_id"), col("ts"), col("event_type"),
+      Seq("click"), Seq("1h" -> 3600L)).count() == 0L)
+
+    // SemDedup with k larger than the corpus → every vector its own cell,
+    // everything kept
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val sd = graft.dedup.SemDedup.dedup(tiny, k = 16, iters = 1, eps = 0.99)
+      .as[(Long, Long, Boolean)].collect()
+    assert(sd.length == 2 && sd.forall(_._3))
+
+    // BM25 with an empty query batch → empty result, no throw
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(graft.functions.Bm25.topK(docs, "doc_id", "text",
+      Seq.empty, k = 3).count() == 0L)
+
+    // WKT round trip of a degenerate 1-vertex ring survives
+    val dot = Seq((1L, Seq((5L, 7L)))).toDF("poly_id", "vertices")
+      .select(col("poly_id"), col("vertices")
+        .cast("array<struct<x:bigint,y:bigint>>").as("vertices"))
+    val back = dot.select(graft.etl.GeometryDim.fromWkt(
+      graft.etl.GeometryDim.toWkt(col("vertices"))).as("v"))
+      .select(size(col("v"))).as[Int].head()
+    assert(back == 1)
+  }
 }
