@@ -645,6 +645,27 @@ object SparkEntry {
         F.imageHeight(col("blob")).cast("long").as("height"))
     }),
 
+    // 47b. per-group min-max feature scaling to integer basis points —
+    // one shuffle, NO sort (unbounded-frame window min/max)
+    "q88_minmax_scale" -> ((s, dir) =>
+      FeatureScale.minMaxBp(Tables(s, dir).customer,
+        groupCol = col("c_mktsegment"),
+        // double → DECIMAL(18,2) → cents: exact on both engines (the
+        // float rule — a raw double*100 cast truncates vs rounds
+        // differently across engines)
+        valueCol = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast("long"),
+        idCol = col("c_custkey"))),
+
+    // 47c. per-group equal-frequency binning (quantile discretization)
+    // via ntile over the deterministic (value, id) order
+    "q89_equal_freq_bins" -> ((s, dir) =>
+      FeatureScale.equalFreqBins(Tables(s, dir).customer,
+        groupCol = col("c_mktsegment"),
+        valueCol = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast("long"),
+        idCol = col("c_custkey"), bins = 4)),
+
     // 46b. point-in-time-correct feature join: per purchase label, the
     // user's trailing click/view counts over 1h/24h look-backs, strictly
     // before the label instant — one shuffle, one sort, all four features
@@ -1513,6 +1534,28 @@ object SparkEntry {
         | least(4, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS n_frames,
         | least(256, CAST(octet_length(encode(text)) AS BIGINT)) AS total_frame_bytes
         |FROM documents""".stripMargin,
+    // q88/q89: identical integer arithmetic in DuckDB (// is integral
+    // division; ntile shares the standard remainder-to-leading-buckets
+    // definition)
+    "q88_minmax_scale" ->
+      """WITH v AS (
+        |  SELECT c_custkey AS id, c_mktsegment AS grp,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM customer
+        |), mm AS (
+        |  SELECT grp, MIN(v) AS mn, MAX(v) AS mx FROM v GROUP BY grp
+        |)
+        |SELECT id, v.grp, v.v,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE ((v.v - mn) * 10000) // (mx - mn) END AS scaled_bp
+        |FROM v JOIN mm ON v.grp = mm.grp""".stripMargin,
+    "q89_equal_freq_bins" ->
+      """SELECT c_custkey AS id, c_mktsegment AS grp,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), c_custkey) AS BIGINT)
+        |    AS bin
+        |FROM customer""".stripMargin,
     // q87: the same union + RANGE-frame windows — strict-before frames
     // ([m−W, m−1] in microseconds) and integer weights, engine-exact
     "q87_pit_features" ->

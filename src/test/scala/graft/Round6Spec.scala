@@ -118,6 +118,29 @@ class Round6Spec extends SparkSpec {
     assert(cents(3) == cents(5))
   }
 
+  // ---- FeatureScale -------------------------------------------------------
+
+  test("FeatureScale: hand-computed min-max basis points; constant group scales to 0") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 35L),
+      (4L, "b", 7L), (5L, "b", 7L)).toDF("id", "g", "x")
+    val got = graft.etl.FeatureScale
+      .minMaxBp(df, col("g"), col("x"), col("id"))
+      .select("id", "scaled_bp").as[(Long, Long)].collect().toMap
+    // group a: span 25 → 0, (10*10000) div 25 = 4000, 10000
+    assert(got == Map(1L -> 0L, 2L -> 4000L, 3L -> 10000L,
+      4L -> 0L, 5L -> 0L))
+  }
+
+  test("FeatureScale: equal-frequency bins split the remainder to leading buckets") {
+    val df = (1L to 10L).map(i => (i, "g", i * 3)).toDF("id", "g", "x")
+    val got = graft.etl.FeatureScale
+      .equalFreqBins(df, col("g"), col("x"), col("id"), bins = 4)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // 10 rows into 4 bins → sizes 3,3,2,2 in value order
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 2L, 7L -> 3L, 8L -> 3L, 9L -> 4L, 10L -> 4L))
+  }
+
   // ---- BloomSemiJoin auto-sizing ------------------------------------------
 
   test("BloomSemiJoin: auto-sized filter stays unsaturated on a dim that would drown the old default") {
