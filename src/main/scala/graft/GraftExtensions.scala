@@ -46,7 +46,19 @@ object GraftFunctions {
       invoke(classOf[Hashing.type], DoubleType, "l2sqF", nullableOut = false) _),
     ("graft_bloom_contains",
       "Bloom membership probe of (words array<long>, numHashes, key)",
-      invoke(classOf[Hashing.type], BooleanType, "bloomContains", nullableOut = false) _))
+      invoke(classOf[Hashing.type], BooleanType, "bloomContains", nullableOut = false) _),
+    ("graft_image_format",
+      "container sniff of an image binary: 'png' / 'jpeg' / null",
+      invoke(classOf[graft.multimodal.MediaHeader.type], StringType,
+        "format", nullableOut = true) _),
+    ("graft_image_width",
+      "pixel width from a PNG IHDR / JPEG SOF header (-1 if corrupt)",
+      invoke(classOf[graft.multimodal.MediaHeader.type], IntegerType,
+        "width", nullableOut = false) _),
+    ("graft_image_height",
+      "pixel height from a PNG IHDR / JPEG SOF header (-1 if corrupt)",
+      invoke(classOf[graft.multimodal.MediaHeader.type], IntegerType,
+        "height", nullableOut = false) _))
 
   /** Register every graft function into a live session's catalog. */
   def register(spark: SparkSession): Unit =

@@ -81,4 +81,19 @@ class ExtensionsSpec extends SparkSpec {
         got.count(_.isEmpty) == 2) // 0 and 4000 are out of codec range
     } finally spark.experimental.extraOptimizations = saved
   }
+
+  test("graft_image_* SQL functions parse headers from binary literals") {
+    GraftFunctions.register(spark)
+    val png = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000320" + "00000258" + "0806000000" + "DEADBEEF"
+    val r = spark.sql(
+      s"""SELECT graft_image_format(unhex('$png')) AS f,
+         |  graft_image_width(unhex('$png')) AS w,
+         |  graft_image_height(unhex('$png')) AS h,
+         |  graft_image_format(unhex('00')) AS bad,
+         |  graft_image_width(unhex('00')) AS badw
+         |""".stripMargin)
+      .as[(String, Int, Int, Option[String], Int)].head()
+    assert(r == (("png", 800, 600, None, -1)))
+  }
 }
