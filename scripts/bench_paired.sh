@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Paired benchmark protocol (VERDICT r4/r5: a bench artifact is only
+# comparable when both builds run back-to-back in ONE shell on an idle
+# box). Usage:
+#   scripts/bench_paired.sh <sf_dir> <out_json> [<baseline_ref>]
+#
+# - refuses to start until 1-minute loadavg < 25% of core count
+#   (override with GRAFT_BENCH_FORCE=1);
+# - if <baseline_ref> is given, stashes the working tree, benches the
+#   baseline commit first, restores, then benches HEAD — same shell,
+#   same box, interleaved in time;
+# - Bench.scala itself stamps /proc/loadavg into each JSON line, so the
+#   artifact records the conditions it was measured under.
+set -euo pipefail
+SF_DIR=${1:?usage: bench_paired.sh <sf_dir> <out_json> [<baseline_ref>]}
+OUT=${2:?need output json path}
+BASE_REF=${3:-}
+
+cores=$(nproc)
+for i in $(seq 1 60); do
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  ok=$(python3 -c "print(1 if $load < $cores * 0.25 else 0)")
+  [ "${GRAFT_BENCH_FORCE:-0}" = "1" ] && ok=1
+  [ "$ok" = "1" ] && break
+  echo "[bench_paired] loadavg $load too high for $cores cores; waiting ($i/60)" >&2
+  sleep 10
+done
+
+run_bench() {
+  SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}'
+}
+
+if [ -n "$BASE_REF" ]; then
+  dirty=$(git status --porcelain | wc -l)
+  [ "$dirty" -gt 0 ] && git stash push -q -m bench_paired
+  cur=$(git rev-parse --abbrev-ref HEAD)
+  git checkout -q "$BASE_REF"
+  echo "[bench_paired] baseline $BASE_REF" >&2
+  run_bench > "${OUT%.json}_baseline.json"
+  git checkout -q "$cur"
+  [ "$dirty" -gt 0 ] && git stash pop -q
+fi
+
+echo "[bench_paired] HEAD" >&2
+run_bench > "$OUT"
+echo "[bench_paired] wrote $OUT" >&2
