@@ -1,0 +1,90 @@
+package graft
+
+import graft.dedup.{Contamination, DedupClusters, ExactDedup, MinHashDedup,
+  NgramJaccard, Packing}
+import graft.functions.{TextClean, TextStats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the §2 operators composed the
+  * way a real data pipeline chains them, as ONE lazily-built DataFrame
+  * program (no intermediate actions; Catalyst sees the whole funnel):
+  *
+  *   clean → language/quality gate → exact dedup → near-dup keeper
+  *   (MinHash LSH candidates → exact-Jaccard verify → connected
+  *   components → keep each component's min id) → benchmark
+  *   decontamination → greedy sequence packing
+  *
+  * Each stage is the already-gated operator (q42/q24/q25/q16/q17/q19/
+  * q37/q45/q46) — this object adds composition, not new semantics, and
+  * PipelineSpec gates the composition laws: stage survivor sets are
+  * monotone decreasing, every survivor packs exactly once, planted
+  * near-dups collapse to one survivor, contaminated docs drop, and the
+  * whole funnel is deterministic across partitionings.
+  *
+  * Scale: inherits each operator's shape (narrow-key shuffles, bucket
+  * caps, hash-reduced payloads); the funnel frame is six count
+  * aggregates, not six actions.
+  */
+object Pipeline {
+
+  final case class CorpusPrep(packed: DataFrame, funnel: DataFrame)
+
+  /** Run the funnel over `docs` (idCol, textCol). `bench` guards against
+    * benchmark contamination (pass an empty frame to skip). Returns the
+    * packed sequences (doc_id, n_tokens, seq_id, seq_pos) and a
+    * (stage, n_docs) funnel summary.
+    */
+  def prepareCorpus(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      langs: Seq[String] = Seq("en"), minQuality: Long = 10L,
+      maxContamPct: Long = 50L, shingleK: Int = 2,
+      contamShingleK: Int = 5, minJaccardPct: Int = 50,
+      maxTokens: Long = 512L, packPartitions: Int = 8): CorpusPrep = {
+    val cleaned = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextClean.cleanChain(col(textCol)).as("text"))
+
+    val gated = cleaned
+      .where(TextStats.langId(col("text")).isin(langs: _*) &&
+        TextStats.qualityScore(col("text")) >= minQuality)
+
+    val exact = ExactDedup.dedup(gated, "doc_id", "text")
+
+    val cands = MinHashDedup.candidatePairs(exact, "doc_id", "text",
+      shingleK = shingleK, numPerms = 64, bands = 16,
+      minJaccardPct = minJaccardPct)
+    val pairs = NgramJaccard.verify(exact, cands, "doc_id", "text",
+      shingleK, minJaccardPct).select("id_a", "id_b")
+    val keepers = DedupClusters
+      .connectedComponents(exact, "doc_id", pairs)
+      .where(col("id") === col("component"))
+      .select(col("id").as("doc_id"))
+    val nearDeduped = exact.join(keepers, Seq("doc_id"), "left_semi")
+
+    val contaminated = Contamination
+      .overlap(bench.select(col(benchId).as("bench_id"),
+          col(benchText).as("text")),
+        "text",
+        nearDeduped, "doc_id", "text", contamShingleK)
+      .where(col("contaminated_pct") >= maxContamPct)
+      .select(col("bench_id").as("doc_id"))
+    val decontaminated = nearDeduped
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    val packed = Packing.firstFit(
+      decontaminated.select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tok")),
+      "doc_id", col("n_tok"), maxTokens, packPartitions)
+
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
+        col("n_docs"))
+    val funnel = stage("0_raw", docs)
+      .unionAll(stage("1_gated", gated))
+      .unionAll(stage("2_exact_dedup", exact))
+      .unionAll(stage("3_near_dedup", nearDeduped))
+      .unionAll(stage("4_decontaminated", decontaminated))
+      .unionAll(stage("5_packed", packed))
+    CorpusPrep(packed, funnel)
+  }
+}

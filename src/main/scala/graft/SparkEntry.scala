@@ -645,6 +645,19 @@ object SparkEntry {
         F.imageHeight(col("blob")).cast("long").as("height"))
     }),
 
+    // 48. end-to-end corpus-prep funnel (clean → gate → exact dedup →
+    // near-dup keeper → decontaminate → pack), stages counted in one
+    // lazy frame [rows-only; PipelineSpec gates the composition laws —
+    // every stage operator is individually oracle-gated via q42/q24/
+    // q25/q16/q17/q19/q37/q45/q46]
+    "q90_corpus_prep" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Pipeline.prepareCorpus(d, "doc_id", "text",
+        bench = d.where(col("doc_id") < 40)
+          .select(col("doc_id"), substring(col("text"), 1, 150).as("text")),
+        benchId = "doc_id", benchText = "text").funnel
+    }),
+
     // 47b. per-group min-max feature scaling to integer basis points —
     // one shuffle, NO sort (unbounded-frame window min/max)
     "q88_minmax_scale" -> ((s, dir) =>

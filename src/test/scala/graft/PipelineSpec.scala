@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Composition laws for the end-to-end corpus-prep funnel: each stage's
+  * operator is individually gated elsewhere; here we assert the CHAIN
+  * behaves — monotone survivor sets, planted drops at the right stage,
+  * pack-exactly-once, and partitioning-independence.
+  */
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox and the lazy dog sit on the mat in the sun"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base), // exact duplicate → drops at exact dedup
+    (3L, base.replace("lazy", "sleepy")), // near-dup → cluster keeper is 1
+    (4L, "der hund und die katze sind nicht hier heute"), // German → gated
+    (5L, "alpha beta gamma delta and the epsilon zeta eta theta iota kappa"),
+    (6L, "many colorful birds fly over the tall green trees in the morning")
+  ).toDF("doc_id", "text")
+  // doc 5 is verbatim in the benchmark set → drops at decontamination
+  private val bench = Seq(
+    (100L, "alpha beta gamma delta and the epsilon zeta eta theta iota kappa")
+  ).toDF("bench_id", "text")
+
+  test("corpus prep funnel drops each planted doc at its stage and packs survivors once") {
+    val prep = Pipeline.prepareCorpus(docs, "doc_id", "text",
+      bench, "bench_id", "text")
+    val funnel = prep.funnel.as[(String, Long)].collect().toMap
+    assert(funnel == Map(
+      "0_raw" -> 6L, "1_gated" -> 5L, "2_exact_dedup" -> 4L,
+      "3_near_dedup" -> 3L, "4_decontaminated" -> 2L, "5_packed" -> 2L))
+    val packedIds = prep.packed.select("doc_id").as[Long].collect().sorted
+    assert(packedIds.toSeq == Seq(1L, 6L))
+    // every packed doc appears exactly once and within budget
+    val perSeq = prep.packed.groupBy("seq_id")
+      .agg(sum("n_tokens").as("t")).as[(Long, Long)].collect()
+    assert(perSeq.forall(_._2 <= 512L))
+  }
+
+  test("corpus prep is deterministic across partitionings") {
+    def run(parts: Int) = Pipeline.prepareCorpus(
+      docs.repartition(parts), "doc_id", "text",
+      bench, "bench_id", "text")
+      .packed.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(2) == run(5))
+  }
+
+  test("empty benchmark set skips decontamination without dropping anything") {
+    val noBench = Seq.empty[(Long, String)].toDF("bench_id", "text")
+    val prep = Pipeline.prepareCorpus(docs, "doc_id", "text",
+      noBench, "bench_id", "text")
+    val funnel = prep.funnel.as[(String, Long)].collect().toMap
+    assert(funnel("4_decontaminated") == 3L) // doc 5 survives now
+  }
+}
