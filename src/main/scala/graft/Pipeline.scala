@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale: inherits each operator's shape (narrow-key shuffles, bucket
   * caps, hash-reduced payloads); the funnel frame is six count
-  * aggregates, not six actions.
+  * aggregates, not six actions. Stage frames PERSIST (memory+disk):
+  * each is consumed by its successor stage AND the funnel count, and
+  * union branches do not share subplans — without the persist the
+  * chain re-executes once per downstream consumer (~6× the work; the
+  * round-6 bench caught exactly that). Callers running many epochs
+  * over the result should keep `packed` cached and unpersist the rest.
   */
 object Pipeline {
 
@@ -44,11 +49,14 @@ object Pipeline {
     val cleaned = docs.select(col(idCol).cast("long").as("doc_id"),
       TextClean.cleanChain(col(textCol)).as("text"))
 
-    val gated = cleaned
-      .where(TextStats.langId(col("text")).isin(langs: _*) &&
-        TextStats.qualityScore(col("text")) >= minQuality)
+    import org.apache.spark.storage.StorageLevel
+    def shared(df: DataFrame) = df.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val exact = ExactDedup.dedup(gated, "doc_id", "text")
+    val gated = shared(cleaned
+      .where(TextStats.langId(col("text")).isin(langs: _*) &&
+        TextStats.qualityScore(col("text")) >= minQuality))
+
+    val exact = shared(ExactDedup.dedup(gated, "doc_id", "text"))
 
     val cands = MinHashDedup.candidatePairs(exact, "doc_id", "text",
       shingleK = shingleK, numPerms = 64, bands = 16,
@@ -59,7 +67,7 @@ object Pipeline {
       .connectedComponents(exact, "doc_id", pairs)
       .where(col("id") === col("component"))
       .select(col("id").as("doc_id"))
-    val nearDeduped = exact.join(keepers, Seq("doc_id"), "left_semi")
+    val nearDeduped = shared(exact.join(keepers, Seq("doc_id"), "left_semi"))
 
     val contaminated = Contamination
       .overlap(bench.select(col(benchId).as("bench_id"),
@@ -68,13 +76,13 @@ object Pipeline {
         nearDeduped, "doc_id", "text", contamShingleK)
       .where(col("contaminated_pct") >= maxContamPct)
       .select(col("bench_id").as("doc_id"))
-    val decontaminated = nearDeduped
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    val decontaminated = shared(nearDeduped
+      .join(contaminated, Seq("doc_id"), "left_anti"))
 
-    val packed = Packing.firstFit(
+    val packed = shared(Packing.firstFit(
       decontaminated.select(col("doc_id"),
         TextStats.tokenCount(col("text")).as("n_tok")),
-      "doc_id", col("n_tok"), maxTokens, packPartitions)
+      "doc_id", col("n_tok"), maxTokens, packPartitions))
 
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
