@@ -645,6 +645,15 @@ object SparkEntry {
         F.imageHeight(col("blob")).cast("long").as("height"))
     }),
 
+    // 36g. sorted-neighborhood ER blocking: one block-keyed sort, w−1
+    // stacked lead() windows, linear candidate count, Levenshtein verify
+    // in the projection — the classic alternative to q48's q-gram blocks
+    "q91_sorted_neighborhood" -> ((s, dir) =>
+      SortedNeighborhood.pairs(Tables(s, dir).customer,
+        idCol = col("c_custkey"), blockCol = col("c_mktsegment"),
+        keyCol = col("c_name"), nameCol = col("c_name"),
+        w = 3, maxDist = 2)),
+
     // 48. end-to-end corpus-prep funnel (clean → gate → exact dedup →
     // near-dup keeper → decontaminate → pack), stages counted in one
     // lazy frame [rows-only; PipelineSpec gates the composition laws —
@@ -1547,6 +1556,24 @@ object SparkEntry {
         | least(4, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS n_frames,
         | least(256, CAST(octet_length(encode(text)) AS BIGINT)) AS total_frame_bytes
         |FROM documents""".stripMargin,
+    // q91: the identical blocked window replayed in SQL — same
+    // (key, id) tie-break, same lead offsets, same levenshtein verify
+    "q91_sorted_neighborhood" ->
+      """WITH nb AS (
+        |  SELECT c_custkey AS id_a, c_name AS name_a,
+        |    lead(c_custkey, 1) OVER w AS b1, lead(c_name, 1) OVER w AS n1,
+        |    lead(c_custkey, 2) OVER w AS b2, lead(c_name, 2) OVER w AS n2
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_name, c_custkey)
+        |), p AS (
+        |  SELECT id_a, b1 AS id_b,
+        |    CAST(levenshtein(name_a, n1) AS BIGINT) AS dist
+        |  FROM nb WHERE b1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT id_a, b2, CAST(levenshtein(name_a, n2) AS BIGINT)
+        |  FROM nb WHERE b2 IS NOT NULL
+        |)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 2""".stripMargin,
     // q88/q89: identical integer arithmetic in DuckDB (// is integral
     // division; ntile shares the standard remainder-to-leading-buckets
     // definition)

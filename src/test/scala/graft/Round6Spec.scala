@@ -118,6 +118,25 @@ class Round6Spec extends SparkSpec {
     assert(cents(3) == cents(5))
   }
 
+  // ---- SortedNeighborhood -------------------------------------------------
+
+  test("SortedNeighborhood: window pairs within a block only, verified by edit distance") {
+    val df = Seq(
+      (1L, "b1", "smith"), (2L, "b1", "smyth"), (3L, "b1", "smithe"),
+      (4L, "b1", "zzzzz"), // sorts last in b1 — within window of 3 only via 3,4
+      (5L, "b2", "smith") // other block: never compared to b1's smiths
+    ).toDF("id", "blk", "name")
+    val got = graft.etl.SortedNeighborhood.pairs(df,
+      col("id"), col("blk"), col("name"), col("name"), w = 3, maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    // b1 sort order: smith(1), smithe(3), smyth(2), zzzzz(4)
+    // window-2 pairs: (1,3) d1, (1,2) d1, (3,2) d2, (3,4) d>2, (2,4) d>2
+    assert(got == Set((1L, 3L, 1L), (1L, 2L, 1L), (3L, 2L, 2L)))
+    // no cross-block pair ever appears
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   // ---- FeatureScale -------------------------------------------------------
 
   test("FeatureScale: hand-computed min-max basis points; constant group scales to 0") {
