@@ -443,13 +443,14 @@ object SparkEntry {
     // byte-identical results across partitionings]
     "q84_semdedup" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
-      // k tracks corpus size (≈1.5·√n): keeps the assignment pass (n·k)
-      // and the within-cell pair stage (Σ|cell|² ≈ n²/k) BOTH
-      // sub-quadratic — the SemDeDup k-grows-with-N rule under
-      // brute-force assignment (see SemDedup scaladoc for the
-      // coarse-quantizer assignment at the 100 TB point)
+      // k tracks corpus size (≈1.5·√n) so the within-cell pair stage
+      // (Σ|cell|² ≈ n²/k) stays sub-quadratic — the SemDeDup
+      // k-grows-with-N rule; assignment routes through the two-level
+      // coarse quantizer (probe=2: n·~3√k cosines instead of the flat
+      // n·k), the path that stays sub-quadratic even at the paper's
+      // k ∝ N regime (Round7Spec gates probed ≡ flat at full probe)
       val k = math.max(32, (1.5 * math.sqrt(e.count().toDouble)).toInt)
-      SemDedup.dedup(e, k = k, iters = 2, eps = 0.9)
+      SemDedup.dedup(e, k = k, iters = 2, eps = 0.9, probe = 2)
     }),
 
     // 21. brute-force cosine top-k (rank-only output)

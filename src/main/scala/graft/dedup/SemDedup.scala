@@ -24,13 +24,18 @@ import org.apache.spark.sql.types.DecimalType
   * join, one distinct — compare q37's loop). Dropped ids reduce map-side
   * via distinct before the final flag join.
   *
-  * Assignment cost is n·k cosines under this brute-force pass; with
+  * Assignment cost is n·k cosines under the brute-force pass; with
   * k ∝ √n both stages stay sub-quadratic (the bench setting). At the
-  * 100 TB point where k must scale linearly with N, replace the flat
-  * cross join with a two-level coarse quantizer — assign to √k
-  * super-cells first, then to the k centroids within the probed
-  * super-cell, exactly the IvfAnn probe shape — without touching the
-  * pair stage or the drop policy.
+  * 100 TB point where k must scale linearly with N, pass `probe > 0`
+  * to route assignment through the TWO-LEVEL coarse quantizer
+  * ([[assignProbed]]): vectors go to their best `probe` of ⌈√k⌉
+  * super-cells first (the super-centroids are the same deterministic
+  * k-means run over the centroids themselves), then exhaustively to
+  * the centroids living in those super-cells — exactly the IvfAnn
+  * probe shape, n·(√k + probe·k/√k) cosines instead of n·k, without
+  * touching the pair stage or the drop policy. Probing every
+  * super-cell (probe ≥ ⌈√k⌉) degenerates to the exact flat argmax —
+  * Round7Spec asserts byte-identity of the kept set on that path.
   *
   * Determinism: centroid INIT is the k corpus vectors with the smallest
   * mixed id hash (the IvfAnn.centroids rule — no RNG, no driver state);
@@ -47,13 +52,16 @@ object SemDedup {
     * decimal Lloyd refinements. Output: (cid, c_vec).
     */
   def centroids(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probe: Int = 0): DataFrame = {
     var cents = corpus
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("c_vec"))
       .withColumn("_r", F.hash64(col("cid").cast("string")))
-      .orderBy(col("_r")).limit(k).drop("_r")
+      // cid tie-break: a 64-bit hash collision between two ids must not
+      // make the seed selection partitioning-dependent
+      .orderBy(col("_r"), col("cid")).limit(k).drop("_r")
     for (_ <- 1 to iters) {
-      val means = assign(corpus, cents, idCol, vecCol)
+      val means = assignBest(corpus, cents, idCol, vecCol, probe)
         .select(col("cell"), posexplode(col("n_vec")).as(Seq("di", "x")))
         .groupBy(col("cell"), col("di"))
         .agg((sum(col("x").cast(DecimalType(27, 9))) / count(lit(1)))
@@ -68,6 +76,15 @@ object SemDedup {
     }
     cents
   }
+
+  /** Assignment dispatch: `probe == 0` → exact flat argmax ([[assign]]);
+    * `probe > 0` → two-level coarse quantizer ([[assignProbed]]). Both
+    * return (nid, cell, n_vec) with the same (cos, cid) tie-break.
+    */
+  private def assignBest(corpus: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, probe: Int): DataFrame =
+    if (probe <= 0) assign(corpus, cents, idCol, vecCol)
+    else assignProbed(corpus, cents, idCol, vecCol, probe)
 
   /** Nearest-centroid cell per vector: broadcast cross join + map-side
     * partial max over (cos, cid) — deterministic tie-break. Output:
@@ -87,6 +104,65 @@ object SemDedup {
       .join(best, "nid")
   }
 
+  /** Two-level coarse-quantized assignment (the IvfAnn probe shape, for
+    * the paper's k ∝ N regime where the flat n·k pass stops being
+    * sub-quadratic):
+    *
+    *  1. train ⌈√k⌉ SUPER-centroids over the k centroids themselves —
+    *     the same deterministic hash-init + exact-decimal Lloyd run
+    *     ([[centroids]]), so the whole path stays RNG-free;
+    *  2. map each centroid to its super-cell by exact flat argmax
+    *     (k·√k cosines — broadcast-tiny);
+    *  3. per corpus vector, rank the NON-EMPTY super-cells by cosine
+    *     and keep the best `probe` of them (struct sort on (cos, scid),
+    *     the flat tie-break, so probe ≥ #super-cells reproduces the
+    *     exact argmax bit-for-bit);
+    *  4. exhaustive argmax over only the centroids in the probed
+    *     super-cells.
+    *
+    * Cost: n·(√k + probe·k̄) cosines where k̄ = mean centroids per
+    * super-cell ≈ √k — i.e. n·√k·(1+probe) vs the flat n·k. Empty
+    * super-cells (Lloyd can strand one) are excluded from ranking in
+    * step 3, so every vector always lands in a cell with candidates.
+    * Output: (nid, cell, n_vec).
+    */
+  private def assignProbed(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, probe: Int): DataFrame = {
+    val k = cents.count() // bounded: cents is k rows, checkpointed lineage
+    val k2 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val sup = centroids(cents, k2, iters = 2, idCol = "cid",
+        vecCol = "c_vec")
+      .select(col("cid").as("scid"), col("c_vec").as("s_vec"))
+    // centroid → super-cell (exact flat argmax; both sides tiny)
+    val cmap = cents.crossJoin(broadcast(sup))
+      .groupBy(col("cid"))
+      .agg(max(struct(F.cosine(col("c_vec"), col("s_vec")).as("cos"),
+        col("scid").as("scid"))).as("m"))
+      .select(col("cid"), col("m.scid").as("scell"))
+    val centsMapped = cents.join(cmap, "cid")
+    // only super-cells that actually hold centroids are probe targets
+    val liveSup = sup
+      .join(cmap.select(col("scell").as("scid")).distinct(), "scid")
+    val probed = corpus
+      .select(col(idCol).cast("long").as("nid"), col(vecCol).as("n_vec"))
+      .crossJoin(broadcast(liveSup))
+      .groupBy(col("nid"))
+      // all rows in the group carry the vector itself → max is a no-op
+      // carry, not a choice; top-`probe` super-cells by (cos, scid) desc
+      .agg(max(col("n_vec")).as("n_vec"),
+        slice(reverse(array_sort(collect_list(
+          struct(F.cosine(col("n_vec"), col("s_vec")).as("cos"),
+            col("scid").as("scid"))))), 1, probe).as("ps"))
+      .select(col("nid"), col("n_vec"),
+        explode(col("ps").getField("scid")).as("scell"))
+    probed.join(broadcast(centsMapped), "scell")
+      .groupBy(col("nid"))
+      .agg(max(col("n_vec")).as("n_vec"),
+        max(struct(F.cosine(col("n_vec"), col("c_vec")).as("cos"),
+          col("cid").as("cid"))).as("m"))
+      .select(col("nid"), col("m.cid").as("cell"), col("n_vec"))
+  }
+
   /** Full kept/dropped disposition: (vec_id, cell, is_kept). `x` is
     * dropped iff its cluster holds a smaller-id `y` with
     * cos(x, y) ≥ `eps`. Duplicates that straddle a cluster boundary are
@@ -94,17 +170,19 @@ object SemDedup {
     * by the clustering, which is why `k` must track N, not row width).
     */
   def dedup(corpus: DataFrame, k: Int, iters: Int, eps: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    dedupWith(corpus, centroids(corpus, k, iters, idCol, vecCol), eps,
-      idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probe: Int = 0): DataFrame =
+    dedupWith(corpus, centroids(corpus, k, iters, idCol, vecCol, probe),
+      eps, idCol, vecCol, probe)
 
   /** [[dedup]] against caller-supplied centroids — the entry point for a
     * pre-trained or externally-chosen codebook (and for testing the drop
     * policy in isolation from centroid training).
     */
   def dedupWith(corpus: DataFrame, cents: DataFrame, eps: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = assign(corpus, cents, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probe: Int = 0): DataFrame = {
+    val assigned = assignBest(corpus, cents, idCol, vecCol, probe)
     val x = assigned.select(col("cell"), col("nid").as("xid"),
       col("n_vec").as("x_vec"))
     val y = assigned.select(col("cell"), col("nid").as("yid"),

@@ -25,41 +25,81 @@ import org.apache.spark.sql.functions._
   * simplification, documented rather than hidden; total mass is then not
   * conserved, relative ranking is unaffected for curation use).
   *
-  * Scale shape: the edge list joins its static out-degree ONCE and is
-  * localCheckpoint'ed, so every iteration reuses the materialized
-  * (src, dst, out) frame instead of re-scanning the source; each
-  * iteration is then exactly one src-keyed join (ranks are narrow
+  * Scale shape: the edge list joins its static out-degree ONCE, and BOTH
+  * static frames — the (src, dst, out) edge frame and the distinct node
+  * set — are localCheckpoint'ed before the loop, so no iteration ever
+  * re-scans the raw edge source or re-runs the node-distinct shuffle;
+  * each iteration is then exactly one src-keyed join (ranks are narrow
   * (node, long) rows) and one dst-keyed partial-aggregated shuffle —
   * the canonical Pregel cadence expressed declaratively. Rank lineage
   * truncates per iteration (the q37 CC-loop rule); nothing but counts
   * ever reaches the driver.
+  *
+  * Convergence: pass `tolMicro >= 0` to stop as soon as an iteration
+  * moves no node by more than `tolMicro` micro-units (max |Δrank| —
+  * a counts-only driver check on the same cadence, no data collected).
+  * Integer ranks make tolMicro=0 exact: two equal consecutive
+  * iterations are a FIXED POINT, so the early-stopped result is
+  * bit-identical to any deeper `iters` run (Round7Spec asserts it) —
+  * deep graphs no longer need a guessed iteration count.
   */
 object PageRank {
 
   /** `iters` damped iterations over `edges`. Output: (node, rank_micro) —
     * teleport base (1000 − dampMilli)·1000 plus integral in-edge mass.
+    * With `tolMicro >= 0`, stops after the first iteration whose
+    * max |Δrank_micro| ≤ tolMicro (at most `iters` iterations).
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      dampMilli: Int = 850): DataFrame = {
+      dampMilli: Int = 850, tolMicro: Long = -1L): DataFrame =
+    ranksConverged(edges, srcCol, dstCol, iters, dampMilli, tolMicro)._1
+
+  /** [[ranks]] plus the number of iterations actually executed — the
+    * observable for convergence-mode callers (and Round7Spec).
+    */
+  def ranksConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampMilli: Int = 850,
+      tolMicro: Long = -1L): (DataFrame, Int) = {
     require(iters >= 1 && dampMilli >= 0 && dampMilli <= 1000)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true) // static node set, built once
     val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("out")), "src")
       .localCheckpoint(true) // static per-edge out-degree, built once
-    val base = lit((1000L - dampMilli) * 1000L)
     var r = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
-    for (_ <- 1 to iters) {
-      val inMass = eo.join(r, eo("src") === r("node"))
-        .select(col("dst"),
-          expr(s"(rank_micro * $dampMilli) div (1000 * out)").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("m"))
-      r = nodes.join(inMass, nodes("node") === inMass("dst"), "left")
-        .select(col("node"),
-          (base + coalesce(col("m"), lit(0L))).as("rank_micro"))
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val prev = r
+      r = iterate(nodes, eo, prev, dampMilli)
         .localCheckpoint(true) // truncate per-iteration lineage
+      if (tolMicro >= 0L) {
+        // counts-only convergence probe: any node moved by > tolMicro?
+        val moved = r.join(prev.withColumnRenamed("rank_micro", "p"), "node")
+          .where(abs(col("rank_micro") - col("p")) > tolMicro)
+        converged = moved.isEmpty
+      }
+      it += 1
     }
-    r
+    (r, it)
+  }
+
+  /** One damped update: rank(n) = base + Σ_{(s,n)∈E} (rank(s)·damp) div
+    * (1000·out(s)). Package-private so Round7Spec can assert the
+    * iteration plan reads ONLY the checkpointed frames (no raw-edge
+    * scan); [[ranks]] always passes checkpointed `nodes`/`eo`.
+    */
+  private[graft] def iterate(nodes: DataFrame, eo: DataFrame, r: DataFrame,
+      dampMilli: Int): DataFrame = {
+    val base = lit((1000L - dampMilli) * 1000L)
+    val inMass = eo.join(r, eo("src") === r("node"))
+      .select(col("dst"),
+        expr(s"(rank_micro * $dampMilli) div (1000 * out)").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("m"))
+    nodes.join(inMass, nodes("node") === inMass("dst"), "left")
+      .select(col("node"),
+        (base + coalesce(col("m"), lit(0L))).as("rank_micro"))
   }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import graft.dedup.SemDedup
+import graft.graph.PageRank
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions._
+
+/** Round-7 gates: SemDeDup two-level coarse quantizer and PageRank
+  * convergence mode / checkpointed-iteration plan shape.
+  */
+class Round7Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- SemDedup two-level coarse quantizer --------------------------------
+
+  /** The Round6Spec embedding fixture: three well-separated direction
+    * groups in 8-dim space, groups 0/1 carry planted near-duplicates.
+    */
+  private def semCorpus = {
+    def v(axis: Int, scale: Float, jitter: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(axis) = scale; a((axis + 4) % 8) = jitter; a
+    }
+    Seq(
+      (1L, v(0, 1f, 0.01f)), (2L, v(0, 1f, 0.02f)), (3L, v(0, 1f, 0.03f)),
+      (10L, v(1, 1f, 0.01f)), (11L, v(1, 1f, 0.02f)),
+      (20L, v(2, 1f, 0f)), (21L, v(3, 1f, 0f)), (22L, v(2, 1f, -1f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  private def disposition(probe: Int, k: Int, iters: Int, parts: Int = 1) =
+    SemDedup.dedup(semCorpus.repartition(parts), k = k, iters = iters,
+        eps = 0.95, probe = probe)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+
+  test("SemDedup: full-probe two-level assignment ≡ flat, byte-identical") {
+    // k=4 → ⌈√k⌉=2 super-cells; probe=2 covers them all, so the probed
+    // candidate set is every centroid and the argmax must match the flat
+    // pass bit-for-bit — cells, kept flags, everything
+    assert(disposition(probe = 2, k = 4, iters = 2) ==
+      disposition(probe = 0, k = 4, iters = 2))
+  }
+
+  test("SemDedup: probed drop policy recovers planted groups with fixed centroids") {
+    // one axis centroid per direction group (the Round6Spec recovery
+    // setup), routed through the two-level assignment: every planted
+    // group co-locates and only its smallest id survives
+    def axis(cid: Long, a: Int) = {
+      val v = Array.fill(8)(0f); v(a) = 1f; (cid, v)
+    }
+    val cents = Seq(axis(0L, 0), axis(1L, 1), axis(2L, 2), axis(3L, 3))
+      .toDF("cid", "c_vec")
+    val kept = SemDedup.dedupWith(semCorpus, cents, eps = 0.95, probe = 2)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(kept(1L) && !kept(2L) && !kept(3L))
+    assert(kept(10L) && !kept(11L))
+    assert(kept(20L) && kept(21L) && kept(22L))
+  }
+
+  test("SemDedup: partial probe agrees with flat when the true cell survives the probe") {
+    // k=n: every vector's own centroid wins at cos=1, and the vector
+    // ranks super-cells with the same expression (and tie-break) its
+    // centroid was mapped with — so probe=1 still finds the global
+    // argmax and the whole disposition matches the flat pass
+    val probed = disposition(probe = 1, k = 8, iters = 1)
+    assert(probed == disposition(probe = 0, k = 8, iters = 1))
+    // completeness: every vector got exactly one cell (k=n means every
+    // cluster is a singleton, so the drop policy rightly fires nowhere)
+    assert(probed.map(_._1) == Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L))
+    assert(probed.forall(_._3))
+  }
+
+  test("SemDedup: probed disposition is byte-identical across partitionings") {
+    assert(disposition(probe = 1, k = 8, iters = 2, parts = 2) ==
+      disposition(probe = 1, k = 8, iters = 2, parts = 7))
+    assert(disposition(probe = 2, k = 4, iters = 2, parts = 3) ==
+      disposition(probe = 2, k = 4, iters = 2, parts = 5))
+  }
+
+  // ---- PageRank: checkpointed iteration + convergence mode ----------------
+
+  /** 5-node graph with a dangling node (5 has no out-edges). */
+  private def edges = Seq(
+    (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (4L, 5L), (3L, 5L)
+  ).toDF("src", "dst")
+
+  test("PageRank: an iteration's plan reads only the checkpointed frames") {
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("out")), "src")
+      .localCheckpoint(true)
+    val r = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
+    val leaves = PageRank.iterate(nodes, eo, r, 850)
+      .queryExecution.optimizedPlan.collectLeaves()
+    // every leaf is a checkpointed RDD scan — no scan of the raw edge
+    // source, no re-run of the node-distinct shuffle inside the loop
+    assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[LogicalRDD]))
+  }
+
+  test("PageRank: tolMicro=0 early-stop is a fixed point, bit-identical to a deeper run") {
+    val (conv, itersRun) = PageRank.ranksConverged(edges, "src", "dst",
+      iters = 40, tolMicro = 0L)
+    assert(itersRun < 40, s"expected early convergence, ran $itersRun")
+    val deep = PageRank.ranks(edges, "src", "dst", iters = 40)
+    assert(conv.as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      deep.as[(Long, Long)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("PageRank: q86 cadence unchanged — fixed-iters result matches hand computation") {
+    // 2 nodes, 1→2 only: after iter1, rank(1)=150000 (teleport only),
+    // rank(2)=150000+850000=1000000·0.85+150000? — verify exactly:
+    // iter1: contributions use rank=1000000: c(1→2)=(1000000·850) div
+    // (1000·1)=850000; rank(2)=150000+850000=1000000; rank(1)=150000.
+    // iter2: c(1→2)=(150000·850) div 1000=127500; rank(2)=277500.
+    val tiny = Seq((1L, 2L)).toDF("src", "dst")
+    val got = PageRank.ranks(tiny, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 150000L && got(2L) == 277500L)
+  }
+}
