@@ -1292,6 +1292,59 @@ object SparkEntry {
       |  i -> CASE WHEN i+1 <= len(toks) THEN toks[i] || ' ' || toks[i+1]
       |       ELSE toks[i] END)) AS sh FROM t)""".stripMargin
 
+  // ---- DuckDB replay of graft.functions.Hashing (q18/q26 oracles) --------
+  //
+  // DuckDB's BIGINT arithmetic is overflow-checked, so the wrapping
+  // 64-bit ops inside hash64/mix are emulated in HUGEINT with explicit
+  // `mod 2^64` reductions; multiplies whose product could exceed the
+  // signed-128 range split the left operand at 32 bits first. The
+  // expressions are assembled here rather than hand-written so the three
+  // splitmix64 steps stay readable.
+
+  private val m64 = "18446744073709551616" // 2^64
+
+  /** (x * c) mod 2^64, safe for x < 2^64 and any 64-bit constant `c`. */
+  private def wmul64(x: String, c: java.math.BigInteger): String =
+    s"(((($x) % 4294967296) * $c + (((($x) // 4294967296) * $c) % 4294967296) * 4294967296) % $m64)"
+
+  private def u64(hex: String) = new java.math.BigInteger(hex, 16)
+
+  /** splitmix64 finalizer (Hashing.mix) over a HUGEINT in [0, 2^64). */
+  private def splitmixSql(z: String): String = {
+    val a = s"((($z) + ${u64("9e3779b97f4a7c15")}) % $m64)"
+    val b = wmul64(s"xor(CAST($a AS HUGEINT), CAST(($a) // 1073741824 AS HUGEINT))",
+      u64("bf58476d1ce4e5b9")) // z ^= z >>> 30, * const
+    val c = wmul64(s"xor(CAST($b AS HUGEINT), CAST(($b) // 134217728 AS HUGEINT))",
+      u64("94d049bb133111eb")) // z ^= z >>> 27, * const
+    s"xor(CAST($c AS HUGEINT), CAST(($c) // 2147483648 AS HUGEINT))" // ^ >>> 31
+  }
+
+  /** Reinterpret a HUGEINT in [0, 2^64) as a signed 64-bit value. */
+  private def toSigned64(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - $m64 ELSE ($x) END AS BIGINT)"
+
+  /** CTEs `toks` (ordered lowercase whitespace tokens, mirroring
+    * F.tokensLower) and `fnv` — per-token Hashing.hash64: the FNV-1a
+    * char loop as a recursive CTE (documents are ASCII, so ascii() IS
+    * the UTF-8 byte), splitmix-finalized. Output: (doc_id, ti, th).
+    */
+  private val duckHash64Tokens: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(tk,1) AS ti, unnest(tk) AS tok
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents)
+       |),
+       |fnv AS (
+       |  WITH RECURSIVE r AS (
+       |    SELECT doc_id, ti, tok, 1 AS pos, CAST(${u64("cbf29ce484222325")} AS HUGEINT) AS h
+       |    FROM toks
+       |    UNION ALL
+       |    SELECT doc_id, ti, tok, pos+1,
+       |      CAST((xor(h, CAST(ascii(substr(tok,pos,1)) AS HUGEINT)) * 1099511628211) % $m64 AS HUGEINT)
+       |    FROM r WHERE pos <= length(tok)
+       |  )
+       |  SELECT doc_id, ti, ${splitmixSql("h")} AS th FROM r WHERE pos = length(tok) + 1
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1416,6 +1469,35 @@ object SparkEntry {
         |FROM orders GROUP BY 1""".stripMargin,
     "q16_dedup_exact" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "q18_simhash" ->
+      s"""$duckHash64Tokens,
+         |bits AS (
+         |  SELECT f.doc_id, t.b,
+         |    CASE WHEN SUM(CASE WHEN (f.th // (CAST(1 AS HUGEINT) << t.b)) % 2 = 1
+         |                       THEN 1 ELSE -1 END) > 0
+         |         THEN CAST(1 AS HUGEINT) << t.b ELSE CAST(0 AS HUGEINT) END AS contrib
+         |  FROM fnv f CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(64)) t
+         |  GROUP BY f.doc_id, t.b
+         |)
+         |SELECT doc_id, ${toSigned64("s")} AS simhash
+         |FROM (SELECT doc_id, SUM(contrib) AS s FROM bits GROUP BY doc_id)""".stripMargin,
+    "q26_fingerprint" ->
+      s"""$duckHash64Tokens,
+         |roll AS (
+         |  WITH RECURSIVE q AS (
+         |    SELECT doc_id, 0 AS ti, CAST(${u64("cbf29ce484222325")} AS HUGEINT) AS fp,
+         |      CAST(max(ti) AS INTEGER) AS n
+         |    FROM fnv GROUP BY doc_id
+         |    UNION ALL
+         |    SELECT q.doc_id, q.ti+1,
+         |      CAST((q.fp * 1099511628211 + f.th) % $m64 AS HUGEINT), q.n
+         |    FROM q JOIN fnv f ON f.doc_id = q.doc_id AND f.ti = q.ti + 1
+         |    WHERE q.ti < q.n
+         |  )
+         |  SELECT doc_id, fp FROM q WHERE ti = n
+         |)
+         |SELECT doc_id, ${toSigned64("m")} AS fp
+         |FROM (SELECT doc_id, ${splitmixSql("fp")} AS m FROM roll)""".stripMargin,
     "q19_ngram_jaccard" ->
       s"""$duckShingleSets,
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
