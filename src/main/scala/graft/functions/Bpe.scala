@@ -76,6 +76,35 @@ object Bpe {
   def mergesToSpec(merges: Seq[(String, String)]): String =
     merges.map { case (a, b) => s"$a $b" }.mkString("\n")
 
+  /** Persist a trained merge table as a tiny parquet artifact
+    * (rank, lhs, rhs) — the tokenizer-as-artifact contract every
+    * training pipeline needs: train ONCE, [[load]] in any later
+    * session, apply byte-identically (the Bm25.buildIndex
+    * build/search split applied to the tokenizer). Merge PRIORITY is
+    * the rank column, not file order, so the round trip is immune to
+    * parquet row-order instability.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1) // nMerges rows — one tiny file, not 32
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[save]]d merge table, rank-ordered. The collect is bounded
+    * by the artifact size (nMerges rows), never by corpus scale.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(dir).orderBy(col("rank"))
+      .select(col("lhs"), col("rhs"))
+      .as[(String, String)].collect().toSeq
+  }
+
   /** BPE token count of a text column under a trained merge table. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal

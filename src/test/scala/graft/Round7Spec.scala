@@ -77,6 +77,31 @@ class Round7Spec extends SparkSpec {
       disposition(probe = 2, k = 4, iters = 2, parts = 5))
   }
 
+  // ---- Bpe: tokenizer-as-artifact round trip ------------------------------
+
+  test("Bpe: loaded merge table encodes bit-identically to the trained one") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the bat and the cat chat"),
+      (3L, "that cat that bat that mat"), (4L, "flat rat splat")
+    ).toDF("doc_id", "text")
+    val trained = graft.functions.Bpe.train(docs, "doc_id", "text",
+      nMerges = 12, sampleBasisPoints = 10000)
+    assert(trained.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-art").toString
+    graft.functions.Bpe.save(spark, trained, dir)
+    val loaded = graft.functions.Bpe.load(spark, dir)
+    // the artifact preserves the merge rules AND their priority order
+    assert(loaded == trained)
+    // and the codegen'd encoder produces identical counts either way
+    val viaTrained = docs.select(col("doc_id"),
+        graft.functions.Bpe.tokenCount(col("text"), trained).as("n"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val viaLoaded = docs.select(col("doc_id"),
+        graft.functions.Bpe.tokenCount(col("text"), loaded).as("n"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaTrained == viaLoaded)
+  }
+
   // ---- PageRank: checkpointed iteration + convergence mode ----------------
 
   /** 5-node graph with a dangling node (5 has no out-edges). */
