@@ -68,6 +68,22 @@ object SparkEntry {
     memo.computeIfAbsent(s"${System.identityHashCode(s)}|$key",
       _ => build).asInstanceOf[T]
 
+  /** A temp directory deleted (recursively) at JVM exit, so per-(session,
+    * sf) scratch artifacts like the q78 BM25 index never accumulate on
+    * the bench host across runs.
+    */
+  private def tempDirCleanedAtExit(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }))
+    p.toString
+  }
+
   /** Minhash LSH config shared by q17/q19. Bands = 64 → 2 perms per band:
     * the miss probability at the q19 verify threshold J = 0.5 is
     * (1 - 0.5²)^64 ≈ 1e-8 (vs 12.7% with the r1/r2 4-perm bands — the
@@ -1137,8 +1153,7 @@ object SparkEntry {
     // Round6Spec-gated; the oracle scores the same corpus in SQL)
     "q78_bm25" -> ((s, dir) => {
       val idx = memoized(s, s"bm25|$dir") {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_bm25_idx").toString
+        val p = tempDirCleanedAtExit("graft_bm25_idx")
         Bm25.buildIndex(Tables(s, dir).documents, "doc_id", "text", p)
         p
       }

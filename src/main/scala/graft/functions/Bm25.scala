@@ -162,19 +162,25 @@ object Bm25 {
     */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
-    val (tf, dl) = corpusStats(docs, idCol, textCol)
-    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong))
-    tf.join(dl, "doc_id")
-      .withColumn("bucket", bucket)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("bucket", bucket)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/terms")
-    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"),
-        lit(nBuckets.toLong).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$path/totals")
+    val (tf0, dl) = corpusStats(docs, idCol, textCol)
+    // dl/terms/totals all derive from tf: persisting it makes the
+    // postings write the ONE tokenize pass, with the other two writes
+    // re-reading the cached frame instead of re-tokenizing the corpus
+    val tf = tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+      tf.join(dl, "doc_id")
+        .withColumn("bucket", bucket)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("bucket", bucket)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/terms")
+      dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"),
+          lit(nBuckets.toLong).as("n_buckets"))
+        .write.mode("overwrite").parquet(s"$path/totals")
+    } finally tf.unpersist()
   }
 
   /** Score a query batch against a persisted index without touching the
