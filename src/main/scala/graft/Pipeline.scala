@@ -28,33 +28,74 @@ import org.apache.spark.sql.functions._
   * each is consumed by its successor stage AND the funnel count, and
   * union branches do not share subplans — without the persist the
   * chain re-executes once per downstream consumer (~6× the work; the
-  * round-6 bench caught exactly that). Callers running many epochs
-  * over the result should keep `packed` cached and unpersist the rest.
+  * round-6 bench caught exactly that). The persisted handles travel in
+  * [[CorpusPrep.handles]]; call [[CorpusPrep.release]] once done (or
+  * after materializing `packed`) so repeated invocations in one
+  * session don't accumulate cached blocks until executor eviction.
+  *
+  * Multimodal: pass `images` (id, binary blob) to insert the q83/q27
+  * image gate after the text gate — documents whose blob fails the
+  * header parse (corrupt / truncated / unknown container) or whose
+  * decoded dimensions are under `minImageW`×`minImageH` DROP, and the
+  * surviving (img_format, img_w, img_h) metadata rides the funnel all
+  * the way onto the packed output. The gate is the codegen'd
+  * MediaHeader kernel — one map-side pass over the blobs, one narrow
+  * id-keyed join against the text chain; pixel decode stays out of the
+  * funnel (BinaryPipeline's declared stub).
   */
 object Pipeline {
 
-  final case class CorpusPrep(packed: DataFrame, funnel: DataFrame)
+  final case class CorpusPrep(packed: DataFrame, funnel: DataFrame,
+      handles: Seq[DataFrame] = Nil) {
+    /** Unpersist every stage frame this prep cached. */
+    def release(): Unit = handles.foreach(_.unpersist())
+  }
 
   /** Run the funnel over `docs` (idCol, textCol). `bench` guards against
     * benchmark contamination (pass an empty frame to skip). Returns the
-    * packed sequences (doc_id, n_tokens, seq_id, seq_pos) and a
-    * (stage, n_docs) funnel summary.
+    * packed sequences (doc_id, n_tokens, seq_id, seq_pos — plus image
+    * metadata when `images` is given) and a (stage, n_docs) funnel
+    * summary.
     */
   def prepareCorpus(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchId: String, benchText: String,
       langs: Seq[String] = Seq("en"), minQuality: Long = 10L,
       maxContamPct: Long = 50L, shingleK: Int = 2,
       contamShingleK: Int = 5, minJaccardPct: Int = 50,
-      maxTokens: Long = 512L, packPartitions: Int = 8): CorpusPrep = {
+      maxTokens: Long = 512L, packPartitions: Int = 8,
+      images: Option[DataFrame] = None, imageId: String = "doc_id",
+      imageBlob: String = "blob", minImageW: Int = 1,
+      minImageH: Int = 1): CorpusPrep = {
     val cleaned = docs.select(col(idCol).cast("long").as("doc_id"),
       TextClean.cleanChain(col(textCol)).as("text"))
 
     import org.apache.spark.storage.StorageLevel
-    def shared(df: DataFrame) = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val handles = Seq.newBuilder[DataFrame]
+    def shared(df: DataFrame) = {
+      val h = df.persist(StorageLevel.MEMORY_AND_DISK)
+      handles += h
+      h
+    }
 
-    val gated = shared(cleaned
+    val textGated = shared(cleaned
       .where(TextStats.langId(col("text")).isin(langs: _*) &&
         TextStats.qualityScore(col("text")) >= minQuality))
+
+    // optional image gate: header-parse the blobs (q83 kernel), drop
+    // corrupt/undersized, carry the metadata forward
+    val imageMeta = images.map { img =>
+      shared(img.select(col(imageId).cast("long").as("doc_id"),
+          graft.functions.F.imageFormat(col(imageBlob)).as("img_format"),
+          graft.functions.F.imageWidth(col(imageBlob)).as("img_w"),
+          graft.functions.F.imageHeight(col(imageBlob)).as("img_h"))
+        .where(col("img_format").isNotNull &&
+          col("img_w") >= minImageW && col("img_h") >= minImageH))
+    }
+    val gated = imageMeta match {
+      case Some(meta) =>
+        shared(textGated.join(meta.select(col("doc_id")), "doc_id"))
+      case None => textGated
+    }
 
     val exact = shared(ExactDedup.dedup(gated, "doc_id", "text"))
 
@@ -79,20 +120,31 @@ object Pipeline {
     val decontaminated = shared(nearDeduped
       .join(contaminated, Seq("doc_id"), "left_anti"))
 
-    val packed = shared(Packing.firstFit(
+    val packedBare = shared(Packing.firstFit(
       decontaminated.select(col("doc_id"),
         TextStats.tokenCount(col("text")).as("n_tok")),
       "doc_id", col("n_tok"), maxTokens, packPartitions))
+    // image metadata survives packing: every packed doc passed the gate,
+    // so the join is a lossless narrow-key decoration
+    val packed = imageMeta match {
+      case Some(meta) => packedBare.join(meta, "doc_id")
+      case None => packedBare
+    }
 
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
         col("n_docs"))
-    val funnel = stage("0_raw", docs)
-      .unionAll(stage("1_gated", gated))
+    val funnel0 = stage("0_raw", docs)
+      .unionAll(stage("1_gated", textGated))
+    val funnel1 = imageMeta match {
+      case Some(_) => funnel0.unionAll(stage("1b_image_gate", gated))
+      case None => funnel0
+    }
+    val funnel = funnel1
       .unionAll(stage("2_exact_dedup", exact))
       .unionAll(stage("3_near_dedup", nearDeduped))
       .unionAll(stage("4_decontaminated", decontaminated))
-      .unionAll(stage("5_packed", packed))
-    CorpusPrep(packed, funnel)
+      .unionAll(stage("5_packed", packedBare))
+    CorpusPrep(packed, funnel, handles.result())
   }
 }

@@ -209,6 +209,12 @@ object SparkEntry {
     val id = col("doc_id")
     def hex4(c: Column) = lpad(hex(c), 4, "0")
     def hex8(c: Column) = lpad(hex(c), 8, "0")
+    // little-endian byte orders for the GIF/BMP fields
+    def leByte(c: Column, i: Int) =
+      lpad(hex(shiftright(c.cast("long"), 8 * i) % 256), 2, "0")
+    def hexLe16(c: Column) = concat(leByte(c, 0), leByte(c, 1))
+    def hexLe32(c: Column) =
+      concat(leByte(c, 0), leByte(c, 1), leByte(c, 2), leByte(c, 3))
     val pngHex = concat(
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
       hex8(lit(1) + id % 640), hex8(lit(1) + id % 480),
@@ -222,8 +228,23 @@ object SparkEntry {
       lit("FFC00011" + "08"),
       hex4(lit(1) + id % 800), hex4(lit(1) + id % 1000),
       lit("03" + "011100" + "021101" + "031101"))
-    val blobHex = when(id % 3 === 0, pngHex)
-      .when(id % 3 === 1, jpegHex)
+    // GIF89a signature + Logical Screen Descriptor (LE dims, packed
+    // fields/bg/aspect trailer)
+    val gifHex = concat(lit("474946383961"),
+      hexLe16(lit(1) + id % 320), hexLe16(lit(1) + id % 200),
+      lit("F70000"))
+    // BMP: "BM" file header (size/reserved/offset unparsed), then a
+    // 40-byte BITMAPINFOHEADER with i32-LE dims; odd ids negate the
+    // height — the legal top-down form whose magnitude is the answer
+    val bmpH = (lit(1) + id % 768).cast("long")
+    val bmpHex = concat(lit("424D" + "00000000" + "00000000" + "36000000"),
+      lit("28000000"), hexLe32(lit(1) + id % 1024),
+      hexLe32(when(id % 2 === 1, lit(4294967296L) - bmpH).otherwise(bmpH)),
+      lit("0100" + "1800"))
+    val blobHex = when(id % 5 === 0, pngHex)
+      .when(id % 5 === 1, jpegHex)
+      .when(id % 5 === 3, gifHex)
+      .when(id % 5 === 4, bmpHex)
       .otherwise(lit("89504E470D0A1A0A0000")) // truncated: no IHDR
     docs.select(id, unhex(blobHex).as("blob"))
   }
@@ -671,17 +692,22 @@ object SparkEntry {
         keyCol = col("c_name"), nameCol = col("c_name"),
         w = 3, maxDist = 2)),
 
-    // 48. end-to-end corpus-prep funnel (clean → gate → exact dedup →
-    // near-dup keeper → decontaminate → pack), stages counted in one
-    // lazy frame [rows-only; PipelineSpec gates the composition laws —
-    // every stage operator is individually oracle-gated via q42/q24/
-    // q25/q16/q17/q19/q37/q45/q46]
+    // 48. end-to-end corpus-prep funnel (clean → gate → image gate →
+    // exact dedup → near-dup keeper → decontaminate → pack), stages
+    // counted in one lazy frame [rows-only; PipelineSpec gates the
+    // composition laws — every stage operator is individually
+    // oracle-gated via q42/q24/q25/q16/q17/q19/q37/q45/q46, the image
+    // gate via q83]. The multimodal branch rides the q83 blob fixture:
+    // docs with corrupt/truncated blobs (doc_id % 5 = 2) drop at
+    // 1b_image_gate, survivors carry (img_format, img_w, img_h) onto
+    // the packed output.
     "q90_corpus_prep" -> ((s, dir) => {
       val d = Tables(s, dir).documents
       Pipeline.prepareCorpus(d, "doc_id", "text",
         bench = d.where(col("doc_id") < 40)
           .select(col("doc_id"), substring(col("text"), 1, 150).as("text")),
-        benchId = "doc_id", benchText = "text").funnel
+        benchId = "doc_id", benchText = "text",
+        images = Some(imageBlobFixture(d))).funnel
     }),
 
     // 47b. per-group min-max feature scaling to integer basis points —
@@ -1775,12 +1801,18 @@ object SparkEntry {
     // actually parsing the headers it assembled
     "q83_image_headers" ->
       """SELECT doc_id,
-        | CASE WHEN doc_id % 3 = 0 THEN 'png'
-        |      WHEN doc_id % 3 = 1 THEN 'jpeg' END AS format,
-        | CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 640
-        |      WHEN doc_id % 3 = 1 THEN 1 + doc_id % 1000 END AS width,
-        | CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 480
-        |      WHEN doc_id % 3 = 1 THEN 1 + doc_id % 800 END AS height
+        | CASE WHEN doc_id % 5 = 0 THEN 'png'
+        |      WHEN doc_id % 5 = 1 THEN 'jpeg'
+        |      WHEN doc_id % 5 = 3 THEN 'gif'
+        |      WHEN doc_id % 5 = 4 THEN 'bmp' END AS format,
+        | CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 640
+        |      WHEN doc_id % 5 = 1 THEN 1 + doc_id % 1000
+        |      WHEN doc_id % 5 = 3 THEN 1 + doc_id % 320
+        |      WHEN doc_id % 5 = 4 THEN 1 + doc_id % 1024 END AS width,
+        | CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 480
+        |      WHEN doc_id % 5 = 1 THEN 1 + doc_id % 800
+        |      WHEN doc_id % 5 = 3 THEN 1 + doc_id % 200
+        |      WHEN doc_id % 5 = 4 THEN 1 + doc_id % 768 END AS height
         |FROM documents""".stripMargin,
     "q36_top_terms" ->
       """WITH tok AS (

@@ -17,6 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    markers are standalone) until a frame header SOF_n
   *    (C0..CF minus C4=DHT, C8=JPG-extension, CC=DAC): sample precision
   *    u8, then height and width as big-endian u16.
+  *  - GIF (GIF87a/89a specification §17/§18): 6-byte signature
+  *    "GIF87a"/"GIF89a", then the Logical Screen Descriptor — width and
+  *    height as LITTLE-endian u16 at byte offsets 6/8.
+  *  - BMP (Windows bitmap, public layout): "BM", 14-byte file header,
+  *    then the DIB header whose u32-LE size field selects the layout —
+  *    12 (BITMAPCOREHEADER: u16-LE width/height at 18/20) or ≥ 40
+  *    (BITMAPINFOHEADER family: i32-LE width/height at 18/22; a
+  *    negative height is the legal top-down orientation flag, so its
+  *    magnitude is the pixel height).
   *
   * All three entry points are STATIC methods consumed via Catalyst
   * [[org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke]]
@@ -50,6 +59,36 @@ object MediaHeader {
 
   private def isJpeg(b: Array[Byte]): Boolean =
     b != null && b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3) << 24)
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b != null && b.length >= 10 &&
+      u8(b, 0) == 'G' && u8(b, 1) == 'I' && u8(b, 2) == 'F' &&
+      u8(b, 3) == '8' && (u8(b, 4) == '7' || u8(b, 4) == '9') &&
+      u8(b, 5) == 'a'
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b != null && b.length >= 26 && u8(b, 0) == 'B' && u8(b, 1) == 'M' && {
+      val dib = le32(b, 14)
+      dib == 12 || dib >= 40 // core header or the info-header family
+    }
+
+  private def bmpDim(b: Array[Byte], coreOff: Int, infoOff: Int): Int =
+    if (le32(b, 14) == 12) {
+      val v = le16(b, coreOff)
+      if (v > 0) v else -1
+    } else {
+      val v = le32(b, infoOff)
+      // height < 0 is legal top-down orientation; width must be positive
+      val mag = if (infoOff == 22 && v != Int.MinValue) math.abs(v) else v
+      if (mag > 0) mag else -1
+    }
 
   private def isSof(m: Int): Boolean =
     m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
@@ -85,10 +124,12 @@ object MediaHeader {
     -1
   }
 
-  /** Container format sniff: "png" / "jpeg" / null. */
+  /** Container format sniff: "png" / "jpeg" / "gif" / "bmp" / null. */
   def format(b: Array[Byte]): UTF8String =
     if (isPng(b)) UTF8String.fromString("png")
     else if (isJpeg(b)) UTF8String.fromString("jpeg")
+    else if (isGif(b)) UTF8String.fromString("gif")
+    else if (isBmp(b)) UTF8String.fromString("bmp")
     else null
 
   /** Pixel width from the header, or -1 (corrupt / truncated / unknown
@@ -106,7 +147,11 @@ object MediaHeader {
         val w = be16(b, off + 3)
         if (w > 0) w else -1
       }
-    } else -1
+    } else if (isGif(b)) {
+      val w = le16(b, 6)
+      if (w > 0) w else -1
+    } else if (isBmp(b)) bmpDim(b, coreOff = 18, infoOff = 18)
+    else -1
 
   /** Pixel height from the header, or -1 (see [[width]]). */
   def height(b: Array[Byte]): Int =
@@ -120,5 +165,9 @@ object MediaHeader {
         val h = be16(b, off + 1)
         if (h > 0) h else -1
       }
-    } else -1
+    } else if (isGif(b)) {
+      val h = le16(b, 8)
+      if (h > 0) h else -1
+    } else if (isBmp(b)) bmpDim(b, coreOff = 20, infoOff = 22)
+    else -1
 }

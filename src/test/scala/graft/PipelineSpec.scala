@@ -49,6 +49,35 @@ class PipelineSpec extends SparkSpec {
     assert(run(2) == run(5))
   }
 
+  test("image gate drops corrupt blobs and metadata rides through packing") {
+    def hx(s: String) = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val okGif = hx("474946383961" + "0800" + "0600" + "F70000") // 8×6
+    val images = Seq(
+      (1L, okGif), (2L, okGif), (3L, okGif), (4L, okGif), (5L, okGif),
+      (6L, hx("DEADBEEF")) // doc 6: corrupt container → image gate drop
+    ).toDF("doc_id", "blob")
+    val prep = Pipeline.prepareCorpus(docs, "doc_id", "text",
+      bench, "bench_id", "text", images = Some(images))
+    val funnel = prep.funnel.as[(String, Long)].collect().toMap
+    // doc 4 drops at the language gate, doc 6 at the image gate, then
+    // the text chain proceeds exactly as before over {1,2,3,5}
+    assert(funnel == Map(
+      "0_raw" -> 6L, "1_gated" -> 5L, "1b_image_gate" -> 4L,
+      "2_exact_dedup" -> 3L, "3_near_dedup" -> 2L,
+      "4_decontaminated" -> 1L, "5_packed" -> 1L))
+    // the survivor carries its parsed image metadata on the packed rows
+    val packed = prep.packed
+      .select("doc_id", "img_format", "img_w", "img_h")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(packed == Seq((1L, "gif", 8, 6)))
+    // undersized images are gated too: an 8-wide GIF fails minImageW=9
+    val none = Pipeline.prepareCorpus(docs, "doc_id", "text",
+      bench, "bench_id", "text", images = Some(images), minImageW = 9)
+      .funnel.as[(String, Long)].collect().toMap
+    assert(none("1b_image_gate") == 0L && none("5_packed") == 0L)
+    prep.release() // the cached stage frames free without error
+  }
+
   test("empty benchmark set skips decontamination without dropping anything") {
     val noBench = Seq.empty[(Long, String)].toDF("bench_id", "text")
     val prep = Pipeline.prepareCorpus(docs, "doc_id", "text",

@@ -77,6 +77,49 @@ class Round7Spec extends SparkSpec {
       disposition(probe = 2, k = 4, iters = 2, parts = 5))
   }
 
+  // ---- MediaHeader: GIF / BMP kernels -------------------------------------
+
+  private def hx(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("MediaHeader: GIF dims parse little-endian; corrupt/truncated reject") {
+    import graft.multimodal.MediaHeader
+    val gif87 = hx("474946383761" + "4001" + "C800" + "F70000") // 320×200
+    assert(MediaHeader.format(gif87).toString == "gif")
+    assert(MediaHeader.width(gif87) == 320 && MediaHeader.height(gif87) == 200)
+    val gif89 = hx("474946383961" + "0100" + "0100" + "F70000") // 1×1
+    assert(MediaHeader.width(gif89) == 1 && MediaHeader.height(gif89) == 1)
+    // bad version byte ('8' where '7'/'9' required)
+    assert(MediaHeader.format(hx("474946383861" + "01000100F70000")) == null)
+    // signature but truncated before the Logical Screen Descriptor
+    assert(MediaHeader.format(hx("474946383961" + "0100")) == null)
+    // zero width is invalid
+    assert(MediaHeader.width(hx("474946383961" + "0000" + "0100" + "F70000")) == -1)
+  }
+
+  test("MediaHeader: BMP info/core headers, top-down height, corrupt reject") {
+    import graft.multimodal.MediaHeader
+    val hdr = "424D" + "00000000" + "00000000" + "36000000"
+    val info = hx(hdr + "28000000" + "03000000" + "02000000" + "0100" + "1800")
+    assert(MediaHeader.format(info).toString == "bmp")
+    assert(MediaHeader.width(info) == 3 && MediaHeader.height(info) == 2)
+    // negative (top-down) height: magnitude is the pixel height
+    val topDown = hx(hdr + "28000000" + "03000000" + "FEFFFFFF" + "0100" + "1800")
+    assert(MediaHeader.height(topDown) == 2 && MediaHeader.width(topDown) == 3)
+    // BITMAPCOREHEADER: u16-LE dims at 18/20
+    val core = hx(hdr + "0C000000" + "0500" + "0400" + "0100" + "1800")
+    assert(MediaHeader.format(core).toString == "bmp")
+    assert(MediaHeader.width(core) == 5 && MediaHeader.height(core) == 4)
+    // truncated before the dims
+    assert(MediaHeader.format(hx(hdr + "28000000" + "030000")) == null)
+    // DIB size 20 is neither core (12) nor info family (>= 40)
+    assert(MediaHeader.format(
+      hx(hdr + "14000000" + "03000000" + "02000000")) == null)
+    // zero width is invalid
+    assert(MediaHeader.width(
+      hx(hdr + "28000000" + "00000000" + "02000000" + "0100" + "1800")) == -1)
+  }
+
   // ---- Bpe: tokenizer-as-artifact round trip ------------------------------
 
   test("Bpe: loaded merge table encodes bit-identically to the trained one") {
