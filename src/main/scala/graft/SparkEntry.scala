@@ -490,6 +490,22 @@ object SparkEntry {
       SemDedup.dedup(e, k = k, iters = 2, eps = 0.9, probe = 2)
     }),
 
+    // 20e-b. the SemDeDup DROP POLICY in isolation, oracle-backed:
+    // caller-supplied centroids (a deterministic id-mod slice of the
+    // corpus — both engines select the identical set), flat argmax
+    // assignment, within-cell smaller-id cosine drop. The DuckDB oracle
+    // replays the double-precision cosines with list_reduce lambdas —
+    // sequential left-to-right accumulation, the same IEEE op order as
+    // the JVM loop, so every double (and thus every >= eps decision and
+    // (cos, cid) tie-break) is bit-identical; outputs stay
+    // integer/boolean. Centroid TRAINING remains spec-gated (q84).
+    "q84b_semdedup_fixed" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cents = e.where(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
+      SemDedup.dedupWith(e, cents, eps = 0.9)
+    }),
+
     // 21. brute-force cosine top-k (rank-only output)
     "q21_ann_bruteforce" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
@@ -1364,6 +1380,19 @@ object SparkEntry {
   private def toSigned64(x: String): String =
     s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - $m64 ELSE ($x) END AS BIGINT)"
 
+  /** Hashing.cosineF replayed in DuckDB: list_reduce lambdas accumulate
+    * left-to-right, the same IEEE-754 double op order as the JVM loop,
+    * so the result is bit-identical (`x`/`y` are DOUBLE[] expressions).
+    */
+  private def duckCosine(x: String, y: String): String = {
+    def red(ex: String) =
+      s"list_reduce(list_transform(generate_series(1, len($x)), i -> $ex), (a,b) -> a+b)"
+    val dot = red(s"$x[i] * $y[i]")
+    val na = red(s"$x[i] * $x[i]")
+    val nb = red(s"$y[i] * $y[i]")
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / sqrt($na * $nb) END)"
+  }
+
   /** CTEs `toks` (ordered lowercase whitespace tokens, mirroring
     * F.tokensLower) and `fnv` — per-token Hashing.hash64: the FNV-1a
     * char loop as a recursive CTE (documents are ASCII, so ascii() IS
@@ -1814,6 +1843,31 @@ object SparkEntry {
         |      WHEN doc_id % 5 = 3 THEN 1 + doc_id % 200
         |      WHEN doc_id % 5 = 4 THEN 1 + doc_id % 768 END AS height
         |FROM documents""".stripMargin,
+    "q84b_semdedup_fixed" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |cents AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id % 37 = 0),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid, ${duckCosine("e.v", "c.c")} AS cos
+         |  FROM emb e CROSS JOIN cents c
+         |),
+         |best AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+         |    FROM scored) WHERE rn = 1
+         |),
+         |dropped AS (
+         |  SELECT DISTINCT bx.vec_id AS xid
+         |  FROM best bx JOIN best b2 ON bx.cell = b2.cell AND b2.vec_id < bx.vec_id
+         |  JOIN emb ex ON ex.vec_id = bx.vec_id
+         |  JOIN emb ey ON ey.vec_id = b2.vec_id
+         |  WHERE ${duckCosine("ex.v", "ey.v")} >= 0.9
+         |)
+         |SELECT b.vec_id, b.cell, (d.xid IS NULL) AS is_kept
+         |FROM best b LEFT JOIN dropped d ON b.vec_id = d.xid""".stripMargin,
     "q36_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
