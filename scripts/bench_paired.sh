@@ -4,11 +4,14 @@
 # box). Usage:
 #   scripts/bench_paired.sh <sf_dir> <out_json> [<baseline_ref>]
 #
-# - refuses to start until 1-minute loadavg < 25% of core count
-#   (override with GRAFT_BENCH_FORCE=1);
+# - refuses to start until 1-minute loadavg < 5% of core count (~1.6 on
+#   a 32-core box; VERDICT r6: the old 25% gate let loadavg 2.60
+#   through and the artifact's tail was 3-8x inflated) — override with
+#   GRAFT_BENCH_FORCE=1;
 # - if <baseline_ref> is given, stashes the working tree, benches the
 #   baseline commit first, restores, then benches HEAD — same shell,
-#   same box, interleaved in time;
+#   same box, interleaved in time; an exit trap restores the original
+#   branch and pops the stash even when the baseline bench fails;
 # - Bench.scala itself stamps /proc/loadavg into each JSON line, so the
 #   artifact records the conditions it was measured under.
 set -euo pipefail
@@ -17,12 +20,12 @@ OUT=${2:?need output json path}
 BASE_REF=${3:-}
 
 cores=$(nproc)
-for i in $(seq 1 60); do
+for i in $(seq 1 120); do
   load=$(cut -d' ' -f1 /proc/loadavg)
-  ok=$(python3 -c "print(1 if $load < $cores * 0.25 else 0)")
+  ok=$(python3 -c "print(1 if $load < $cores * 0.05 else 0)")
   [ "${GRAFT_BENCH_FORCE:-0}" = "1" ] && ok=1
   [ "$ok" = "1" ] && break
-  echo "[bench_paired] loadavg $load too high for $cores cores; waiting ($i/60)" >&2
+  echo "[bench_paired] loadavg $load too high for $cores cores; waiting ($i/120)" >&2
   sleep 10
 done
 
@@ -35,11 +38,21 @@ if [ -n "$BASE_REF" ]; then
   dirty=$(git status --porcelain | wc -l)
   [ "$dirty" -gt 0 ] && git stash push -q -m bench_paired
   cur=$(git rev-parse --abbrev-ref HEAD)
+  restore() {
+    # runs on ANY exit: never leave the tree on the baseline ref with
+    # the stash unpopped (ADVICE r6)
+    git checkout -q "$cur" 2>/dev/null || true
+    if [ "$dirty" -gt 0 ] && git stash list | grep -q bench_paired; then
+      git stash pop -q || true
+    fi
+  }
+  trap restore EXIT
   git checkout -q "$BASE_REF"
   echo "[bench_paired] baseline $BASE_REF" >&2
   run_bench > "${OUT%.json}_baseline.json"
   git checkout -q "$cur"
   [ "$dirty" -gt 0 ] && git stash pop -q
+  trap - EXIT
 fi
 
 echo "[bench_paired] HEAD" >&2
