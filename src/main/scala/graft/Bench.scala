@@ -52,7 +52,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
+    // SPARK_GRAFT_BENCH_FILTER=q90_corpus_prep,q84_semdedup limits the
+    // run to named queries — an iteration aid; committed artifacts
+    // always run the full set (the driver sets no filter)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.contains(n)))
     names.foreach(n => runOnce(spark, sfDir, n)) // warm-up
     val results = names.map { n =>
       val ts = (1 to runs).map(_ => runOnce(spark, sfDir, n)).sorted

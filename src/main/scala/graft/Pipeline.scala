@@ -102,8 +102,12 @@ object Pipeline {
     val cands = MinHashDedup.candidatePairs(exact, "doc_id", "text",
       shingleK = shingleK, numPerms = 64, bands = 16,
       minJaccardPct = minJaccardPct)
-    val pairs = NgramJaccard.verify(exact, cands, "doc_id", "text",
-      shingleK, minJaccardPct).select("id_a", "id_b")
+    // the verified pair list persists too (the q37/q56 memoized-pairs
+    // rule): the CC loop below consumes it once per label-propagation
+    // ITERATION, and without the persist each iteration re-runs the
+    // whole shingle → minhash → band-join → Jaccard-verify subtree
+    val pairs = shared(NgramJaccard.verify(exact, cands, "doc_id", "text",
+      shingleK, minJaccardPct).select("id_a", "id_b"))
     val keepers = DedupClusters
       .connectedComponents(exact, "doc_id", pairs)
       .where(col("id") === col("component"))

@@ -108,30 +108,38 @@ object SemDedup {
     * the paper's k ∝ N regime where the flat n·k pass stops being
     * sub-quadratic):
     *
-    *  1. train ⌈√k⌉ SUPER-centroids over the k centroids themselves —
-    *     the same deterministic hash-init + exact-decimal Lloyd run
-    *     ([[centroids]]), so the whole path stays RNG-free;
+    *  1. take ⌈√k⌉ SUPER-centroids as the deterministic hash-slice of
+    *     the centroids themselves (the centroid-init seed rule — no
+    *     nested Lloyd: routing precision comes from the exhaustive
+    *     argmax within the probed cells, and a refinement loop here
+    *     would re-train once per OUTER Lloyd iteration for little
+    *     recall gain), so the whole path stays RNG-free;
     *  2. map each centroid to its super-cell by exact flat argmax
     *     (k·√k cosines — broadcast-tiny);
-    *  3. per corpus vector, rank the NON-EMPTY super-cells by cosine
-    *     and keep the best `probe` of them (struct sort on (cos, scid),
-    *     the flat tie-break, so probe ≥ #super-cells reproduces the
-    *     exact argmax bit-for-bit);
+    *  3. per corpus vector, rank the super-cells by cosine and keep
+    *     the best `probe` of them — a PURE MAP-SIDE projection
+    *     against a driver-collected super-centroid literal (bounded:
+    *     ⌈√k⌉ rows, strictly smaller than the k-row codebook the flat
+    *     path already broadcasts — the IvfAnn.searchIndex probe-cell
+    *     precedent), struct-sorted on (cos, scid) — the flat tie-break,
+    *     so probe ≥ #super-cells reproduces the exact argmax
+    *     bit-for-bit;
     *  4. exhaustive argmax over only the centroids in the probed
-    *     super-cells.
+    *     super-cells (broadcast join + the SAME single groupBy the flat
+    *     path pays — the probed path adds map-side cosines, never a
+    *     second n-row shuffle).
     *
     * Cost: n·(√k + probe·k̄) cosines where k̄ = mean centroids per
-    * super-cell ≈ √k — i.e. n·√k·(1+probe) vs the flat n·k. Empty
-    * super-cells (Lloyd can strand one) are excluded from ranking in
-    * step 3, so every vector always lands in a cell with candidates.
-    * Output: (nid, cell, n_vec).
+    * super-cell ≈ √k — i.e. n·√k·(1+probe) vs the flat n·k. Output:
+    * (nid, cell, n_vec).
     */
   private def assignProbed(corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String, probe: Int): DataFrame = {
     val k = cents.count() // bounded: cents is k rows, checkpointed lineage
     val k2 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val sup = centroids(cents, k2, iters = 2, idCol = "cid",
-        vecCol = "c_vec")
+    val sup = cents
+      .withColumn("_r", F.hash64(col("cid").cast("string")))
+      .orderBy(col("_r"), col("cid")).limit(k2)
       .select(col("cid").as("scid"), col("c_vec").as("s_vec"))
     // centroid → super-cell (exact flat argmax; both sides tiny)
     val cmap = cents.crossJoin(broadcast(sup))
@@ -140,22 +148,28 @@ object SemDedup {
         col("scid").as("scid"))).as("m"))
       .select(col("cid"), col("m.scid").as("scell"))
     val centsMapped = cents.join(cmap, "cid")
-    // only super-cells that actually hold centroids are probe targets
-    val liveSup = sup
-      .join(cmap.select(col("scell").as("scid")).distinct(), "scid")
-    val probed = corpus
+    // BOUNDED collect (⌈√k⌉ rows — no larger than the flat path's cents
+    // broadcast): the super-centroids become a plan literal so the
+    // per-vector super-cell ranking runs entirely map-side, with no
+    // extra aggregation shuffle. EMPTY super-cells need no filtering:
+    // a super-cell s can only be empty if its own centroid tie-broke to
+    // a LARGER-scid super-centroid with an identical vector (cos(s,s)=1
+    // is maximal, so only an exact-duplicate winner can outrank it),
+    // and the per-vector (cos, scid) ranking below prefers that same
+    // larger scid at equal cosine — so every vector's FIRST probed cell
+    // is always live and the candidate join can never strand a vector.
+    val supLit: Seq[(Long, Seq[Float])] = sup.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq: Seq[Float]))
+      .sortBy(_._1)
+    val scored = transform(typedLit(supLit), s =>
+      struct(F.cosine(col("n_vec"), s.getField("_2")).as("cos"),
+        s.getField("_1").as("scid")))
+    val topScells = slice(reverse(array_sort(scored)), 1, probe)
+      .getField("scid")
+    corpus
       .select(col(idCol).cast("long").as("nid"), col(vecCol).as("n_vec"))
-      .crossJoin(broadcast(liveSup))
-      .groupBy(col("nid"))
-      // all rows in the group carry the vector itself → max is a no-op
-      // carry, not a choice; top-`probe` super-cells by (cos, scid) desc
-      .agg(max(col("n_vec")).as("n_vec"),
-        slice(reverse(array_sort(collect_list(
-          struct(F.cosine(col("n_vec"), col("s_vec")).as("cos"),
-            col("scid").as("scid"))))), 1, probe).as("ps"))
-      .select(col("nid"), col("n_vec"),
-        explode(col("ps").getField("scid")).as("scell"))
-    probed.join(broadcast(centsMapped), "scell")
+      .withColumn("scell", explode(topScells))
+      .join(broadcast(centsMapped), "scell")
       .groupBy(col("nid"))
       .agg(max(col("n_vec")).as("n_vec"),
         max(struct(F.cosine(col("n_vec"), col("c_vec")).as("cos"),
@@ -182,7 +196,15 @@ object SemDedup {
   def dedupWith(corpus: DataFrame, cents: DataFrame, eps: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       probe: Int = 0): DataFrame = {
+    // the assignment frame feeds THREE consumers below (both sides of
+    // the within-cell self-join and the final flag join); checkpoint it
+    // so the assignment sub-DAG — a shuffle over the full corpus —
+    // executes once, not three times (localCheckpoint, not persist:
+    // trained `cents` carry a fresh checkpoint identity per run, so a
+    // plan-keyed cache entry could never be re-hit and would accumulate
+    // a dead n-row copy per invocation)
     val assigned = assignBest(corpus, cents, idCol, vecCol, probe)
+      .localCheckpoint(true)
     val x = assigned.select(col("cell"), col("nid").as("xid"),
       col("n_vec").as("x_vec"))
     val y = assigned.select(col("cell"), col("nid").as("yid"),
