@@ -3,7 +3,8 @@ package graft
 import graft.ann.{BruteForce, IvfAnn, LshAnn}
 import graft.dedup._
 import graft.etl._
-import graft.functions.{Bm25, Bpe, F, RomanCodec, TermScores, TextStats}
+import graft.functions.{Bm25, Bpe, F, Repetition, RomanCodec, TermScores,
+  TextStats}
 import graft.multimodal.BinaryPipeline
 import graft.sources.GraftCsv
 import graft.validation._
@@ -1261,6 +1262,24 @@ object SparkEntry {
       DupNgramStats.fraction(Tables(s, dir).documents, "doc_id", "text",
         k = 5)),
 
+    // 16c. WITHIN-doc repetition metrics (Gopher repetition-filter
+    // family): share of a doc's 3-gram occurrences that repeat a gram
+    // the doc already used + the top gram's share — intra-document
+    // (looping/templated text), where q68 is cross-corpus; integer
+    // counts and floored percentages, engine-exact
+    "q92_repetition" -> ((s, dir) =>
+      Repetition.metrics(Tables(s, dir).documents, "doc_id", "text",
+        k = 3)),
+
+    // 16d. ExactSubstr-style longest duplicated SPAN (Lee et al. 2022):
+    // the longest consecutive run of corpus-duplicated 5-grams per doc
+    // (= longest shared substring, k-gram-quantized) + the paper's
+    // drop-at->=minSpanTokens verdict; run structure distinguishes one
+    // verbatim block from q68's scattered boilerplate grams
+    "q93_dup_spans" -> ((s, dir) =>
+      DupSpans.maxDupSpan(Tables(s, dir).documents, "doc_id", "text",
+        k = 5, minSpanTokens = 15L)),
+
     // 33b. Bloom-filter semi-join reduction: the fact scan pre-filters
     // through a literal Bloom sketch of the selective dim keys before the
     // shuffle join; result provably equals the plain join, which is what
@@ -1406,6 +1425,27 @@ object SparkEntry {
     val nb = red(s"$y[i] * $y[i]")
     s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / sqrt($na * $nb) END)"
   }
+
+  /** [[duckHash64Tokens]] extended with the simhash bit-vote: CTE `sim`
+    * is (doc_id, simhash) — per bit, sign of the vote over the token
+    * hashes, reassembled and reinterpreted signed. Shared by the q18
+    * (codes) and q31 (Hamming-ball pairs) oracles. Lazy: declared above
+    * [[duckHash64Tokens]], which it interpolates.
+    */
+  private lazy val duckSimhash: String =
+    s"""$duckHash64Tokens,
+       |bits AS (
+       |  SELECT f.doc_id, t.b,
+       |    CASE WHEN SUM(CASE WHEN (f.th // (CAST(1 AS HUGEINT) << t.b)) % 2 = 1
+       |                       THEN 1 ELSE -1 END) > 0
+       |         THEN CAST(1 AS HUGEINT) << t.b ELSE CAST(0 AS HUGEINT) END AS contrib
+       |  FROM fnv f CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(64)) t
+       |  GROUP BY f.doc_id, t.b
+       |),
+       |sim AS (
+       |  SELECT doc_id, ${toSigned64("s")} AS simhash
+       |  FROM (SELECT doc_id, SUM(contrib) AS s FROM bits GROUP BY doc_id)
+       |)""".stripMargin
 
   /** CTEs `toks` (ordered lowercase whitespace tokens, mirroring
     * F.tokensLower) and `fnv` — per-token Hashing.hash64: the FNV-1a
@@ -1554,17 +1594,19 @@ object SparkEntry {
     "q16_dedup_exact" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
     "q18_simhash" ->
-      s"""$duckHash64Tokens,
-         |bits AS (
-         |  SELECT f.doc_id, t.b,
-         |    CASE WHEN SUM(CASE WHEN (f.th // (CAST(1 AS HUGEINT) << t.b)) % 2 = 1
-         |                       THEN 1 ELSE -1 END) > 0
-         |         THEN CAST(1 AS HUGEINT) << t.b ELSE CAST(0 AS HUGEINT) END AS contrib
-         |  FROM fnv f CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(64)) t
-         |  GROUP BY f.doc_id, t.b
-         |)
-         |SELECT doc_id, ${toSigned64("s")} AS simhash
-         |FROM (SELECT doc_id, SUM(contrib) AS s FROM bits GROUP BY doc_id)""".stripMargin,
+      s"""$duckSimhash
+         |SELECT doc_id, simhash FROM sim""".stripMargin,
+    // all-pairs Hamming ball over the q18-oracled codes: the Spark side's
+    // 16-bit-chunk pigeonhole blocking is COMPLETE for maxHamming <= 3
+    // (and its maxBucket cap cannot bind at the verify scale), so the
+    // exhaustive self-join is the exact same pair set; DuckDB
+    // bit_count(xor) is two's-complement popcount = JVM Long.bitCount
+    "q31_simhash_pairs" ->
+      s"""$duckSimhash
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sim a JOIN sim b ON b.doc_id > a.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q26_fingerprint" ->
       s"""$duckHash64Tokens,
          |roll AS (
@@ -2342,6 +2384,61 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) * 100 // SUM(occ)
         |    AS BIGINT) AS dup_pct
         |FROM pd JOIN df USING (gram) GROUP BY doc_id""".stripMargin,
+    // intra-doc repetition: same gram conventions as q68 (string grams
+    // stand in for the hash64 grams — identical grouping up to 64-bit
+    // collisions), but occ >= 2 within the SAME doc, no df join
+    "q92_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 1)),
+        |    i -> list_aggregate(toks[i:least(i+2, len(toks))], 'string_agg', ' ')))
+        |    AS gram
+        |  FROM t
+        |), pd AS (
+        |  SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN occ >= 2 THEN occ ELSE 0 END) AS BIGINT) AS rep_grams,
+        |  CAST(SUM(CASE WHEN occ >= 2 THEN occ ELSE 0 END) * 100 // SUM(occ)
+        |    AS BIGINT) AS rep_pct,
+        |  CAST(MAX(occ) AS BIGINT) AS top_occ,
+        |  CAST(MAX(occ) * 100 // SUM(occ) AS BIGINT) AS top_pct
+        |FROM pd GROUP BY doc_id""".stripMargin,
+    // longest duplicated span: positions of corpus-duplicated 5-grams,
+    // gaps-and-islands (pos - row_number) run grouping, max run + k-1;
+    // docs with no duplicated gram -> span 0 via the LEFT JOIN
+    "q93_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), g0 AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(toks)-4, 1)),
+        |    i -> list_aggregate(toks[i:least(i+4, len(toks))], 'string_agg', ' ')) AS gl
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, generate_subscripts(gl, 1) AS pos, unnest(gl) AS gram
+        |  FROM g0
+        |), tot AS (
+        |  SELECT gram, COUNT(*) AS occ FROM g GROUP BY 1
+        |), d AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN tot USING (gram) WHERE occ >= 2
+        |), r AS (
+        |  SELECT doc_id,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM d
+        |), runs AS (
+        |  SELECT doc_id, COUNT(*) AS rl FROM r GROUP BY doc_id, grp
+        |), mx AS (
+        |  SELECT doc_id, MAX(rl) AS mrl FROM runs GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(mx.mrl + 4, 0) AS BIGINT) AS max_dup_span,
+        |  COALESCE(mx.mrl + 4, 0) >= 15 AS is_dropped
+        |FROM t LEFT JOIN mx USING (doc_id)""".stripMargin,
     "q66_inverted_index" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -410,6 +410,63 @@ object DupNgramStats {
   }
 }
 
+/** ExactSubstr-style duplicated-SPAN detection (Lee et al. 2022, arXiv
+  * 2107.06499 "Deduplicating Training Data Makes Language Models
+  * Better" — public): where q68 counts how MANY of a document's k-grams
+  * are duplicated somewhere in the corpus, this measures the longest
+  * CONSECUTIVE run of them — the length of the document's longest
+  * substring that also appears elsewhere (a k-gram-quantized lower
+  * bound: a shared substring of t tokens is exactly a run of t−k+1
+  * shared k-grams). The paper's dedup rule drops/edits documents with a
+  * duplicated substring ≥ ~50 tokens; q68's occurrence share can't see
+  * the difference between 30 scattered dup 5-grams (boilerplate
+  * vocabulary) and one 34-token verbatim block (true copy) — the run
+  * structure is the signal.
+  *
+  * Scale shape: (doc_id, pos, hash) triples — 24-byte rows, never text —
+  * through one hash-keyed shuffle (corpus-wide occurrence counts), then
+  * one doc-keyed window for the run grouping (pos − row_number — the
+  * classic gaps-and-islands reduction) and a per-(doc, run) count. Every
+  * aggregation is partial-agg friendly; nothing is quadratic in
+  * document length and nothing wide ever shuffles. "Appears elsewhere"
+  * is total corpus occurrences ≥ 2, which (like the paper) includes a
+  * second occurrence inside the SAME document.
+  */
+object DupSpans {
+
+  /** Per non-null-text document: the longest duplicated span in tokens
+    * (0 when no k-gram is shared) and the paper's drop verdict
+    * (span ≥ `minSpanTokens`). Output: (doc_id, max_dup_span,
+    * is_dropped).
+    */
+  def maxDupSpan(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpanTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(transform(F.shingles(F.tokensLower(col("text")), k),
+          s => F.hash64(s))).as(Seq("pos", "h")))
+    val occTotal = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+    val dupPos = grams.join(occTotal.where(col("occ") >= 2), "h")
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: consecutive dup positions share (pos − rank)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = dupPos
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("run_len")) + (k - 1)).as("span"))
+    base.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("span"), lit(0L)).as("max_dup_span"),
+        (coalesce(col("span"), lit(0L)) >= minSpanTokens).as("is_dropped"))
+  }
+}
+
 object Packing {
 
   /** Greedy sequence packing: route documents to `partitions` deterministic

@@ -266,3 +266,45 @@ object TermScores {
       .select("term", "df", "doc_id", "prank", "tf")
   }
 }
+
+/** WITHIN-document repetition metrics — the Gopher repetition-filter
+  * family (Rae et al. 2021, arXiv 2112.11446 §A1.1, public): documents
+  * dominated by their own repeated n-grams (looping boilerplate,
+  * keyword stuffing, templated spam) are low-quality training text even
+  * when every individual line passes the q25 quality gate. Where
+  * q68_dup_ngrams measures CROSS-corpus duplication (a gram seen in ≥ 2
+  * documents), these metrics are purely intra-document: what share of a
+  * document's k-gram occurrences are repeats of a gram it already used,
+  * and what share is claimed by its single most frequent k-gram.
+  *
+  * All outputs are integer rationals (counts and ×100 floored
+  * percentages) — engine-exact, no fp in the result. Scale shape: one
+  * (doc, gram-hash) partial-agg shuffle then one doc-keyed partial-agg
+  * shuffle; 24-byte rows, grams reduced to 64-bit hashes map-side,
+  * never a window, never text on the wire.
+  */
+object Repetition {
+
+  /** Per non-null-text document: total k-gram occurrences, occurrences
+    * of within-doc repeated grams, their floored percentage, the top
+    * gram's occurrence count, and its floored percentage. Output:
+    * (doc_id, n_grams, rep_grams, rep_pct, top_occ, top_pct).
+    */
+  def metrics(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val perGram = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(F.shingles(F.tokensLower(col(textCol)), k),
+          s => F.hash64(s))).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("occ"))
+    perGram.groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("occ") >= 2, col("occ")).otherwise(0L)).as("rep_grams"),
+        max(col("occ")).as("top_occ"))
+      .select(col("doc_id"), col("n_grams"), col("rep_grams"),
+        (col("rep_grams") * 100 / col("n_grams")).cast("long").as("rep_pct"),
+        col("top_occ"),
+        (col("top_occ") * 100 / col("n_grams")).cast("long").as("top_pct"))
+  }
+}

@@ -187,4 +187,65 @@ class Round7Spec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got(1L) == 150000L && got(2L) == 277500L)
   }
+
+  // ---- within-doc repetition (q92) ----------------------------------------
+
+  test("Repetition: planted looping doc scores high, unique doc scores zero") {
+    import graft.functions.Repetition
+    // doc 1: "a b c" ×3 → 7 3-grams ("a b c a b c a b c" has 7 windows),
+    //   the gram "a b c" occurs 3×, "b c a" 2×, "c a b" 2× — all 7
+    //   occurrences are repeats; top gram occ 3.
+    // doc 2: nine distinct tokens → 7 distinct 3-grams, zero repeats.
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val m = Repetition.metrics(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 7L, 7L, 100L, 3L, 42L)))
+    assert(m(2L) == ((2L, 7L, 0L, 0L, 1L, 14L)))
+  }
+
+  // ---- duplicated spans (q93) ---------------------------------------------
+
+  test("DupSpans: one verbatim block vs scattered dup grams — run length tells them apart") {
+    import graft.dedup.DupSpans
+    // docs 1/2 share a verbatim 12-token block (positions differ), so
+    // both carry a run of 12−5+1 = 8 consecutive duplicated 5-grams →
+    // span 8+4 = 12. doc 3 repeats ONE shared 5-gram of doc 4 but in
+    // scattered positions → its longest run is 1 → span 5. doc 5 shares
+    // nothing → span 0.
+    val block = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $block u3"),
+      (2L, s"w1 $block w2 w3"),
+      (3L, "g1 g2 g3 g4 g5 x1 x2 x3 x4 g1 g2 g3 g4 g5"),
+      (4L, "y1 g1 g2 g3 g4 g5 y2 y3 y4 y5 y6 y7 y8 y9"),
+      (5L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val m = DupSpans.maxDupSpan(docs, "doc_id", "text", k = 5,
+        minSpanTokens = 10L)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 12L, true)))
+    assert(m(2L) == ((2L, 12L, true)))
+    assert(m(3L)._2 >= 5L && !m(3L)._3) // scattered: short spans only
+    assert(m(4L)._2 == 5L && !m(4L)._3)
+    assert(m(5L) == ((5L, 0L, false)))
+  }
+
+  test("DupSpans: same-document repeats count as duplication (the paper's rule)") {
+    import graft.dedup.DupSpans
+    // ONE doc that repeats its own 10-token block back-to-back: every
+    // 5-gram of the block occurs ≥ 2 times IN THE SAME doc, and the
+    // repeated region is one long consecutive dup run.
+    val block = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq((1L, s"$block $block")).toDF("doc_id", "text")
+    val m = DupSpans.maxDupSpan(docs, "doc_id", "text", k = 5,
+        minSpanTokens = 50L)
+      .as[(Long, Long, Boolean)].collect()
+    // 20 tokens → 16 5-grams; the 6 grams inside each copy match their
+    // twin in the other copy (p1..p6 ≡ p11..p16), while the 4 boundary-
+    // straddling grams occur once — so two dup runs of 6 → span
+    // 6 + 4 = 10; below the 50-token drop bar.
+    assert(m.head == ((1L, 10L, false)))
+  }
 }
