@@ -810,8 +810,9 @@ object SparkEntry {
       DedupClusters.connectedComponents(docs, "doc_id", pairs)
     }),
 
-    // 38. winnowing fingerprint sketch (MOSS) [rows-only; guarantees
-    // tested in HashingSpec]
+    // 38. winnowing fingerprint sketch (MOSS) — full oracle as of r7
+    // (DuckDB replays the gram fold + per-window unsigned min; the
+    // shared-run guarantee itself stays HashingSpec-tested)
     "q38_winnow" -> ((s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
@@ -985,8 +986,10 @@ object SparkEntry {
 
     // 53. heavy-hitter frequency estimates from a count-min sketch built
     // by the custom typed Aggregator (constant state per partition, one
-    // bounded sketch row to the driver) [rows-only; CountMinSpec gates
-    // the overestimate guarantee and distributed-merge parity]
+    // bounded sketch row to the driver) — full oracle as of r7 (DuckDB
+    // rebuilds the counters as per-(row, bucket) SUMs and replays the
+    // min-over-rows estimate; CountMinSpec keeps gating the
+    // overestimate guarantee and distributed-merge parity)
     "q53_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val toks = Tables(s, dir).documents
@@ -1624,6 +1627,82 @@ object SparkEntry {
          |)
          |SELECT doc_id, ${toSigned64("m")} AS fp
          |FROM (SELECT doc_id, ${splitmixSql("fp")} AS m FROM roll)""".stripMargin,
+    // count-min heavy hitters: the sketch's counters are exactly
+    // "SUM of token counts per (row, bucket)" and the bucket function is
+    // mix(hash64(term) xor (d+1)) % width — width is a power of two, so
+    // the JVM's sign-fixup mod equals the unsigned low bits, i.e. plain
+    // HUGEINT % 1024. Query terms are hashed even when absent from the
+    // corpus (their buckets may still hold colliding counts — exactly
+    // what the JVM estimate returns); empty buckets coalesce to 0.
+    "q53_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents
+         |), tc AS (
+         |  SELECT term, COUNT(*) AS c FROM tok GROUP BY 1
+         |), qt AS (
+         |  SELECT unnest(['the', 'a', 'and', 'of', 'to']) AS term
+         |), vocab AS (
+         |  SELECT DISTINCT term FROM (SELECT term FROM tc UNION SELECT term FROM qt)
+         |), fnv AS (
+         |  WITH RECURSIVE r AS (
+         |    SELECT term, 1 AS pos, CAST(${u64("cbf29ce484222325")} AS HUGEINT) AS h
+         |    FROM vocab
+         |    UNION ALL
+         |    SELECT term, pos+1,
+         |      CAST((xor(h, CAST(ascii(substr(term,pos,1)) AS HUGEINT)) * 1099511628211) % $m64 AS HUGEINT)
+         |    FROM r WHERE pos <= length(term)
+         |  )
+         |  SELECT term, ${splitmixSql("h")} AS th FROM r WHERE pos = length(term) + 1
+         |), bk AS (
+         |  SELECT f.term, t.d,
+         |    ${splitmixSql("xor(f.th, CAST(t.d AS HUGEINT))")} % 1024 AS idx
+         |  FROM fnv f CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS d) t
+         |), counters AS (
+         |  SELECT b.d, b.idx, SUM(tc.c) AS cnt
+         |  FROM bk b JOIN tc USING (term) GROUP BY 1, 2
+         |), qb AS (
+         |  SELECT b.term, b.d, b.idx FROM bk b JOIN qt USING (term)
+         |)
+         |SELECT qb.term, CAST(MIN(COALESCE(c2.cnt, 0)) AS BIGINT) AS est_count
+         |FROM qb LEFT JOIN counters c2 ON c2.d = qb.d AND c2.idx = qb.idx
+         |GROUP BY qb.term""".stripMargin,
+    // winnowing fingerprint COUNT: gram hashes are the q26 FNV fold
+    // (h·P + token-hash64, splitmix-finalized) over each k=4 window,
+    // replayed with a list_reduce over the doc's ordered token hashes;
+    // the selected-value set is { unsigned-min of each w=6 gram window }
+    // (the rightmost-on-ties rule only picks WHICH index, never a
+    // different value, so it is invisible to the distinct count), and
+    // HUGEINT grams in [0, 2^64) make MIN the unsigned comparison the
+    // JVM uses; m <= w degenerates to the global minimum -> exactly 1
+    "q38_winnow" ->
+      s"""$duckHash64Tokens,
+         |tl AS (
+         |  SELECT doc_id, list(th ORDER BY ti) AS thl FROM fnv GROUP BY doc_id
+         |),
+         |gr AS (
+         |  SELECT doc_id, i,
+         |    list_reduce(
+         |      list_prepend(CAST(${u64("cbf29ce484222325")} AS HUGEINT),
+         |        thl[i:least(i+3, len(thl))]),
+         |      (a, b) -> CAST((a * 1099511628211 + b) % $m64 AS HUGEINT)) AS fold,
+         |    greatest(len(thl) - 3, 1) AS m
+         |  FROM (SELECT doc_id, thl,
+         |          unnest(generate_series(1, greatest(len(thl) - 3, 1))) AS i
+         |        FROM tl)
+         |),
+         |wm AS (
+         |  SELECT doc_id, m,
+         |    CASE WHEN i <= m - 5 THEN
+         |      MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+         |                   ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+         |    END AS wmin
+         |  FROM (SELECT doc_id, i, m, ${splitmixSql("fold")} AS g FROM gr)
+         |)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN MAX(m) <= 6 THEN 1
+         |            ELSE COUNT(DISTINCT wmin) END AS INTEGER) AS n_fingerprints
+         |FROM wm GROUP BY doc_id""".stripMargin,
     "q19_ngram_jaccard" ->
       s"""$duckShingleSets,
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
