@@ -4,10 +4,12 @@
 # box). Usage:
 #   scripts/bench_paired.sh <sf_dir> <out_json> [<baseline_ref>]
 #
-# - refuses to start until 1-minute loadavg < 5% of core count (~1.6 on
-#   a 32-core box; VERDICT r6: the old 25% gate let loadavg 2.60
-#   through and the artifact's tail was 3-8x inflated) — override with
-#   GRAFT_BENCH_FORCE=1;
+# - refuses to start until the 1-minute loadavg < 5% of core count
+#   (~1.6 on a 32-core box; VERDICT r6: the old 25% gate let loadavg
+#   2.60 through and the artifact's tail was 3-8x inflated) AND the
+#   5-minute loadavg < 10% of cores (r7: a 1-min gate alone passes
+#   ~90s after a heavy run while GC/page-cache churn still inflates
+#   every query ~25%) — override with GRAFT_BENCH_FORCE=1;
 # - if <baseline_ref> is given, stashes the working tree, benches the
 #   baseline commit first, restores, then benches HEAD — same shell,
 #   same box, interleaved in time; an exit trap restores the original
@@ -22,10 +24,11 @@ BASE_REF=${3:-}
 cores=$(nproc)
 for i in $(seq 1 120); do
   load=$(cut -d' ' -f1 /proc/loadavg)
-  ok=$(python3 -c "print(1 if $load < $cores * 0.05 else 0)")
+  load5=$(cut -d' ' -f2 /proc/loadavg)
+  ok=$(python3 -c "print(1 if $load < $cores * 0.05 and $load5 < $cores * 0.10 else 0)")
   [ "${GRAFT_BENCH_FORCE:-0}" = "1" ] && ok=1
   [ "$ok" = "1" ] && break
-  echo "[bench_paired] loadavg $load too high for $cores cores; waiting ($i/120)" >&2
+  echo "[bench_paired] loadavg $load/$load5 too high for $cores cores; waiting ($i/120)" >&2
   sleep 10
 done
 
