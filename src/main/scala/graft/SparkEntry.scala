@@ -483,16 +483,17 @@ object SparkEntry {
       val e = Tables(s, dir).embeddings
       // k tracks corpus size (≈1.5·√n) so the within-cell pair stage
       // (Σ|cell|² ≈ n²/k) stays sub-quadratic — the SemDeDup
-      // k-grows-with-N rule. At this k ∝ √n regime the FLAT broadcast
-      // assignment (probe=0) is the right plan: n·k cosines in one
-      // map-side pass, and the two-level quantizer's extra probe
-      // plumbing would cost more than the k≈√n cosines it saves. The
-      // probed path (probe>0) is for the paper's k ∝ N regime —
-      // Round7Spec gates probed ≡ flat at full probe and partial-probe
-      // recovery, so the scale route stays exercised without paying
-      // its overhead where it isn't the right plan.
+      // k-grows-with-N rule. Assignment picks its plan by regime: the
+      // FLAT broadcast pass is n·k cosines — the right plan while k is
+      // small (its one shuffle beats the probe plumbing) but n·k =
+      // n^1.5 under this k rule, so it grows 1000× across two decades;
+      // past k≈256 the TWO-LEVEL quantizer (n·√k·(1+probe) cosines,
+      // same single shuffle as of r7) is strictly cheaper and becomes
+      // the plan — the 100× scale probe runs through it. Round7Spec
+      // gates probed ≡ flat at full probe and partial-probe recovery.
       val k = math.max(32, (1.5 * math.sqrt(e.count().toDouble)).toInt)
-      SemDedup.dedup(e, k = k, iters = 2, eps = 0.9)
+      SemDedup.dedup(e, k = k, iters = 2, eps = 0.9,
+        probe = if (k > 256) 2 else 0)
     }),
 
     // 20e-b. the SemDeDup DROP POLICY in isolation, oracle-backed:
