@@ -124,4 +124,32 @@ class RobustnessSpec extends SparkSpec {
       .select(size(col("v"))).as[Int].head()
     assert(back == 1)
   }
+
+  test("round-7 ops survive null/empty text and degenerate inputs") {
+    // Repetition: null text drops, a 1-token doc yields one (short) gram
+    // with no repeats, nothing throws
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "solo"),
+      (3L, "x y x y x y")).toDF("doc_id", "text")
+    val rep = graft.functions.Repetition.metrics(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!rep.contains(1L) && rep.size == 2)
+    assert(rep(2L) == ((2L, 1L, 0L, 0L, 1L, 100L)))
+    assert(rep(3L)._3 > 0L) // the loop repeats its own grams
+
+    // DupSpans: null text drops; a doc pair that is fully identical has
+    // its whole token run duplicated (span = token count); an empty
+    // corpus returns empty without throwing
+    val dup = Seq((1L, null.asInstanceOf[String]), (2L, "a b c d e f g"),
+      (3L, "a b c d e f g")).toDF("doc_id", "text")
+    val spans = graft.dedup.DupSpans
+      .maxDupSpan(dup, "doc_id", "text", k = 5, minSpanTokens = 7L)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!spans.contains(1L) && spans.size == 2)
+    assert(spans(2L) == ((2L, 7L, true)) && spans(3L) == ((3L, 7L, true)))
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.DupSpans
+      .maxDupSpan(none, "doc_id", "text", k = 5, minSpanTokens = 7L)
+      .count() == 0L)
+  }
 }
