@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"CDC merge shuffles $exchanges times:\n${p.take(1200)}")
   }
 
+  test("repetition metrics are two partial-agg shuffles, no sort, no join") {
+    val p = plan("q92_repetition")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "q92 must shuffle exactly twice ((doc, gram) then doc):\n" + p.take(1200))
+    assert(!"\\bSort \\[".r.findAllIn(p).hasNext, "q92 must not sort")
+    assert(!p.contains("Join"), "q92 must not join")
+  }
+
+  test("dup spans stack the islands reduction on ONE window sort") {
+    // gaps-and-islands: the row_number window is the only Sort in the
+    // plan; the run/grp and per-doc aggregations ride the doc_id
+    // partitioning it established instead of re-shuffling
+    val p = plan("q93_dup_spans")
+    assert("\\bSort \\[".r.findAllIn(p).size == 1,
+      "q93 must sort exactly once (the islands window):\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "q93's joins must stay broadcast at this scale:\n" + p.take(1500))
+  }
+
   test("no query plans a cartesian product") {
     // q37/q53/q56/q69 execute eagerly when built (iterative loop / sketch
     // collect) and are covered by their own specs
