@@ -1275,6 +1275,22 @@ object SparkEntry {
       Repetition.metrics(Tables(s, dir).documents, "doc_id", "text",
         k = 3)),
 
+    // 16c-b. compression-ratio quality signal (CCNet/RefinedWeb
+    // family): deflated/raw length in basis points — looping/templated
+    // text compresses anomalously WELL (low ratio), near-random noise
+    // barely compresses (ratio ≈ 10000+); natural prose sits between.
+    // The kernel is a StaticInvoke inside whole-stage codegen
+    // [rows-only: DuckDB has no DEFLATE — Round7Spec gates the
+    // discrimination ordering and determinism]
+    "q94_compress_ratio" -> ((s, dir) =>
+      Tables(s, dir).documents.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          F.deflatedLen(col("text")).cast("long").as("n_deflated"))
+        .withColumn("ratio_bp",
+          (col("n_deflated") * 10000 / greatest(col("n_chars"), lit(1L)))
+            .cast("long"))),
+
     // 16d. ExactSubstr-style longest duplicated SPAN (Lee et al. 2022):
     // the longest consecutive run of corpus-duplicated 5-grams per doc
     // (= longest shared substring, k-gram-quantized) + the paper's

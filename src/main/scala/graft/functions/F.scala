@@ -83,6 +83,13 @@ object F {
   def hamming(a: Column, b: Column): Column =
     invoke(IntegerType, "hamming", Seq(ex(a), ex(b)))
 
+  /** DEFLATE-compressed byte length of a string (raw deflate, fixed
+    * level 6) — the CCNet/RefinedWeb compression-ratio quality signal's
+    * kernel ([[Hashing.deflatedLen]]).
+    */
+  def deflatedLen(c: Column): Column =
+    invoke(IntegerType, "deflatedLen", Seq(ex(c)))
+
   /** Xorshift-multiply integer finalizer (DuckDB-hash-compatible). */
   def murmur64(c: Column): Column =
     invoke(LongType, "murmur64", Seq(ex(c)))

@@ -211,6 +211,29 @@ object Hashing {
     new GenericArrayData(selected.toArray)
   }
 
+  /** DEFLATE-compressed byte length of a string (java.util.zip raw
+    * deflate, fixed level 6, no zlib wrapper) — the kernel behind the
+    * CCNet/RefinedWeb-family compression-ratio quality signal: looping,
+    * templated, or keyword-stuffed text compresses anomalously well,
+    * and near-random noise barely compresses, so the deflated/raw ratio
+    * brackets natural prose from both sides. Pure function of the bytes
+    * and the fixed level — deterministic across rows, partitions, and
+    * repeated runs within a JVM (zlib strategy is pinned by the JDK);
+    * invoked via StaticInvoke so it stays inside whole-stage codegen.
+    */
+  def deflatedLen(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** Bloom-filter membership probe against a word array (the same probe
     * sequence [[graft.functions.BloomF.add]] sets). Called from codegen
     * with the filter words as a LITERAL array, so the whole fact-side

@@ -206,6 +206,40 @@ class Round7Spec extends SparkSpec {
     assert(m(2L) == ((2L, 7L, 0L, 0L, 1L, 14L)))
   }
 
+  // ---- compression-ratio signal (q94) -------------------------------------
+
+  test("compression ratio brackets looping text below prose below noise") {
+    import graft.functions.F
+    val loop = ("spam and ham " * 40).trim                 // templated loop
+    val prose = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew acidic potions under a waxing moon tonight " +
+      "and every villager watches the harvest fires burn out slowly"
+    // deterministic noise over the full printable range (~6.6 bits per
+    // char — hex digits alone would Huffman-pack BELOW prose entropy)
+    val noise = (1 to 40).flatMap { i =>
+      val h = graft.functions.Hashing.murmur64(i.toLong)
+      (0 until 8).map(b => (33 + (((h >>> (8 * b)) & 0xffL) % 94)).toChar)
+    }.mkString
+    val docs = Seq((1L, loop), (2L, prose), (3L, noise))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        (F.deflatedLen(col("text")) * 10000 /
+          greatest(length(col("text")), lit(1))).cast("int").as("bp"))
+    val bp = docs.as[(Long, Int)].collect().toMap
+    assert(bp(1L) < bp(2L) && bp(2L) < bp(3L),
+      s"expected loop < prose < noise, got $bp")
+    // pure function: re-evaluation and partitioning never change it
+    val again = Seq((1L, loop)).toDF("doc_id", "text").repartition(7)
+      .select(F.deflatedLen(col("text"))).as[Int].head()
+    val first = Seq((1L, loop)).toDF("doc_id", "text")
+      .select(F.deflatedLen(col("text"))).as[Int].head()
+    assert(again == first)
+    // null propagates, it never throws
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(F.deflatedLen(col("text"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   // ---- duplicated spans (q93) ---------------------------------------------
 
   test("DupSpans: one verbatim block vs scattered dup grams — run length tells them apart") {
