@@ -22,6 +22,7 @@ OUT=${2:?need output json path}
 BASE_REF=${3:-}
 
 cores=$(nproc)
+ok=0
 for i in $(seq 1 120); do
   load=$(cut -d' ' -f1 /proc/loadavg)
   load5=$(cut -d' ' -f2 /proc/loadavg)
@@ -31,6 +32,12 @@ for i in $(seq 1 120); do
   echo "[bench_paired] loadavg $load/$load5 too high for $cores cores; waiting ($i/120)" >&2
   sleep 10
 done
+if [ "$ok" != "1" ]; then
+  # never silently bench a never-idle box (ADVICE r7): a contaminated
+  # artifact requires the explicit GRAFT_BENCH_FORCE=1 override
+  echo "[bench_paired] box never went idle after 120 retries; refusing (set GRAFT_BENCH_FORCE=1 to override)" >&2
+  exit 3
+fi
 
 run_bench() {
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \

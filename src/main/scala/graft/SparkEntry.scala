@@ -705,6 +705,26 @@ object SparkEntry {
         F.imageHeight(col("blob")).cast("long").as("height"))
     }),
 
+    // 27 (completed). REAL pixel decode — BMP stride/orientation handling
+    // plus the full PNG path (chunk walk, per-chunk CRC-32, multi-IDAT
+    // zlib inflate, all five scanline filters) — over fixture images whose
+    // pixel values are pure doc_id arithmetic: the oracle recomputes every
+    // statistic WITHOUT decoding, while Spark must genuinely invert the
+    // container encoding it assembled (PixelCodec). This retires the last
+    // stub in the multimodal path.
+    "q95_pixel_stats" -> ((s, dir) => {
+      val blobs = Tables(s, dir).documents
+        .select(col("doc_id"), F.pixelFixture(col("doc_id")).as("blob"))
+      val px = F.pixelStats(col("blob"))
+      blobs.select(col("doc_id"),
+        F.imageFormat(col("blob")).as("format"),
+        element_at(px, 1).as("n_pixels"),
+        element_at(px, 2).as("sum_r"),
+        element_at(px, 3).as("sum_g"),
+        element_at(px, 4).as("sum_b"),
+        element_at(px, 5).as("n_nonzero"))
+    }),
+
     // 36g. sorted-neighborhood ER blocking: one block-keyed sort, w−1
     // stacked lead() windows, linear candidate count, Levenshtein verify
     // in the projection — the classic alternative to q48's q-gram blocks
@@ -793,6 +813,32 @@ object SparkEntry {
     "q85_geometry_dim" -> ((s, dir) =>
       GeometryDim.asGeometryColumns(polygonFixture(Tables(s, dir)),
         "poly_id", col("vertices"))),
+
+    // 38c. ESRI .shp container parse (reference helpers.py:743 reads
+    // powiaty.shp via geopandas — the one ingest step q85 took as WKT
+    // fixtures): assemble a real single-record shapefile per nation from
+    // the q85 vertex arithmetic, then genuinely invert the binary layout
+    // (BE framing, LE shape body, word-unit lengths, ring de-closing,
+    // bbox cross-check) via the ShpCodec kernel into the same
+    // GeometryDim WKT+bbox dim — the q85 oracle extended one step left.
+    // n_records/n_vertices come from the PARSE, not the fixture.
+    "q96_shapefile" -> ((s, dir) => {
+      val nk = col("n_nationkey").cast("long")
+      val parsed = Tables(s, dir).nation
+        .select(nk.as("poly_id"), F.shpRecords(F.shpFixture(nk)).as("recs"))
+        .select(col("poly_id"), explode(col("recs")).as("r"))
+        .select(col("poly_id"), col("r.recno").cast("long").as("recno"),
+          transform(col("r.ring"), p => struct(
+            element_at(p, 1).cast("long").as("x"),
+            element_at(p, 2).cast("long").as("y"))).as("vertices"))
+      val xs = transform(col("vertices"), v => v.getField("x"))
+      val ys = transform(col("vertices"), v => v.getField("y"))
+      parsed.select(col("poly_id"), col("recno"),
+        size(col("vertices")).cast("long").as("n_vertices"),
+        GeometryDim.toWkt(col("vertices")).as("wkt"),
+        array_min(xs).as("xmin"), array_min(ys).as("ymin"),
+        array_max(xs).as("xmax"), array_max(ys).as("ymax"))
+    }),
 
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
@@ -1977,6 +2023,25 @@ object SparkEntry {
         |    ', ' || (array_agg(x || ' ' || y ORDER BY k))[1] || '))' AS wkt,
         |  MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax
         |FROM v GROUP BY poly_id""".stripMargin,
+    // q96: the same vertex arithmetic as q85 — the oracle never sees the
+    // shapefile bytes; Spark must recover identical WKT by parsing the
+    // binary container it assembled. recno is the 1-based shapefile
+    // record number, n_vertices the parsed open-ring length (8).
+    "q96_shapefile" ->
+      """WITH dirs(k, dx, dy) AS (
+        |  VALUES (0,1,0),(1,1,1),(2,0,1),(3,-1,1),(4,-1,0),(5,-1,-1),(6,0,-1),(7,1,-1)
+        |), v AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS poly_id, k,
+        |    CAST(n_nationkey AS BIGINT)*1000 + (50 + (CAST(n_nationkey AS BIGINT)*7 + k*13) % 30)*dx AS x,
+        |    CAST(n_nationkey AS BIGINT)*500  + (50 + (CAST(n_nationkey AS BIGINT)*7 + k*13) % 30)*dy AS y
+        |  FROM nation CROSS JOIN dirs
+        |)
+        |SELECT poly_id, CAST(1 AS BIGINT) AS recno,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |  'POLYGON ((' || string_agg(x || ' ' || y, ', ' ORDER BY k) ||
+        |    ', ' || (array_agg(x || ' ' || y ORDER BY k))[1] || '))' AS wkt,
+        |  MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax
+        |FROM v GROUP BY poly_id""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled
@@ -1995,6 +2060,39 @@ object SparkEntry {
         |      WHEN doc_id % 5 = 3 THEN 1 + doc_id % 200
         |      WHEN doc_id % 5 = 4 THEN 1 + doc_id % 768 END AS height
         |FROM documents""".stripMargin,
+    // q95: pixel (x,y) channel c of doc d is (7d + 31y + 13x + 5c) mod 256
+    // with dims (1 + d%9) × (1 + d%7) — the oracle recomputes the stats
+    // from that formula alone; Spark must decode the actual containers.
+    // The uncorrelated 9×7 grid + WHERE keeps the lateral-free form exact.
+    "q95_pixel_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 9 AS w, 1 + doc_id % 7 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id*7 + sy.y*31 + sx.x*13) % 256 AS r,
+        |    (d.doc_id*7 + sy.y*31 + sx.x*13 + 5) % 256 AS g,
+        |    (d.doc_id*7 + sy.y*31 + sx.x*13 + 10) % 256 AS b
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 8) AS sx(x)
+        |  CROSS JOIN generate_series(0, 6) AS sy(y)
+        |  WHERE sx.x < d.w AND sy.y < d.h
+        |), agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |    CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |    CAST(SUM(b) AS BIGINT) AS sum_b,
+        |    CAST(COUNT(*) FILTER (WHERE r + g + b > 0) AS BIGINT) AS n_nonzero
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 'bmp'
+        |       WHEN d.doc_id % 3 = 1 THEN 'png' END AS format,
+        |  CASE WHEN d.doc_id % 3 < 2 THEN a.n_pixels END AS n_pixels,
+        |  CASE WHEN d.doc_id % 3 < 2 THEN a.sum_r END AS sum_r,
+        |  CASE WHEN d.doc_id % 3 < 2 THEN a.sum_g END AS sum_g,
+        |  CASE WHEN d.doc_id % 3 < 2 THEN a.sum_b END AS sum_b,
+        |  CASE WHEN d.doc_id % 3 < 2 THEN a.n_nonzero END AS n_nonzero
+        |FROM d JOIN agg a USING (doc_id)""".stripMargin,
     "q84b_semdedup_fixed" ->
       s"""WITH emb AS (
          |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v

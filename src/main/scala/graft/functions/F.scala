@@ -177,6 +177,51 @@ object F {
     nullif(h, lit(-1))
   }
 
+  /** q95 fixture encoder: deterministic BMP / PNG / corrupt bytes from a
+    * doc_id (graft.multimodal.PixelCodec.makeImage — pixel values are pure
+    * doc_id arithmetic the oracle recomputes).
+    */
+  def pixelFixture(docId: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.PixelCodec.type], BinaryType,
+      "makeImage", Seq(ex(docId)), Nil, propagateNull = true,
+      returnNullable = false))
+
+  /** REAL pixel decode (BMP BI_RGB + PNG truecolor incl. all five filters
+    * and zlib inflate): array [n_pixels, sum_r, sum_g, sum_b, n_nonzero]
+    * or NULL on corrupt/truncated/unsupported bytes. StaticInvoke — inside
+    * whole-stage codegen, never a UDF.
+    */
+  def pixelStats(blob: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.PixelCodec.type],
+      ArrayType(LongType, containsNull = false), "stats", Seq(ex(blob)),
+      Nil, propagateNull = true, returnNullable = true))
+
+  /** q96 fixture encoder: a complete single-record ESRI `.shp` file for one
+    * fixture polygon (graft.sources.ShpCodec.makeShp — vertices are the
+    * q60/q85 star-polygon arithmetic the oracle recomputes).
+    */
+  def shpFixture(polyId: Column): Column =
+    col(StaticInvoke(classOf[graft.sources.ShpCodec.type], BinaryType,
+      "makeShp", Seq(ex(polyId)), Nil, propagateNull = true,
+      returnNullable = false))
+
+  /** REAL ESRI `.shp` container parse (header walk, BE record framing /
+    * LE shape bodies, multi-part polygons, ring de-closing, bbox
+    * cross-check): array<struct<recno, part, ring:array<array<double>>>>
+    * or NULL on corrupt/truncated/unsupported bytes. StaticInvoke — inside
+    * whole-stage codegen, never a UDF.
+    */
+  val shpRecordsType: ArrayType = ArrayType(StructType(Seq(
+    StructField("recno", IntegerType, nullable = false),
+    StructField("part", IntegerType, nullable = false),
+    StructField("ring", ArrayType(ArrayType(DoubleType, containsNull = false),
+      containsNull = false), nullable = false))), containsNull = false)
+
+  def shpRecords(blob: Column): Column =
+    col(StaticInvoke(classOf[graft.sources.ShpCodec.type], shpRecordsType,
+      "rings", Seq(ex(blob)), Nil, propagateNull = true,
+      returnNullable = true))
+
   // ---- decimal-exact aggregation helpers ----------------------------------
 
   /** Order-independent sum of a 2-dp double column: cast to decimal(18,2)

@@ -3,8 +3,9 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Extracted per-blob metadata. `width`/`height`/`channels` come from the
-  * (stubbed) decoder; `nBytes`/`checksum` are real.
+/** Extracted per-blob metadata. `nBytes`/`checksum` are real;
+  * `fake_width`/`fake_height`/`channels` are the [[PayloadMeta]]
+  * placeholders (image containers decode for real via [[PixelCodec]]).
   */
 final case class MediaMeta(doc_id: Long, n_bytes: Long, fake_width: Long,
     fake_height: Long, channels: Int, checksum: Long)
@@ -12,16 +13,20 @@ final case class MediaMeta(doc_id: Long, n_bytes: Long, fake_width: Long,
 /** Multimodal column plumbing: images/audio/video ride through the engine as
   * opaque `binary` columns plus a typed metadata struct. The Spark-side
   * mechanics — schema, batch shape, partition-parallel decode via
-  * mapPartitions — are real; the actual media decode is STUBBED (no
-  * image/audio codecs in this container) behind [[StubDecoder.decode]],
-  * which derives deterministic fake dimensions from the bytes so tests are
-  * reproducible.
+  * mapPartitions — are real, and so is the image decode path: container
+  * headers parse via [[MediaHeader]] (q83) and pixel data decodes via
+  * [[PixelCodec]] (q95, BMP BI_RGB + PNG truecolor incl. zlib inflate and
+  * all five filters). [[PayloadMeta.derive]] below is the format-AGNOSTIC
+  * metadata pass for blobs that are not a supported image container
+  * (audio/video/arbitrary payloads): real n_bytes + FNV-1a checksum, plus
+  * honestly-named `fake_*` placeholder dims derived from the length so the
+  * schema matches the image path and tests stay reproducible.
   */
-object StubDecoder {
+object PayloadMeta {
 
-  /** STUB: a real deployment would decode the media container here (JPEG /
-    * WAV / MP4 header parse + frame decode). Deterministic fake: dimensions
-    * derived from blob length, checksum is a real FNV-1a over the bytes.
+  /** Format-agnostic blob metadata: n_bytes and the FNV-1a checksum are
+    * real; `fake_width`/`fake_height` are deterministic placeholders (a
+    * supported image container would take the [[PixelCodec]] path instead).
     */
   def decode(docId: Long, blob: Array[Byte]): MediaMeta = {
     var h = 0xcbf29ce484222325L
@@ -67,15 +72,17 @@ object BinaryPipeline {
       encode(col(payloadCol), "UTF-8").as("blob"))
 
   /** Partition-parallel metadata extraction. mapPartitions (not per-row UDF)
-    * so a real decoder could amortize codec/context setup per batch — the
-    * same batch shape a Pandas-UDF/mapInPandas decode would use.
+    * so a decoder can amortize codec/context setup per batch — the same
+    * batch shape a Pandas-UDF/mapInPandas decode would use. Image-container
+    * blobs get real decode via F.pixelStats/[[PixelCodec]] (q95); this path
+    * is the format-agnostic fallback.
     */
   def extractMeta(spark: SparkSession, blobs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     blobs
       .select(col("doc_id"), col("blob"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(it => it.map { case (id, bytes) => StubDecoder.decode(id, bytes) })
+      .mapPartitions(it => it.map { case (id, bytes) => PayloadMeta.decode(id, bytes) })
   }
 
   /** Partition-parallel frame sampling: each blob fans out to its sampled

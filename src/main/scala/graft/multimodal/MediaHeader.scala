@@ -74,9 +74,12 @@ object MediaHeader {
       u8(b, 5) == 'a'
 
   private def isBmp(b: Array[Byte]): Boolean =
-    b != null && b.length >= 26 && u8(b, 0) == 'B' && u8(b, 1) == 'M' && {
+    // length gate per DIB layout: a minimal BITMAPCOREHEADER file is valid
+    // at 22 bytes (u16 dims end at offset 22); the info-header family
+    // needs 26 (i32 height ends at 26) — ADVICE r7
+    b != null && b.length >= 22 && u8(b, 0) == 'B' && u8(b, 1) == 'M' && {
       val dib = le32(b, 14)
-      dib == 12 || dib >= 40 // core header or the info-header family
+      dib == 12 || (dib >= 40 && b.length >= 26)
     }
 
   private def bmpDim(b: Array[Byte], coreOff: Int, infoOff: Int): Int =
