@@ -82,14 +82,24 @@ object Pipeline {
         TextStats.qualityScore(col("text")) >= minQuality))
 
     // optional image gate: header-parse the blobs (q83 kernel), drop
-    // corrupt/undersized, carry the metadata forward
+    // corrupt/undersized, carry the metadata forward. The meta frame is
+    // REDUCED to one row per doc_id (deterministic max-struct pick):
+    // duplicate blob rows would otherwise silently fan out the text chain
+    // before exact-dedup AND the final packed decoration join while the
+    // funnel counts packedBare — a row multiplication the stage counts
+    // would never show (ADVICE r7)
     val imageMeta = images.map { img =>
       shared(img.select(col(imageId).cast("long").as("doc_id"),
           graft.functions.F.imageFormat(col(imageBlob)).as("img_format"),
           graft.functions.F.imageWidth(col(imageBlob)).as("img_w"),
           graft.functions.F.imageHeight(col(imageBlob)).as("img_h"))
         .where(col("img_format").isNotNull &&
-          col("img_w") >= minImageW && col("img_h") >= minImageH))
+          col("img_w") >= minImageW && col("img_h") >= minImageH)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("img_format"), col("img_w"), col("img_h")))
+          .as("m"))
+        .select(col("doc_id"), col("m.img_format").as("img_format"),
+          col("m.img_w").as("img_w"), col("m.img_h").as("img_h")))
     }
     val gated = imageMeta match {
       case Some(meta) =>

@@ -446,8 +446,19 @@ object SparkEntry {
       ExactDedup.groups(Tables(s, dir).documents, "doc_id", "text")
         .select("keep_id", "n_dups")),
 
-    // 17. minhash-LSH candidate pairs [rows-only; shared with q19]
-    "q17_minhash_pairs" -> ((s, dir) => minhashCandidates(s, dir)),
+    // 17. minhash-LSH candidate pairs, demonstrated on a bounded 32-doc
+    // slice so the WHOLE construction is oracle-exact (VERDICT r7 task 3b:
+    // the 128-perm CTE replay is a cost wall at full corpus width — the
+    // slice keeps the oracle cheap while DuckDB replays every stage:
+    // shingle FNV hashes, 128 per-perm unsigned minima, 64 band folds,
+    // bucket grouping, pair formation, and the signature-agreement
+    // estimate). The FULL-width candidate path stays exercised and
+    // oracle-covered end-to-end through q19's exact all-pairs Jaccard
+    // oracle (plus q37/q56/q69, which consume the same memoized pairs).
+    "q17_minhash_pairs" -> ((s, dir) =>
+      MinHashDedup.candidatePairs(
+        Tables(s, dir).documents.where(col("doc_id") < 32),
+        "doc_id", "text", ShingleK, NumPerms, Bands, minJaccardPct = 5)),
 
     // 18. simhash per doc [rows-only; unit-gated in HashingSpec]
     "q18_simhash" -> ((s, dir) =>
@@ -1492,6 +1503,303 @@ object SparkEntry {
     s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / sqrt($na * $nb) END)"
   }
 
+  /** Hashing.l2sqF replayed in DuckDB — same left-fold IEEE order as
+    * [[duckCosine]] (`x`/`y` are DOUBLE[] expressions).
+    */
+  private def duckL2sq(x: String, y: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($x)), " +
+      s"i -> ($x[i] - $y[i]) * ($x[i] - $y[i])), (a,b) -> a+b)"
+
+  /** The exact cosine top-k CTEs shared by the ANN recall oracles: `embd`
+    * (vec_id, DOUBLE[] vector) and `exact` (qid, nid — the true top-`k`
+    * per query under (cos DESC, nid), queries = vec_id < `nq`). Cosines
+    * replay bit-identically via [[duckCosine]]; the final recall SELECT is
+    * shared too (both sides are exact multiples of 100/k, so cast
+    * rounding-mode differences cannot bite).
+    */
+  private def annExactCtes(nq: Int, k: Int): String =
+    s"""embd AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |exact AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckCosine("q.v", "n.v")} DESC, n.vec_id) AS rnk
+       |    FROM embd q JOIN embd n ON q.vec_id <> n.vec_id WHERE q.vec_id < $nq)
+       |  WHERE rnk <= $k
+       |)""".stripMargin
+
+  private def annRecallSelect(k: Int): String =
+    s"""SELECT e.qid, CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) * 100 / $k AS BIGINT) AS recall_pct
+       |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.nid = e.nid
+       |GROUP BY e.qid""".stripMargin
+
+  /** q22 oracle: the banded hyperplane LSH replayed END-TO-END — plane
+    * signs are counter-mode splitmix64 (Hashing.hyperplaneCodes:
+    * component (t,p,j) = ±1 from mix((t·planes+p)·131071 + j) & 1), each
+    * projection is a left-fold double sum (JVM op order), codes re-pack
+    * the sign bits, candidates share any (table, code), and the ranked
+    * cosines replay via [[duckCosine]] — so recall_pct is derived from
+    * the same approx top-k the engine computed, not assumed.
+    */
+  private lazy val q22OracleSql: String = {
+    val planes = 4; val tables = 16; val nq = 50; val k = 5
+    val mixed = splitmixSql(s"CAST((t*$planes+p)*131071 + j AS HUGEINT)")
+    s"""WITH ${annExactCtes(nq, k)},
+       |sgn AS (
+       |  SELECT t, p, LIST(CASE WHEN ($mixed) % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+       |                         ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j) AS sv
+       |  FROM (SELECT CAST(a.range AS BIGINT) AS t, CAST(b.range AS BIGINT) AS p,
+       |               CAST(c.range AS BIGINT) AS j
+       |        FROM range($tables) a, range($planes) b, range(64) c)
+       |  GROUP BY t, p
+       |),
+       |proj AS (
+       |  SELECT e.vec_id, s.t, s.p,
+       |    list_reduce(list_transform(generate_series(1, len(e.v)), i -> s.sv[i] * e.v[i]),
+       |      (a,b) -> a+b) AS pr
+       |  FROM embd e CROSS JOIN sgn s
+       |),
+       |codes AS (
+       |  SELECT vec_id, t,
+       |    CAST(SUM(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS code
+       |  FROM proj GROUP BY vec_id, t
+       |),
+       |cand AS (
+       |  SELECT DISTINCT cq.vec_id AS qid, cc.vec_id AS nid
+       |  FROM codes cq JOIN codes cc ON cq.t = cc.t AND cq.code = cc.code
+       |  WHERE cq.vec_id < $nq AND cq.vec_id <> cc.vec_id
+       |),
+       |approx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT c.qid, c.nid,
+       |      row_number() OVER (PARTITION BY c.qid
+       |        ORDER BY ${duckCosine("a.v", "b.v")} DESC, c.nid) AS rnk
+       |    FROM cand c JOIN embd a ON a.vec_id = c.qid JOIN embd b ON b.vec_id = c.nid)
+       |  WHERE rnk <= $k
+       |)
+       |${annRecallSelect(k)}""".stripMargin
+  }
+
+  /** q32 oracle: IVF replayed end-to-end — centroids are the nCentroids
+    * corpus vectors with the smallest SIGNED splitmix-finalized FNV of
+    * the id's decimal string (IvfAnn.centroids / Hashing.hash64), cell
+    * assignment is argmax (cos, cid), probes rank (cos DESC, cell), and
+    * the candidate ranking replays via [[duckCosine]].
+    */
+  private lazy val q32OracleSql: String = {
+    val nc = 16; val np = 8; val nq = 50; val k = 5
+    s"""WITH ${annExactCtes(nq, k)},
+       |fnv AS (
+       |  WITH RECURSIVE r AS (
+       |    SELECT vec_id, CAST(vec_id AS VARCHAR) AS s, 1 AS pos,
+       |      CAST(${u64("cbf29ce484222325")} AS HUGEINT) AS h
+       |    FROM embeddings
+       |    UNION ALL
+       |    SELECT vec_id, s, pos+1,
+       |      CAST((xor(h, CAST(ascii(substr(s,pos,1)) AS HUGEINT)) * 1099511628211) % $m64 AS HUGEINT)
+       |    FROM r WHERE pos <= length(s)
+       |  )
+       |  SELECT vec_id, ${toSigned64(splitmixSql("h"))} AS hr FROM r WHERE pos = length(s) + 1
+       |),
+       |cents AS (
+       |  SELECT e.vec_id AS cid, e.v AS c_vec
+       |  FROM embd e JOIN fnv f ON f.vec_id = e.vec_id
+       |  ORDER BY f.hr LIMIT $nc
+       |),
+       |assigned AS (
+       |  SELECT nid, cell FROM (
+       |    SELECT e.vec_id AS nid, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCosine("e.v", "c.c_vec")} DESC, c.cid DESC) AS rn
+       |    FROM embd e CROSS JOIN cents c)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT e.vec_id AS qid, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCosine("e.v", "c.c_vec")} DESC, c.cid) AS pr
+       |    FROM embd e CROSS JOIN cents c WHERE e.vec_id < $nq)
+       |  WHERE pr <= $np
+       |),
+       |approx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT p.qid, a.nid,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY ${duckCosine("q.v", "n.v")} DESC, a.nid) AS rnk
+       |    FROM probes p JOIN assigned a ON a.cell = p.cell
+       |    JOIN embd q ON q.vec_id = p.qid JOIN embd n ON n.vec_id = a.nid
+       |    WHERE p.qid <> a.nid)
+       |  WHERE rnk <= $k
+       |)
+       |${annRecallSelect(k)}""".stripMargin
+  }
+
+  /** q65 oracle: the FULL PQ pipeline replayed — initial per-subspace
+    * codebook by signed murmur64 rank (DuckDB's native hash(BIGINT) IS
+    * Hashing.murmur64), two unrolled Lloyd iterations with the mean
+    * replayed exactly (float→DECIMAL(27,9) via DOUBLE — DuckDB's direct
+    * FLOAT→DECIMAL cast truncates where Spark rounds half-up; sums as
+    * scale-9 HUGEINTs; the decimal division result is scale 10, rounded
+    * half-away-from-zero, then narrowed to float), ADC distances
+    * quantized to DECIMAL(18,9) and summed exactly, shortlist of 50 by
+    * (dist, nid), exact-cosine re-rank to top-5, recall vs exact.
+    * All float arithmetic is forced through DOUBLE lists because DuckDB
+    * evaluates FLOAT-FLOAT in single precision while the JVM kernels
+    * upconvert per element.
+    */
+  private lazy val q65OracleSql: String = {
+    val m = 8; val ksub = 16; val subDim = 8; val nq = 50; val k = 5
+    val rerank = 50
+    val mean10 = "CAST(CASE WHEN s10 >= 0 THEN (20*s10 + cnt) // (2*cnt) " +
+      "ELSE -((20*(-(s10)) + cnt) // (2*cnt)) END AS HUGEINT)"
+    def assignCte(name: String, cb: String) =
+      s"""$name AS (
+         |  SELECT nid, sub, code FROM (
+         |    SELECT s.nid, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.nid, s.sub
+         |        ORDER BY ${duckL2sq("s.n_sub", "c.c_sub")}, c.code) AS rn
+         |    FROM subs s JOIN $cb c ON c.sub = s.sub)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def meansCte(assigned: String, name: String) =
+      s"""$name AS (
+         |  SELECT sub, code,
+         |    LIST(CAST(CAST(CAST(m10 AS DOUBLE) / 10000000000 AS FLOAT) AS DOUBLE) ORDER BY di) AS new_sub
+         |  FROM (
+         |    SELECT sub, code, di, $mean10 AS m10
+         |    FROM (
+         |      SELECT a.sub, a.code, d.di,
+         |        SUM(CAST(CAST(s.n_sub[d.di] AS DECIMAL(27,9)) * 1000000000 AS HUGEINT)) AS s10,
+         |        COUNT(*) AS cnt
+         |      FROM subs s JOIN $assigned a ON a.nid = s.nid AND a.sub = s.sub
+         |      CROSS JOIN (SELECT CAST(range AS INTEGER) + 1 AS di FROM range($subDim)) d
+         |      GROUP BY a.sub, a.code, d.di))
+         |  GROUP BY sub, code
+         |)""".stripMargin
+    def refineCte(prev: String, means: String, out: String) =
+      s"""$out AS (
+         |  SELECT p.sub, p.code, COALESCE(m.new_sub, p.c_sub) AS c_sub
+         |  FROM $prev p LEFT JOIN $means m ON m.sub = p.sub AND m.code = p.code
+         |)""".stripMargin
+    s"""WITH ${annExactCtes(nq, k)},
+       |subs AS (
+       |  SELECT e.vec_id AS nid, CAST(m.range AS INTEGER) AS sub,
+       |    e.v[m.range*$subDim+1 : m.range*$subDim+$subDim] AS n_sub
+       |  FROM embd e CROSS JOIN range($m) m
+       |),
+       |cb0 AS (
+       |  SELECT sub, code, n_sub AS c_sub FROM (
+       |    SELECT nid, sub, n_sub,
+       |      CAST(row_number() OVER (PARTITION BY sub
+       |        ORDER BY ${toSigned64("CAST(hash(nid*31 + sub) AS HUGEINT)")}, nid) AS INTEGER) - 1 AS code
+       |    FROM subs)
+       |  WHERE code < $ksub
+       |),
+       |${assignCte("a1", "cb0")},
+       |${meansCte("a1", "m1")},
+       |${refineCte("cb0", "m1", "cb1")},
+       |${assignCte("a2", "cb1")},
+       |${meansCte("a2", "m2")},
+       |${refineCte("cb1", "m2", "cbf")},
+       |${assignCte("codes", "cbf")},
+       |qd AS (
+       |  SELECT s.nid AS qid, s.sub, c.code,
+       |    CAST(CAST(${duckL2sq("s.n_sub", "c.c_sub")} AS DECIMAL(18,9)) * 1000000000 AS HUGEINT) AS d9
+       |  FROM subs s JOIN cbf c ON c.sub = s.sub
+       |  WHERE s.nid < $nq
+       |),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.qid, c.nid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY SUM(q.d9), c.nid) AS rnk
+       |    FROM codes c JOIN qd q ON q.sub = c.sub AND q.code = c.code
+       |    WHERE q.qid <> c.nid
+       |    GROUP BY q.qid, c.nid)
+       |  WHERE rnk <= $rerank
+       |),
+       |approx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT s.qid, s.nid,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY ${duckCosine("q.v", "n.v")} DESC, s.nid) AS rnk
+       |    FROM short s JOIN embd q ON q.vec_id = s.qid JOIN embd n ON n.vec_id = s.nid)
+       |  WHERE rnk <= $k
+       |)
+       |${annRecallSelect(k)}""".stripMargin
+  }
+
+  /** q17 oracle: the minhash-LSH pair construction replayed end-to-end on
+    * the 32-doc slice — per-shingle FNV+splitmix hashes (recursive CTE),
+    * 128 per-permutation unsigned minima (HUGEINT MIN = JVM unsignedLt),
+    * the 64 band folds (xor-multiply mod 2^64), bucket grouping with the
+    * 2..256 occupancy gate, ordered pair formation, and the
+    * signature-agreement estimate with floor division (Spark's
+    * double-div + cast-long truncation = `//` for non-negatives).
+    */
+  private lazy val q17OracleSql: String = {
+    val np = NumPerms; val bands = Bands; val rpb = np / bands
+    val prime = "1099511628211"
+    var h = s"xor(CAST(${u64("cbf29ce484222325")} AS HUGEINT), CAST(b AS HUGEINT))"
+    for (r <- 0 until rpb)
+      h = s"(((xor($h, sig[$rpb*b+${r + 1}])) * $prime) % $m64)"
+    val permG = splitmixSql(
+      s"xor(th, (CAST(${u64("9e3779b97f4a7c15")} AS HUGEINT) * (p+1)) % $m64)")
+    s"""WITH d32 AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id < 32 AND text IS NOT NULL AND trim(text) <> ''
+       |),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM d32
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN i+2 <= nt THEN tk[i+1] || ' ' || tk[i+2] ELSE tk[i+1] END AS s
+       |  FROM (SELECT doc_id, tk, len(tk) AS nt,
+       |          unnest(generate_series(0, greatest(len(tk)-$ShingleK, 0))) AS i
+       |        FROM toks)
+       |),
+       |shfnv AS (
+       |  WITH RECURSIVE r AS (
+       |    SELECT doc_id, s, 1 AS pos, CAST(${u64("cbf29ce484222325")} AS HUGEINT) AS h FROM sh
+       |    UNION ALL
+       |    SELECT doc_id, s, pos+1,
+       |      CAST((xor(h, CAST(ascii(substr(s,pos,1)) AS HUGEINT)) * $prime) % $m64 AS HUGEINT)
+       |    FROM r WHERE pos <= length(s)
+       |  )
+       |  SELECT doc_id, ${splitmixSql("h")} AS th FROM r WHERE pos = length(s) + 1
+       |),
+       |mins AS (
+       |  SELECT doc_id, p, MIN(g) AS mn FROM (
+       |    SELECT f.doc_id, pr.p, $permG AS g
+       |    FROM shfnv f CROSS JOIN (SELECT CAST(range AS BIGINT) AS p FROM range($np)) pr)
+       |  GROUP BY doc_id, p
+       |),
+       |sigl AS (SELECT doc_id, LIST(mn ORDER BY p) AS sig FROM mins GROUP BY doc_id),
+       |bk AS (
+       |  SELECT doc_id, b, ${splitmixSql(h)} AS bucket
+       |  FROM sigl CROSS JOIN (SELECT CAST(range AS BIGINT) AS b FROM range($bands))
+       |),
+       |grp AS (
+       |  SELECT b, bucket, LIST(doc_id ORDER BY doc_id) AS ids
+       |  FROM bk GROUP BY b, bucket HAVING COUNT(*) BETWEEN 2 AND 256
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.ids[i.i] AS id_a, x.ids[j.j] AS id_b
+       |  FROM grp x
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(x.ids))) AS i) i
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(x.ids))) AS j) j
+       |  WHERE i.i < j.j
+       |)
+       |SELECT c.id_a, c.id_b,
+       |  CAST((len(list_filter(generate_series(1, $np), q -> a.sig[q] = b.sig[q])) * 100) // $np AS BIGINT) AS est_jaccard_pct
+       |FROM cand c JOIN sigl a ON a.doc_id = c.id_a JOIN sigl b ON b.doc_id = c.id_b
+       |WHERE (len(list_filter(generate_series(1, $np), q -> a.sig[q] = b.sig[q])) * 100) // $np >= 5""".stripMargin
+  }
+
   /** [[duckHash64Tokens]] extended with the simhash bit-vote: CTE `sim`
     * is (doc_id, simhash) — per bit, sign of the vote over the token
     * hashes, reassembled and reinterpreted signed. Shared by the q18
@@ -1788,6 +2096,15 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(q_vec, n_vec) DESC, nid) AS BIGINT) AS rnk
         |  FROM c, q WHERE qid <> nid)
         |WHERE rnk <= 5""".stripMargin,
+    // q22/q32/q65 (r8 flips): the approximate search itself is replayed in
+    // SQL — codes/cells/codebooks reconstructed from the same hash + IEEE
+    // arithmetic — so the recall metric is oracle-checked end-to-end, not
+    // merely asserted against a Spark-side exact baseline.
+    "q22_ann_lsh" -> q22OracleSql,
+    "q32_ann_ivf" -> q32OracleSql,
+    "q65_pq_ann" -> q65OracleSql,
+    // q17 (r8 flip): the slice-wide LSH construction, replayed fully
+    "q17_minhash_pairs" -> q17OracleSql,
     "q23_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -151,15 +151,20 @@ object SemDedup {
     // BOUNDED collect (⌈√k⌉ rows — no larger than the flat path's cents
     // broadcast): the super-centroids become a plan literal so the
     // per-vector super-cell ranking runs entirely map-side, with no
-    // extra aggregation shuffle. EMPTY super-cells need no filtering:
-    // a super-cell s can only be empty if its own centroid tie-broke to
-    // a LARGER-scid super-centroid with an identical vector (cos(s,s)=1
-    // is maximal, so only an exact-duplicate winner can outrank it),
-    // and the per-vector (cos, scid) ranking below prefers that same
-    // larger scid at equal cosine — so every vector's FIRST probed cell
-    // is always live and the candidate join can never strand a vector.
+    // extra aggregation shuffle. The literal keeps ONLY super-cells that
+    // actually own a centroid (a second bounded collect over cmap's
+    // ≤ ⌈√k⌉ distinct scells): an exact-cosine-tie argument almost rules
+    // empty super-cells out, but under double rounding a colinear-but-
+    // distinct super-centroid pair can rank an EMPTY cell above its live
+    // twin, and a small `probe` could then strand a vector with no
+    // candidate centroids at all (silently absent from the disposition —
+    // ADVICE r7). Filtering makes the candidate join provably total:
+    // every probed cell is live, so every vector meets ≥ 1 centroid.
+    val liveScells: Set[Long] = cmap.select(col("scell")).distinct()
+      .collect().map(_.getLong(0)).toSet
     val supLit: Seq[(Long, Seq[Float])] = sup.collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq: Seq[Float]))
+      .filter(s => liveScells.contains(s._1))
       .sortBy(_._1)
     val scored = transform(typedLit(supLit), s =>
       struct(F.cosine(col("n_vec"), s.getField("_2")).as("cos"),

@@ -152,6 +152,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a FAILED micro-batch replay heals a torn month partition (idempotent epoch replay)") {
+    // the one streaming failure mode the suite never exercised (VERDICT
+    // r7 task 8): a foreachBatch attempt that wrote PART of its month and
+    // died before the checkpoint committed. On restart the engine replays
+    // the same epoch with the same rows; dynamic partition overwrite must
+    // REPLACE the torn partition — remnant rows gone, no duplicates —
+    // which is exactly what makes monthlyUpsert exactly-once over an
+    // at-least-once trigger.
+    implicit val sql = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("stream_sink_replay").toString + "/t"
+    def t3 = java.sql.Timestamp.valueOf("2024-03-05 10:00:00")
+    // failed first attempt: same sink function the stream's foreachBatch
+    // runs, but with only a partial slice of the batch landed
+    graft.etl.PartitionedSink.upsertMonths(
+      Seq((t3, 10L, 1L)).toDF("ts", "id", "ck"), "ts", "ck", path)
+    assert(spark.read.parquet(path).count() == 1, "torn partial write landed")
+    // restart: the engine re-delivers the WHOLE batch under the same epoch
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = StreamSink.monthlyUpsert(
+      mem.toDF().toDF("ts", "id", "ck"), "ts", "ck", path)
+      .outputMode("append").start()
+    try {
+      mem.addData((t3, 10L, 1L), (t3, 11L, 2L), (t3, 12L, 3L))
+      q.processAllAvailable()
+      val back = spark.read.parquet(path)
+      assert(back.count() == 3, "replay must overwrite the torn month, not append to it")
+      assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
   test("streaming CDC latest-wins state matches batch CdcMerge after out-of-order replay") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[CdcEvent]
