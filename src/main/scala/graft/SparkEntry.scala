@@ -481,10 +481,24 @@ object SparkEntry {
     // 20. embedding cosine near-dup pairs via BANDED hyperplane LSH
     // (32 tables × 4 planes: recall at cos 0.5 is 1-(1-0.2)^32 ≈ 0.9993
     // vs ~0.2 for r1's single AND-only code), exact-cosine verified,
-    // DuckDB all-pairs oracle
-    "q20_embed_neardup" -> ((s, dir) =>
-      EmbeddingDedup.pairs(Tables(s, dir).embeddings, "vec_id", "embedding",
-        planes = 4, tables = 32, minCosine = 0.5)),
+    // DuckDB all-pairs oracle. `planes` tracks corpus size per the
+    // operator's documented calibration (EmbeddingDedup.pairs scaladoc:
+    // 2^planes buckets must keep occupancy under the cap — the r8 100×
+    // probe measured the alternative: at 2·10^5 vectors every 4-bit
+    // bucket blows past maxBucket and the occupancy gate drops ALL of
+    // them, recall 0). Oracle SFs have ≤ 2·10^3 vectors → planes stays
+    // 4 there (the n/512 regime boundary), so the oracle contract is
+    // untouched; at probe scale wider codes keep within-clique recall
+    // ≈ 1 (miss < 1e-30 at planes 9, cos .999) while low-τ (≈ 0.5)
+    // completeness degrades as documented — hyperplane LSH is a high-τ
+    // scheme; IvfAnn is the weak-similarity path.
+    "q20_embed_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val planes = math.max(4,
+        math.ceil(math.log(e.count() / 512.0) / math.log(2)).toInt)
+      EmbeddingDedup.pairs(e, "vec_id", "embedding",
+        planes = planes, tables = 32, minCosine = 0.5)
+    }),
 
     // 20e. SemDeDup semantic dedup: deterministic k-means clustering +
     // within-cluster smaller-id cosine drop — full kept/dropped

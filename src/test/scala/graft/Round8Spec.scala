@@ -176,6 +176,48 @@ class Round8Spec extends SparkSpec {
     assert(q96.exceptAll(q85).isEmpty && q85.exceptAll(q96).isEmpty)
   }
 
+  // ---- density-controlled scale generator (the pair-family probe) ---------
+
+  test("ScaleGen maxClique mode: near-dup structure is clique-bounded") {
+    val out = java.nio.file.Files.createTempDirectory("graft_scalegen").toString
+    try {
+      // factor 4, cliques of 2 → every base row yields TWO disjoint
+      // 2-cliques instead of one 4-clique
+      ScaleGen.generate(spark, sf0001, 4, out, maxClique = 2)
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+        .where(col("doc_id") < 40).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def bigrams(s: String) =
+        s.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+      def jac(a: Set[String], b: Set[String]) =
+        a.intersect(b).size.toDouble / a.union(b).size
+      for (base <- 0L until 10L) {
+        val Seq(r0, r1, r2, r3) = (0L until 4L).map(r => docs(base * 4 + r))
+        // within-clique (replicas {0,1} and {2,3}): near-dup
+        assert(jac(bigrams(r0), bigrams(r1)) > 0.5, s"base=$base within")
+        assert(jac(bigrams(r2), bigrams(r3)) > 0.5, s"base=$base within")
+        // cross-clique: group-tagged even positions kill every bigram
+        assert(jac(bigrams(r0), bigrams(r2)) < 0.05, s"base=$base cross")
+      }
+      val emb = spark.read.parquet(s"$out/embeddings.parquet")
+        .where(col("vec_id") < 40).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val dot = a.zip(b).map(p => p._1 * p._2).sum
+        dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+      }
+      for (base <- 0L until 10L) {
+        val Seq(v0, v1, v2, v3) = (0L until 4L).map(r => emb(base * 4 + r))
+        assert(cos(v0, v1) > 0.99, s"base=$base within")
+        assert(cos(v2, v3) > 0.99, s"base=$base within")
+        assert(math.abs(cos(v0, v2)) < 0.5, s"base=$base cross")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("q95: decode runs inside whole-stage codegen (StaticInvoke, no UDF)") {
     val df = SparkEntry.queries("q95_pixel_stats")(spark, sf0001)
     df.collect() // finalize the adaptive plan so codegen spans materialize
