@@ -30,15 +30,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = spread(table("orders"))
   def lineitem: DataFrame = spread(table("lineitem"))
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. Read it as raw long nanos and floor to Spark's native
-    * microsecond precision. Requires `spark.sql.legacy.parquet.nanosAsLong
-    * = true`, set ONCE at session build (GraftSession / Verify / Bench) —
-    * mutating session conf per-read is racy under concurrent queries.
+  /** `events.ts` has shipped in multiple physical parquet encodings:
+    * TIMESTAMP(NANOS), which Spark's vectorized reader surfaces as a raw
+    * nanosecond long under `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set once at session build — GraftSession / Verify / Bench), and
+    * timezone-naive TIMESTAMP_MICROS, which arrives as TimestampNTZType.
+    * The loader adapts on the READ schema rather than assuming one layout:
+    * LongType → floor nanos to Spark's microsecond precision; NTZ → cast
+    * to session-zone TIMESTAMP (sessions pin UTC, so the instant equals
+    * the naive wall-clock — identical values to the nanos path, and
+    * `unix_millis`/`unix_timestamp` consumers keep working). Branching is
+    * driver-side on the schema, before analysis — no per-row conditional.
     */
-  def events: DataFrame =
-    spread(table("events")).withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+  def events: DataFrame = {
+    val raw = table("events")
+    val fixed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+    spread(fixed)
+  }
   def documents: DataFrame = spread(table("documents"))
   def embeddings: DataFrame = spread(table("embeddings"))
 }
