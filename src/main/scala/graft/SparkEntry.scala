@@ -761,10 +761,10 @@ object SparkEntry {
 
     // 48. end-to-end corpus-prep funnel (clean → gate → image gate →
     // exact dedup → near-dup keeper → decontaminate → pack), stages
-    // counted in one lazy frame [rows-only; PipelineSpec gates the
-    // composition laws — every stage operator is individually
-    // oracle-gated via q42/q24/q25/q16/q17/q19/q37/q45/q46, the image
-    // gate via q83]. The multimodal branch rides the q83 blob fixture:
+    // counted in one lazy frame. FULL oracle as of r10: the stage counts
+    // are replayed in DuckDB by composing the per-stage oracles (see the
+    // q90 oracleSql comment); PipelineSpec additionally gates the
+    // composition laws. The multimodal branch rides the q83 blob fixture:
     // docs with corrupt/truncated blobs (doc_id % 5 = 2) drop at
     // 1b_image_gate, survivors carry (img_format, img_w, img_h) onto
     // the packed output.
@@ -3139,6 +3139,101 @@ object SparkEntry {
          |  UNION
          |  SELECT e.src, reach.comp FROM e JOIN reach ON e.dst = reach.id
          |)
-         |SELECT id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin
+         |SELECT id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin,
+    // q90 (r10 flip, rows-only tail 4 → 3): the funnel's stage COUNTS are
+    // fully SQL-expressible by composing the already-oracled per-stage
+    // replays over the same fixtures — clean (q42's chain, here on the raw
+    // corpus), lang/quality gate (q24/q25 expressions on the CLEANED
+    // text), image gate (the q83 blob fixture is corrupt exactly at
+    // doc_id % 5 = 2; all surviving headers have w,h ≥ 1), exact dedup
+    // (q16's GROUP BY text), near-dup keepers (q19's exact all-pairs
+    // bigram Jaccard — recall-equivalent to the engine's LSH+verify at
+    // the corpus's near-dup J levels, exactly the q19 oracle argument —
+    // then q37's recursive-CTE connected components, keeper = id = min
+    // component), decontamination (q45's 5-shingle containment with the
+    // funnel's bench slice), and packing (every survivor packs exactly
+    // once — PipelineSpec's law — so 5_packed ≡ 4_decontaminated by
+    // count; the per-bin first-fit itself is q46's oracle).
+    "q90_corpus_prep" ->
+      """WITH RECURSIVE cleaned AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        nfc_normalize(regexp_replace(text, '<[^>]*>', '', 'g')),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      '\s+', ' ', 'g')) AS text
+        |  FROM documents
+        |), gated AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |        WHEN contains(p, ' der ') OR contains(p, ' und ') OR contains(p, ' nicht ') THEN 'de'
+        |        WHEN contains(p, ' le ') OR contains(p, ' les ') OR contains(p, ' est ') THEN 'fr'
+        |        WHEN contains(p, ' el ') OR contains(p, ' los ') OR contains(p, ' es ') THEN 'es'
+        |        ELSE 'en' END AS lang,
+        |      least(100, CAST(floor(500.0 * (
+        |          (length(sp) - length(replace(sp, ' the ', ''))) / 5
+        |        + (length(sp) - length(replace(sp, ' a ', ''))) / 3
+        |        + (length(sp) - length(replace(sp, ' and ', ''))) / 5)
+        |        / len(string_split_regex(trim(text), '\s+'))) AS BIGINT)) AS quality
+        |    FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+        |          ' ' || text || ' ' AS sp FROM cleaned))
+        |  WHERE lang = 'en' AND quality >= 10
+        |), img AS (
+        |  SELECT doc_id, text FROM gated WHERE doc_id % 5 <> 2
+        |), x AS (
+        |  SELECT MIN(doc_id) AS doc_id, text FROM img GROUP BY text
+        |), s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-1, 1)),
+        |    i -> CASE WHEN i+1 <= len(toks) THEN toks[i] || ' ' || toks[i+1]
+        |         ELSE toks[i] END)) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM x)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE floor(len(list_intersect(a.sh, b.sh)) * 100.0 /
+        |        greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)) >= 50
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM x
+        |  UNION
+        |  SELECT e.src, reach.comp FROM e JOIN reach ON e.dst = reach.id
+        |), neardedup AS (
+        |  SELECT x.doc_id, x.text FROM x JOIN (
+        |    SELECT id AS doc_id FROM reach GROUP BY id HAVING id = MIN(comp)
+        |  ) k USING (doc_id)
+        |), bench AS (
+        |  SELECT doc_id, substr(text, 1, 150) AS text FROM documents WHERE doc_id < 40
+        |), cs AS (
+        |  SELECT DISTINCT unnest(sh) AS h FROM (
+        |    SELECT list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-4, 1)),
+        |      i -> list_aggregate(toks[i:least(i+4, len(toks))], 'string_agg', ' '))) AS sh
+        |    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM bench))
+        |), bs AS (
+        |  SELECT doc_id AS train_id, unnest(sh) AS h FROM (
+        |    SELECT doc_id, list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-4, 1)),
+        |      i -> list_aggregate(toks[i:least(i+4, len(toks))], 'string_agg', ' '))) AS sh
+        |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM neardedup))
+        |), contam AS (
+        |  SELECT train_id FROM (
+        |    SELECT train_id, COUNT(*) AS n, COUNT(cs.h) AS n_hit
+        |    FROM bs LEFT JOIN cs USING (h) GROUP BY train_id)
+        |  WHERE floor(n_hit * 100.0 / n) >= 50
+        |), decon AS (
+        |  SELECT doc_id FROM neardedup
+        |  WHERE doc_id NOT IN (SELECT train_id FROM contam)
+        |)
+        |SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM documents
+        |UNION ALL SELECT '1_gated', COUNT(*) FROM gated
+        |UNION ALL SELECT '1b_image_gate', COUNT(*) FROM img
+        |UNION ALL SELECT '2_exact_dedup', COUNT(*) FROM x
+        |UNION ALL SELECT '3_near_dedup', COUNT(*) FROM neardedup
+        |UNION ALL SELECT '4_decontaminated', COUNT(*) FROM decon
+        |UNION ALL SELECT '5_packed', COUNT(*) FROM decon""".stripMargin
   )
 }
