@@ -115,7 +115,9 @@ object ScaleGen {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate")))
 
-    // events.ts stays the raw nanos long (Tables converts on read)
+    // events.ts copies through in whatever physical encoding the base
+    // data uses (raw nanos long or native timestamp — Tables adapts on
+    // read either way)
     write("events", replicate(t.table("events"), factor)
       .select(remap("event_id", factor), col("ts"),
         remap("user_id", factor), col("event_type"), col("value"),

@@ -481,21 +481,28 @@ object SparkEntry {
     // 20. embedding cosine near-dup pairs via BANDED hyperplane LSH
     // (32 tables × 4 planes: recall at cos 0.5 is 1-(1-0.2)^32 ≈ 0.9993
     // vs ~0.2 for r1's single AND-only code), exact-cosine verified,
-    // DuckDB all-pairs oracle. `planes` tracks corpus size per the
+    // DuckDB all-pairs oracle. `planes` grows with corpus size per the
     // operator's documented calibration (EmbeddingDedup.pairs scaladoc:
     // 2^planes buckets must keep occupancy under the cap — the r8 100×
     // probe measured the alternative: at 2·10^5 vectors every 4-bit
     // bucket blows past maxBucket and the occupancy gate drops ALL of
-    // them, recall 0). Oracle SFs have ≤ 2·10^3 vectors → planes stays
-    // 4 there (the n/512 regime boundary), so the oracle contract is
-    // untouched; at probe scale wider codes keep within-clique recall
-    // ≈ 1 (miss < 1e-30 at planes 9, cos .999) while low-τ (≈ 0.5)
+    // them, recall 0). The 1.25 exponent makes the calibration
+    // occupancy-SHRINKING (r10): with planes = ceil(log2(n/512)) exactly,
+    // occupancy n/2^planes is bounded but CONSTANT, so total candidate
+    // work n·occupancy·tables is linear in n — the r10 100× probe
+    // measured the pair family's only superlinear decade (≈12× adjusted
+    // for load). Growing planes at 1.25·log2 shrinks occupancy ∝ n^-1/4,
+    // making candidate volume ∝ n^3/4 — sublinear by construction.
+    // Oracle SFs have ≤ 2·10^3 vectors → planes stays 4 there (both
+    // formulas agree below the n/512 boundary), so the oracle contract
+    // is untouched; at probe scale wider codes keep within-clique recall
+    // ≈ 1 (miss < 1e-27 at planes 11, cos .999) while low-τ (≈ 0.5)
     // completeness degrades as documented — hyperplane LSH is a high-τ
     // scheme; IvfAnn is the weak-similarity path.
     "q20_embed_neardup" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       val planes = math.max(4,
-        math.ceil(math.log(e.count() / 512.0) / math.log(2)).toInt)
+        math.ceil(1.25 * math.log(e.count() / 512.0) / math.log(2)).toInt)
       EmbeddingDedup.pairs(e, "vec_id", "embedding",
         planes = planes, tables = 32, minCosine = 0.5)
     }),
