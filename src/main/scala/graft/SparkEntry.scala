@@ -501,10 +501,9 @@ object SparkEntry {
     // scheme; IvfAnn is the weak-similarity path.
     "q20_embed_neardup" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
-      val planes = math.max(4,
-        math.ceil(1.25 * math.log(e.count() / 512.0) / math.log(2)).toInt)
       EmbeddingDedup.pairs(e, "vec_id", "embedding",
-        planes = planes, tables = 32, minCosine = 0.5)
+        planes = EmbeddingDedup.planesForSublinear(e.count()),
+        tables = 32, minCosine = 0.5)
     }),
 
     // 20e. SemDeDup semantic dedup: deterministic k-means clustering +

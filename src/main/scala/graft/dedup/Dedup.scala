@@ -626,4 +626,25 @@ object EmbeddingDedup {
     math.max(4, math.ceil(
       math.log(math.max(1.0, corpusSize.toDouble / targetOccupancy)) /
         math.log(2.0)).toInt)
+
+  /** Occupancy-SHRINKING calibration (the r10 100× decade probe's lesson):
+    * [[planesFor]] bounds occupancy but keeps it CONSTANT, so candidate
+    * volume n·occupancy·tables grows linearly in n — a 10× decade costs
+    * ~10× wall on fixed hardware. Growing planes at `exponent`·log2
+    * instead makes occupancy ∝ n^(1-exponent) (n^-1/4 at the 1.25
+    * default), so candidate volume is ∝ n^(2-exponent) = n^3/4 —
+    * sublinear by construction. The price is paid exactly where the
+    * operator's scaladoc already points: per-table collision odds of a
+    * borderline-τ pair fall with planes, so weak-similarity (τ ≈ 0.5)
+    * completeness degrades while high-τ recall is untouched (at
+    * planes=11, cos 0.999 → per-table 0.85, miss over 32 tables ≈ 1e-27;
+    * the r10 probe measured recall 1.0 on 400k planted cos-0.999 pairs
+    * at 2·10^5 vectors). Agrees with [[planesFor]] (= 4) below
+    * ~2·10^3 vectors, so small-corpus callers see identical results.
+    */
+  def planesForSublinear(corpusSize: Long, targetOccupancy: Int = 512,
+      exponent: Double = 1.25): Int =
+    math.max(4, math.ceil(exponent *
+      math.log(math.max(1.0, corpusSize.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt)
 }

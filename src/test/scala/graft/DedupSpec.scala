@@ -182,6 +182,13 @@ class DedupSpec extends SparkSpec {
     assert(EmbeddingDedup.planesFor(100L * 1000) == 8)
     assert(EmbeddingDedup.planesFor(1000L * 1000) == 11)
     assert(EmbeddingDedup.planesFor(1000L * 1000 * 1000) == 21)
+    // the r10 occupancy-shrinking variant: agrees at oracle scales
+    // (<= 2000 vectors -> 4), grows 1.25x faster past them so candidate
+    // volume is ~n^(3/4) — the values the r10 decade probe measured with
+    assert(EmbeddingDedup.planesForSublinear(2000L) == 4)
+    assert(EmbeddingDedup.planesForSublinear(20L * 1000) == 7)
+    assert(EmbeddingDedup.planesForSublinear(200L * 1000) == 11)
+    assert(EmbeddingDedup.planesForSublinear(1000L * 1000 * 1000) == 27)
   }
 
   test("non-convergent connected components fail loudly, not with truncated labels") {
