@@ -19,4 +19,27 @@ class AnalysisSmokeSpec extends SparkSpec {
       assert(df.schema.fields.nonEmpty, s"$name produced an empty schema")
     }
   }
+
+  test("Tables.events adapts every historical ts encoding to TIMESTAMP") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    // current data (TIMESTAMP_MICROS → NTZ on read → cast)
+    assert(Tables(spark, sf0001).events.schema("ts").dataType == TimestampType)
+    // legacy layout (TIMESTAMP(NANOS) under nanosAsLong → raw long): the
+    // branch is dormant on current data, so pin it with a synthesized
+    // fixture — a regeneration back to NANOS must keep loading
+    val dir = java.nio.file.Files.createTempDirectory("events_nanos").toString
+    spark.range(3).select(
+        col("id").as("event_id"),
+        (col("id") * 1000000000L + 1700000000000000000L).as("ts"),
+        col("id").as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val legacy = Tables(spark, dir).events
+    assert(legacy.schema("ts").dataType == TimestampType)
+    val got = legacy.select(unix_millis(col("ts"))).orderBy("ts")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1700000000000L, 1700000001000L, 1700000002000L),
+      "nanos floor to micros must preserve the instant")
+  }
 }
