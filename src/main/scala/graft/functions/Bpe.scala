@@ -125,12 +125,24 @@ object BpeKernels {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), Int]]
 
-  private def table(spec: String): Map[(String, String), Int] =
-    cache.computeIfAbsent(spec, s =>
+  // per-row fast path: the spec arrives as a Literal, so every row of a
+  // task binding sees the SAME UTF8String instance — a reference compare
+  // replaces materializing + hashing the multi-KB spec string per row
+  // (invisible at 5k docs, real at billions of rows). The one-entry memo
+  // is racy-by-design: a lost write just falls through to `cache`.
+  @volatile private var last: (UTF8String, Map[(String, String), Int]) = null
+
+  private def table(spec: UTF8String): Map[(String, String), Int] = {
+    val l = last
+    if (l != null && (l._1 eq spec)) return l._2
+    val t = cache.computeIfAbsent(spec.toString, s =>
       s.split("\n").filter(_.nonEmpty).zipWithIndex.map { case (line, i) =>
         val Array(a, b) = line.split(" ", 2)
         (a, b) -> i
       }.toMap)
+    last = (spec, t)
+    t
+  }
 
   /** Apply merges to one word (greedy by merge priority) and return the
     * surviving symbol count.
@@ -159,7 +171,7 @@ object BpeKernels {
 
   /** Total BPE token count of a whitespace-split, lower-cased text. */
   def encodeCount(text: UTF8String, mergeSpec: UTF8String): Long = {
-    val ranks = table(mergeSpec.toString)
+    val ranks = table(mergeSpec)
     var total = 0L
     text.toString.toLowerCase.split("\\s+").foreach { w =>
       if (w.nonEmpty) total += wordSymbols(w, ranks)
