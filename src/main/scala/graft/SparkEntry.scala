@@ -6,7 +6,7 @@ import graft.etl._
 import graft.functions.{Bm25, Bpe, F, Repetition, RomanCodec, TermScores,
   TextStats}
 import graft.multimodal.BinaryPipeline
-import graft.sources.GraftCsv
+import graft.sources.{GraftCsv, GraftWarc, WarcCodec}
 import graft.validation._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -160,6 +160,64 @@ object SparkEntry {
           zip.closeEntry()
         }
       zip.close()
+      path
+    }
+
+  /** q97 fixture: the documents table assembled into 4 real WARC archives
+    * (one per task — the format's file-count parallelism contract), each
+    * record's bytes fully determined by doc_id arithmetic so the oracle
+    * replays the parse in SQL:
+    *  - every doc → a 'response' record at http://corpus.example/doc/<id>,
+    *    WARC-Date = 2024-01-01T00:00:00Z + (id mod 86400) s, payload an
+    *    HTTP/1.1 200 text/plain response around the text (45 header
+    *    bytes — WarcCodec.httpResponse);
+    *  - id mod 7 = 3 → an extra 'metadata' record (exercises the type
+    *    filter);
+    *  - id mod 11 = 5 → the response payload is a torn capture
+    *    ("BROKEN\r\n\r\n" + text, 10 prefix bytes): WARC framing intact,
+    *    HTTP parse fails → status/body NULL;
+    *  - partition 0's archive is per-record-gzip'd (concatenated members,
+    *    the in-the-wild layout) — the decode path shares the oracle.
+    * Partitioning is hash(doc_id) so the record SET is identical across
+    * core counts (file assignment varies; the query never exposes it).
+    */
+  private def warcFixture(s: SparkSession, dir: String): String =
+    memoized(s, s"warc|$dir") {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_warc_docs_" +
+        Integer.toHexString(dir.hashCode)
+      new java.io.File(path).mkdirs()
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .repartition(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val gz = pid == 0
+          val f = new java.io.File(path,
+            if (gz) s"part-$pid.warc.gz" else s"part-$pid.warc")
+          val fos = new java.io.FileOutputStream(f)
+          def writeRec(b: Array[Byte]): Unit =
+            if (gz) { // one gzip member per record, concatenated
+              val g = new java.util.zip.GZIPOutputStream(fos) {
+                override def close(): Unit = { finish(); fos.flush() }
+              }
+              g.write(b); g.close()
+            } else fos.write(b)
+          rows.foreach { r =>
+            val id = r.getAs[Long]("doc_id")
+            val text = r.getAs[String]("text").getBytes("UTF-8")
+            val uri = s"http://corpus.example/doc/$id"
+            val date = java.time.Instant.parse("2024-01-01T00:00:00Z")
+              .plusSeconds(id % 86400).toString
+            if (id % 7 == 3)
+              writeRec(WarcCodec.buildRecord("metadata",
+                s"<urn:graft:meta:$id>", uri, date, "k: v\r\n".getBytes("US-ASCII")))
+            val payload =
+              if (id % 11 == 5) "BROKEN\r\n\r\n".getBytes("US-ASCII") ++ text
+              else WarcCodec.httpResponse(text)
+            writeRec(WarcCodec.buildRecord("response",
+              s"<urn:graft:$id>", uri, date, payload))
+          }
+          fos.close()
+        }
       path
     }
 
@@ -869,6 +927,28 @@ object SparkEntry {
         GeometryDim.toWkt(col("vertices")).as("wkt"),
         array_min(xs).as("xmin"), array_min(ys).as("ymin"),
         array_max(xs).as("xmax"), array_max(ys).as("ymax"))
+    }),
+
+    // 29c. WARC (ISO 28500) web-archive ingest — the Common Crawl
+    // container, the wire format of the LLM-corpus side of this engine
+    // (the ZIP/SHP treatment applied to web captures): 4 real archives
+    // assembled from doc_id arithmetic (one gzip'd with concatenated
+    // per-record members), stream-parsed back by WarcCodec, HTTP
+    // payloads split, torn captures surfacing as NULLs. The oracle
+    // replays every emitted field from the documents table. Scale:
+    // parallelism = archive count (one task streams one archive,
+    // constant memory) — the readZip contract.
+    "q97_warc_ingest" -> ((s, dir) => {
+      val warcDir = warcFixture(s, dir)
+      GraftWarc.read(s, s"$warcDir/*.warc*")
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("http_status"),
+          col("content_length"),
+          col("warc_date").as("warc_ts"),
+          length(col("body")).cast("long").as("n_body_bytes"))
     }),
 
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
@@ -2379,6 +2459,20 @@ object SparkEntry {
         |    ', ' || (array_agg(x || ' ' || y ORDER BY k))[1] || '))' AS wkt,
         |  MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax
         |FROM v GROUP BY poly_id""".stripMargin,
+    // q97: every emitted field is doc_id arithmetic over the documents
+    // table — Spark must recover the same numbers by stream-parsing the
+    // real WARC containers it assembled (45 = the fixed HTTP/1.1 200
+    // text/plain header byte count; 10 = the torn capture's "BROKEN"
+    // prefix; torn HTTP → NULL status/body)
+    "q97_warc_ingest" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 11 = 5 THEN NULL ELSE 200 END AS http_status,
+        | CAST(CASE WHEN doc_id % 11 = 5 THEN 10 ELSE 45 END
+        |   + octet_length(encode(text)) AS BIGINT) AS content_length,
+        | TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id % 86400) AS warc_ts,
+        | CASE WHEN doc_id % 11 = 5 THEN NULL
+        |   ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_body_bytes
+        |FROM documents""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled
