@@ -951,6 +951,30 @@ object SparkEntry {
           length(col("body")).cast("long").as("n_body_bytes"))
     }),
 
+    // 29d. outlink host extraction — the WARC → host-authority-graph
+    // bridge (TextStats.outlinkHosts feeds PageRank's edge shape): hrefs
+    // extracted map-side from a deterministic dirty-HTML fixture (one
+    // absolute anchor per doc, a second for doc_id%3=0 — colliding hosts
+    // when 6·doc_id ≡ 0 mod 20 exercise the count — and a RELATIVE link
+    // for doc_id%5=1 that must drop), one narrow (doc_id, host) shuffle.
+    // Oracle replays the same regexp extraction in DuckDB — parse vs
+    // parse, not fixture arithmetic.
+    "q98_outlink_hosts" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(col("text"),
+        lit(" <a href=\"http://host"), (id % 20).cast("string"),
+        lit(".example/p/"), id.cast("string"), lit("\">x</a>"),
+        when(id % 3 === 0,
+          concat(lit(" <a href=\"http://host"), ((id * 7) % 20).cast("string"),
+            lit(".example/q/"), id.cast("string"), lit("\">y</a>")))
+          .otherwise(lit("")),
+        when(id % 5 === 1, lit(" <a href=\"/rel/p\">z</a>"))
+          .otherwise(lit("")))
+      TextStats.outlinkHosts(
+        Tables(s, dir).documents.select(id, html.as("html")),
+        "doc_id", "html")
+    }),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -2473,6 +2497,26 @@ object SparkEntry {
         | CASE WHEN doc_id % 11 = 5 THEN NULL
         |   ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_body_bytes
         |FROM documents""".stripMargin,
+    // q98: both engines run the SAME href/host regexp extraction over the
+    // same constructed HTML — parse vs parse (patterns are
+    // dialect-neutral: no lookarounds/backreferences, so Java regex and
+    // RE2 extract identically)
+    "q98_outlink_hosts" ->
+      """WITH h AS (
+        |  SELECT doc_id, text
+        |    || ' <a href="http://host' || (doc_id % 20) || '.example/p/' || doc_id || '">x</a>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN
+        |         ' <a href="http://host' || ((doc_id * 7) % 20) || '.example/q/' || doc_id || '">y</a>'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 1 THEN ' <a href="/rel/p">z</a>' ELSE '' END AS html
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS url FROM h
+        |), e AS (
+        |  SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u
+        |)
+        |SELECT doc_id, host, COUNT(*) AS n_links FROM e
+        |WHERE host <> '' GROUP BY doc_id, host""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled

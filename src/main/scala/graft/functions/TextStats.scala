@@ -62,6 +62,39 @@ object TextStats {
   def qualityScore(text: Column): Column =
     least(lit(100L),
       floor(lit(500) * stopwordHits(text) / tokenCount(text)).cast("long"))
+
+  // ---- link extraction (the WARC → host-graph bridge) ---------------------
+
+  /** All href targets in an HTML body, document order. Pattern is
+    * dialect-neutral (no lookarounds, no backreferences) so Java regex and
+    * RE2-based engines extract byte-identical lists — double-quoted hrefs
+    * only, the canonical form; single-quoted/bare attrs belong to a full
+    * HTML parser, not a scan-time kernel.
+    */
+  def hrefs(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1))
+
+  /** Host of an http(s) URL (empty string when the URL has no scheme —
+    * relative links carry no host signal).
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^https?://([^/]+)", 1)
+
+  /** (doc, host, n_links) outlink edges of an HTML column — the bridge
+    * from WARC-ingested captures to the host authority graph
+    * ([[graft.graph.PageRank]]'s input shape): extract hrefs map-side,
+    * reduce to per-(doc, host) counts in ONE shuffle of narrow rows.
+    * Relative links (no host) drop; self-links stay (PageRank's damping
+    * handles them).
+    */
+  def outlinkHosts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      htmlCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(hrefs(col(htmlCol))).as("url"))
+      .select(col("doc_id"), urlHost(col("url")).as("host"))
+      .where(col("host") =!= "")
+      .groupBy(col("doc_id"), col("host"))
+      .agg(count(lit(1)).as("n_links"))
 }
 
 object TextClean {

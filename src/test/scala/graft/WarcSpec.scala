@@ -63,6 +63,19 @@ class WarcSpec extends SparkSpec {
     assert(rs.map(_.targetUri) == List("http://x.example/doc/1"))
   }
 
+  test("href/host extraction: absolute https, relative drop, count merge") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """x <a href="http://a.example/p">u</a> y <a href="https://a.example/q">v</a>"""),
+      (2L, """<a href="/relative/only">w</a>"""),
+      (3L, """pre <a href="http://b.example">z</a>""")).toDF("doc_id", "html")
+    val out = graft.functions.TextStats.outlinkHosts(docs, "doc_id", "html")
+      .orderBy("doc_id", "host").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a.example", 2L), (3L, "b.example", 1L)),
+      s"got $out — http+https must merge on host, relative links must drop")
+  }
+
   test("GraftWarc.read parses a multi-file dir with plain and gzip archives") {
     val dir = java.nio.file.Files.createTempDirectory("warc_read").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
