@@ -975,6 +975,27 @@ object SparkEntry {
         "doc_id", "html")
     }),
 
+    // 26m. encoding-garbage quality signal (the CCNet-style filter a
+    // WARC-fed corpus needs before any text op): U+FFFD tracers,
+    // double-encoded mojibake prefixes, stray C0 controls — planted
+    // deterministically (doc_id%13=4 → 2 replacement chars, %17=2 →
+    // 'Ã©Ã¨' = 2 mojibake prefixes, %19=3 → one BEL) and counted back by
+    // the same replace/regexp arithmetic in both engines. Map-side only:
+    // zero shuffles, scans prune to (doc_id, text).
+    "q99_encoding_quality" -> ((s, dir) => {
+      val id = col("doc_id")
+      val dirty = concat(col("text"),
+        when(id % 13 === 4, lit("��")).otherwise(lit("")),
+        when(id % 17 === 2, lit("Ã©Ã¨")).otherwise(lit("")),
+        when(id % 19 === 3, lit("\u0007")).otherwise(lit("")))
+      Tables(s, dir).documents.select(id,
+        TextStats.replacementCount(dirty).as("n_replacement"),
+        TextStats.mojibakeCount(dirty).as("n_mojibake"),
+        TextStats.controlCharCount(dirty).as("n_control"))
+        .withColumn("is_clean",
+          col("n_replacement") + col("n_mojibake") + col("n_control") === 0)
+    }),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -2517,6 +2538,27 @@ object SparkEntry {
         |)
         |SELECT doc_id, host, COUNT(*) AS n_links FROM e
         |WHERE host <> '' GROUP BY doc_id, host""".stripMargin,
+    // q99: same plant + same replace/regexp count arithmetic in DuckDB;
+    // counts are length DIFFS on the same string, so base-text length
+    // semantics cancel per engine
+    "q99_encoding_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 13 = 4 THEN chr(65533) || chr(65533) ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 2 THEN chr(195) || chr(169) || chr(195) || chr(168) ELSE '' END
+        |    || CASE WHEN doc_id % 19 = 3 THEN chr(7) ELSE '' END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT) AS n_replacement,
+        |    CAST((length(t) - length(replace(t, chr(195), '')))
+        |       + (length(t) - length(replace(t, chr(226) || chr(8364), ''))) / 2 AS BIGINT) AS n_mojibake,
+        |    CAST(length(t) - length(regexp_replace(t, '[\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS n_control
+        |  FROM d
+        |)
+        |SELECT doc_id, n_replacement, n_mojibake, n_control,
+        |  n_replacement + n_mojibake + n_control = 0 AS is_clean
+        |FROM c""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled

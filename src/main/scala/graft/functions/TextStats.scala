@@ -63,6 +63,30 @@ object TextStats {
     least(lit(100L),
       floor(lit(500) * stopwordHits(text) / tokenCount(text)).cast("long"))
 
+  // ---- encoding-garbage quality signal ------------------------------------
+
+  /** U+FFFD replacement characters — the tracer a lossy decode leaves. */
+  def replacementCount(text: Column): Column = markerCount(text, "�")
+
+  /** Double-encoded UTF-8 artifacts: 'Ã' (U+00C3) and 'â€' are the
+    * signature prefixes Latin-1-decoded UTF-8 stamps on every non-ASCII
+    * character ("Ã©" for é, "â€™" for a curly quote) — the standard
+    * mojibake heuristic; counting prefixes, not pairs, keeps the scan one
+    * replace per marker.
+    */
+  def mojibakeCount(text: Column): Column =
+    markerCount(text, "Ã") + markerCount(text, "â€")
+
+  /** C0 control characters except tab/newline/CR — binary bleeding into a
+    * text column. Explicit class (not \p{Cntrl}) so Java regex and RE2
+    * agree byte-for-byte; starts at \x01 because neither engine's
+    * pattern literal carries NUL (a NUL-bearing column is a byte-level
+    * problem, not a text one).
+    */
+  def controlCharCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text,
+      "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))).cast("long")
+
   // ---- link extraction (the WARC → host-graph bridge) ---------------------
 
   /** All href targets in an HTML body, document order. Pattern is
