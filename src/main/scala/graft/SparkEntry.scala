@@ -69,6 +69,23 @@ object SparkEntry {
     memo.computeIfAbsent(s"${System.identityHashCode(s)}|$key",
       _ => build).asInstanceOf[T]
 
+  /** Row count of a base table computed from the UNSPREAD parquet scan
+    * (no columns requested, no round-robin exchange — only the one-row
+    * per-partition partial-count merge), memoized per (session, sf).
+    * Sizing parameters (q20's plane count, q84's k) derive from n; the
+    * r10 verdict flagged counting the `spread()` frame, whose plan is
+    * scan → full-data round-robin exchange → count: invisible at sf0.1,
+    * a 100 TB shuffle at scale. PlanSpec gates the no-round-robin shape.
+    */
+  private[graft] def sizingCountFrame(s: SparkSession, dir: String,
+      name: String): DataFrame =
+    Tables(s, dir).table(name).groupBy().count()
+
+  private def tableRowCount(s: SparkSession, dir: String, name: String): Long =
+    memoized(s, s"rowcount|$name|$dir") {
+      java.lang.Long.valueOf(sizingCountFrame(s, dir, name).head().getLong(0))
+    }.longValue()
+
   /** A temp directory deleted (recursively) at JVM exit, so per-(session,
     * sf) scratch artifacts like the q78 BM25 index never accumulate on
     * the bench host across runs.
@@ -183,9 +200,10 @@ object SparkEntry {
     */
   private def warcFixture(s: SparkSession, dir: String): String =
     memoized(s, s"warc|$dir") {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_warc_docs_" +
-        Integer.toHexString(dir.hashCode)
-      new java.io.File(path).mkdirs()
+      // fresh per-session dir (ADVICE r10: a fixed tmpdir path keyed on
+      // dir.hashCode could serve stale or mid-rewrite part files to the
+      // *.warc* glob across JVMs/sessions); cleaned at JVM exit
+      val path = tempDirCleanedAtExit("graft_warc_docs_")
       Tables(s, dir).documents.select(col("doc_id"), col("text"))
         .repartition(4, col("doc_id")).sortWithinPartitions("doc_id")
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -197,7 +215,9 @@ object SparkEntry {
           def writeRec(b: Array[Byte]): Unit =
             if (gz) { // one gzip member per record, concatenated
               val g = new java.util.zip.GZIPOutputStream(fos) {
-                override def close(): Unit = { finish(); fos.flush() }
+                // flush the member WITHOUT closing fos; release the
+                // Deflater's native buffer (ADVICE r10 leak)
+                override def close(): Unit = { finish(); `def`.end(); fos.flush() }
               }
               g.write(b); g.close()
             } else fos.write(b)
@@ -559,8 +579,11 @@ object SparkEntry {
     // scheme; IvfAnn is the weak-similarity path.
     "q20_embed_neardup" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
+      // sizing count from the unspread scan (tableRowCount) — same n,
+      // no full-data exchange before the operator starts (VERDICT r10)
       EmbeddingDedup.pairs(e, "vec_id", "embedding",
-        planes = EmbeddingDedup.planesForSublinear(e.count()),
+        planes = EmbeddingDedup.planesForSublinear(
+          tableRowCount(s, dir, "embeddings")),
         tables = 32, minCosine = 0.5)
     }),
 
@@ -580,7 +603,9 @@ object SparkEntry {
       // same single shuffle as of r7) is strictly cheaper and becomes
       // the plan — the 100× scale probe runs through it. Round7Spec
       // gates probed ≡ flat at full probe and partial-probe recovery.
-      val k = math.max(32, (1.5 * math.sqrt(e.count().toDouble)).toInt)
+      // n from the unspread scan — see tableRowCount (VERDICT r10)
+      val k = math.max(32, (1.5 * math.sqrt(
+        tableRowCount(s, dir, "embeddings").toDouble)).toInt)
       SemDedup.dedup(e, k = k, iters = 2, eps = 0.9,
         probe = if (k > 256) 2 else 0)
     }),

@@ -1,10 +1,22 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** One parsed WARC record. `warcDate` is the WARC-Date header as a UTC
   * instant; `httpStatus`/`body` are null unless the record is an HTTP
   * response whose payload parses (see [[WarcCodec.parseHttp]]).
+  *
+  * Damage accounting (the [[GraftCsv]] corrupt-record contract applied to
+  * the container layer): when an archive's stream is damaged mid-way —
+  * torn tail, torn header, lost record sync, missing/malformed
+  * Content-Length — the reader emits ONE marker row with
+  * `warc_type = [[GraftWarc.TruncatedType]]` and the reason in
+  * `record_id`, so truncation is countable/quarantineable data instead of
+  * a silent early stop (ADVICE r10). An OVERSIZED record (Content-Length
+  * past the single-array buffer bound) is skipped by length — marker row,
+  * then parsing continues; the other damage classes end the file's
+  * iterator after the marker (an unknown length cannot be skipped).
   */
 final case class WarcRow(file: String, warc_type: String, record_id: String,
     target_uri: String, warc_date: java.sql.Timestamp, content_length: Long,
@@ -32,23 +44,51 @@ final case class WarcRow(file: String, warc_type: String, record_id: String,
   */
 object GraftWarc {
 
+  /** `warc_type` of damage-marker rows; the reason lands in `record_id`
+    * (`torn_tail` / `torn_header` / `lost_sync` / `bad_length` /
+    * `oversized_record`). Leading underscores keep it out of any real
+    * WARC-Type vocabulary.
+    */
+  val TruncatedType = "__truncated__"
+
   /** (file, warc_type, record_id, target_uri, warc_date, content_length,
     * http_status, body) for every record under `path` (glob ok). Filter
-    * `warc_type = 'response'` and non-null `body` for corpus text.
+    * `warc_type = 'response'` and non-null `body` for corpus text; count
+    * [[truncations]] for the damage audit. The per-file input stream is
+    * closed on iterator exhaustion AND on task completion (early-stop /
+    * limit / failure paths), so partial consumption never leaks the
+    * stream or the gzip Inflater's native buffer.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
-      WarcCodec.parseStream(pds.open()).map { r =>
-        val http = if (r.warcType == "response") WarcCodec.parseHttp(r.payload)
-          else None
-        WarcRow(file, r.warcType, r.recordId, r.targetUri,
-          java.sql.Timestamp.from(java.time.Instant.parse(r.warcDate)),
-          r.payload.length.toLong,
-          http.map(_._1), http.map(_._2).orNull)
+      val in = pds.open()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: java.io.IOException => () }))
+      WarcCodec.parseStreamAccounted(in).map {
+        case Right(r) =>
+          val http = if (r.warcType == "response") WarcCodec.parseHttp(r.payload)
+            else None
+          WarcRow(file, r.warcType, r.recordId, r.targetUri,
+            java.sql.Timestamp.from(java.time.Instant.parse(r.warcDate)),
+            r.payload.length.toLong,
+            http.map(_._1), http.map(_._2).orNull)
+        case Left(t) =>
+          WarcRow(file, TruncatedType, t.reason, null, null, -1L, None, null)
       }
     }.toDS().toDF()
   }
+
+  /** Damage-marker rows only — the audit split ([[GraftCsv.badRecords]]
+    * analog): one row per (file, damage event).
+    */
+  def truncations(df: DataFrame): DataFrame =
+    df.where(col("warc_type") === TruncatedType)
+
+  /** Real records with the damage markers dropped. */
+  def records(df: DataFrame): DataFrame =
+    df.where(col("warc_type") =!= TruncatedType)
 }
 
 object WarcCodec {
@@ -56,10 +96,22 @@ object WarcCodec {
   final case class Rec(warcType: String, recordId: String, targetUri: String,
       warcDate: String, payload: Array[Byte])
 
+  /** One damage event: stream state made the archive unparseable at this
+    * point (or, for `oversized_record`, one record was skipped by length).
+    */
+  final case class Truncated(reason: String)
+
+  /** Largest payload the one-record buffer will hold. WARC allows 64-bit
+    * Content-Length; anything past a JVM array is skipped with an
+    * `oversized_record` marker rather than buffered.
+    */
+  val MaxRecordBytes: Long = Int.MaxValue.toLong - 16L
+
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
   /** Assemble one WARC/1.0 record (the fixture/test encoder — also the
-    * documentation of exactly what [[parseStream]] expects).
+    * documentation of exactly what [[parseStreamAccounted]] expects).
+    * Header lines encode as UTF-8 (WARC-Target-URI may be non-ASCII).
     */
   def buildRecord(warcType: String, recordId: String, targetUri: String,
       warcDate: String, payload: Array[Byte]): Array[Byte] = {
@@ -71,7 +123,7 @@ object WarcCodec {
       .append(s"WARC-Target-URI: $targetUri\r\n")
       .append(s"Content-Length: ${payload.length}\r\n")
       .append("\r\n")
-      .toString.getBytes("US-ASCII")
+      .toString.getBytes("UTF-8")
     val out = new java.io.ByteArrayOutputStream(
       header.length + payload.length + 4)
     out.write(header); out.write(payload)
@@ -79,12 +131,14 @@ object WarcCodec {
     out.toByteArray
   }
 
-  /** An HTTP/1.1 200 text/plain response payload around `body` — the
-    * canonical response-record payload the fixture plants.
+  /** An HTTP/1.1 200 response payload around `body` — the canonical
+    * response-record payload the fixture plants. `contentType` lands in
+    * the Content-Type header verbatim (charset experiments ride here).
     */
-  def httpResponse(body: Array[Byte]): Array[Byte] = {
+  def httpResponse(body: Array[Byte],
+      contentType: String = "text/plain"): Array[Byte] = {
     val head = ("HTTP/1.1 200 OK\r\n" +
-      "Content-Type: text/plain\r\n\r\n").getBytes("US-ASCII")
+      s"Content-Type: $contentType\r\n\r\n").getBytes("US-ASCII")
     val out = new java.io.ByteArrayOutputStream(head.length + body.length)
     out.write(head); out.write(body)
     out.toByteArray
@@ -106,6 +160,19 @@ object WarcCodec {
     Some((status, java.util.Arrays.copyOfRange(payload, headEnd + 4, payload.length)))
   }
 
+  /** The HTTP header block of a response payload (bytes before the blank
+    * line) as a Latin-1-decoded string, or None when the payload has no
+    * header terminator. Header FIELD values are ASCII-superset; Latin-1
+    * decode is byte-transparent, so charset parameter extraction
+    * ([[WarcTranscode]]) sees the raw octets.
+    */
+  def httpHeaderBlock(payload: Array[Byte]): Option[String] = {
+    val headEnd = indexOfDoubleCrlf(payload)
+    if (headEnd < 0) None
+    else Some(new String(payload, 0, headEnd,
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
   private def indexOfDoubleCrlf(b: Array[Byte]): Int = {
     var i = 0
     while (i + 3 < b.length) {
@@ -116,14 +183,40 @@ object WarcCodec {
     -1
   }
 
+  /** [[parseStreamAccounted]] with the damage markers dropped — the
+    * convenience surface for clean archives and round-trip tests.
+    * Production readers ([[GraftWarc.read]]) use the accounted variant so
+    * damage is countable.
+    */
+  def parseStream(raw: java.io.InputStream): Iterator[Rec] =
+    parseStreamAccounted(raw).collect { case Right(r) => r }
+
   /** Stream-parse concatenated WARC records. Gzip is sniffed from the
     * magic bytes (concatenated gzip members — the per-record compression
     * WARC files use in the wild — decode transparently through
-    * GZIPInputStream). A torn tail record (EOF before Content-Length
-    * bytes arrive) ends the iterator after the last complete record —
-    * the exactly-once sink contract upstream re-lands torn files whole.
+    * GZIPInputStream). Emits `Right(rec)` per complete record and
+    * `Left(Truncated(reason))` per damage event:
+    *
+    *  - `torn_tail`: EOF before Content-Length payload bytes — last
+    *    event, the exactly-once sink upstream re-lands torn files whole;
+    *  - `torn_header`: EOF inside a header block — last event;
+    *  - `lost_sync`: bytes where a `WARC/` magic was expected — last
+    *    event (re-synchronizing on a binary stream would risk emitting
+    *    payload bytes as records);
+    *  - `bad_length`: missing/malformed/negative Content-Length — last
+    *    event (an unknown length cannot be skipped);
+    *  - `oversized_record`: Content-Length past [[MaxRecordBytes]]
+    *    (WARC allows 64-bit lengths) — record skipped by length,
+    *    parsing CONTINUES.
+    *
+    * The underlying stream is closed when the iterator exhausts (clean
+    * EOF or terminal damage), releasing the gzip Inflater's native
+    * buffer; callers that may abandon the iterator early should also
+    * close `raw` themselves (the Spark reader registers a task-completion
+    * listener).
     */
-  def parseStream(raw: java.io.InputStream): Iterator[Rec] = {
+  def parseStreamAccounted(raw: java.io.InputStream,
+      maxRecordBytes: Long = MaxRecordBytes): Iterator[Either[Truncated, Rec]] = {
     val pb = new java.io.PushbackInputStream(
       new java.io.BufferedInputStream(raw, 1 << 16), 2)
     val b0 = pb.read(); val b1 = pb.read()
@@ -136,15 +229,18 @@ object WarcCodec {
       else pb
 
     // byte-wise line reader: BufferedReader would over-read past the
-    // header block into the binary payload
+    // header block into the binary payload. Bytes accumulate raw and
+    // decode as UTF-8 (WARC/1.0 headers are UTF-8; notably
+    // WARC-Target-URI — a per-char toChar decode would mangle multi-byte
+    // sequences into mojibake, ADVICE r10).
     def readLine(): String = {
-      val sb = new java.lang.StringBuilder(64)
+      val bos = new java.io.ByteArrayOutputStream(64)
       var c = in.read()
       if (c < 0) return null
-      while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
-      val s = sb.toString
-      if (s.nonEmpty && s.charAt(s.length - 1) == '\r')
-        s.substring(0, s.length - 1) else s
+      while (c >= 0 && c != '\n') { bos.write(c); c = in.read() }
+      val b = bos.toByteArray
+      val n = if (b.nonEmpty && b(b.length - 1) == '\r') b.length - 1 else b.length
+      new String(b, 0, n, java.nio.charset.StandardCharsets.UTF_8)
     }
 
     def readFully(n: Int): Array[Byte] = {
@@ -158,15 +254,38 @@ object WarcCodec {
       buf
     }
 
-    new Iterator[Rec] {
-      private var nextRec: Rec = advance()
+    /** Skip exactly `n` bytes; false on EOF first. */
+    def skipFully(n: Long): Boolean = {
+      var left = n
+      while (left > 0) {
+        val k = in.skip(left)
+        if (k > 0) left -= k
+        else if (in.read() >= 0) left -= 1 // skip() can return 0 mid-stream
+        else return false
+      }
+      true
+    }
+
+    new Iterator[Either[Truncated, Rec]] {
+      private var finished = false
+      private var nextEv: Either[Truncated, Rec] = advance()
+
+      private def closeQuietly(): Unit =
+        try raw.close() catch { case _: java.io.IOException => () }
+
+      private def end(reason: String): Either[Truncated, Rec] = {
+        finished = true
+        closeQuietly()
+        if (reason == null) null else Left(Truncated(reason))
+      }
 
       @annotation.tailrec
-      private def advance(): Rec = {
+      private def advance(): Either[Truncated, Rec] = {
+        if (finished) return null
         var line = readLine()
         while (line != null && line.isEmpty) line = readLine()
-        if (line == null) return null
-        if (!line.startsWith("WARC/")) return null // lost sync: stop
+        if (line == null) return end(null) // clean EOF at a record boundary
+        if (!line.startsWith("WARC/")) return end("lost_sync")
         val headers = scala.collection.mutable.Map.empty[String, String]
         var h = readLine()
         while (h != null && h.nonEmpty) {
@@ -175,27 +294,35 @@ object WarcCodec {
             headers(h.substring(0, i).trim.toLowerCase) = h.substring(i + 1).trim
           h = readLine()
         }
-        if (h == null) return null
+        if (h == null) return end("torn_header")
+        // WARC allows 64-bit lengths: parse as Long (ADVICE r10 — a toInt
+        // overflow silently ended the stream here)
         val len = headers.get("content-length").flatMap(s =>
-          try Some(s.toInt) catch { case _: NumberFormatException => None })
+          try Some(s.toLong) catch { case _: NumberFormatException => None })
         len match {
-          case None => null // unframeable: cannot skip an unknown length
+          case None => end("bad_length")
+          case Some(n) if n < 0L => end("bad_length")
+          case Some(n) if n > maxRecordBytes =>
+            if (skipFully(n)) Left(Truncated("oversized_record")) // continue
+            else end("torn_tail")
           case Some(n) =>
-            val payload = readFully(n)
-            if (payload == null) null
+            val payload = readFully(n.toInt)
+            if (payload == null) end("torn_tail")
             else headers.get("warc-type") match {
-              case Some(t) => Rec(t,
+              case Some(t) => Right(Rec(t,
                 headers.getOrElse("warc-record-id", ""),
                 headers.getOrElse("warc-target-uri", ""),
                 headers.getOrElse("warc-date", "1970-01-01T00:00:00Z"),
-                payload)
+                payload))
               case None => advance() // typeless record: skip, stay in sync
             }
         }
       }
 
-      def hasNext: Boolean = nextRec != null
-      def next(): Rec = { val r = nextRec; nextRec = advance(); r }
+      def hasNext: Boolean = nextEv != null
+      def next(): Either[Truncated, Rec] = {
+        val r = nextEv; nextEv = advance(); r
+      }
     }
   }
 }

@@ -7,7 +7,7 @@ package graft
   * break queries at analysis time without a single red test. Forcing
   * `df.schema` runs the full analyzer — unresolved columns, type-mismatch
   * binary ops, bad casts all throw here — without executing anything, so
-  * the whole 97-query surface costs ~seconds.
+  * every registered query costs ~seconds in total.
   *
   * Kept as one test per query (registered dynamically) so a failure names
   * the query, not just "some query broke".

@@ -128,6 +128,19 @@ class PlanSpec extends SparkSpec {
       "window frames did not stack on a single sort:\n" + p.take(1500))
   }
 
+  test("q20/q84 sizing count never shuffles data (no round-robin exchange)") {
+    // VERDICT r10: the entries sized planes/k by counting the spread()
+    // frame — scan → full-data round-robin exchange → count, a 100 TB
+    // shuffle at scale. The sizing count must read the raw parquet scan;
+    // its only exchange is the one-row-per-partition partial-count merge.
+    val p = SparkEntry.sizingCountFrame(spark, sf0001, "embeddings")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("RoundRobinPartitioning"),
+      "sizing count shuffles the data before counting:\n" + p.take(1200))
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "sizing count plans more than the single-row merge exchange:\n" + p.take(1200))
+  }
+
   test("BM25 index search prunes partitions and never rebuilds corpus stats") {
     val idx = java.nio.file.Files.createTempDirectory("planbm25").toString
     graft.functions.Bm25.buildIndex(

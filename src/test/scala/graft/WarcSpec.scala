@@ -63,6 +63,62 @@ class WarcSpec extends SparkSpec {
     assert(rs.map(_.targetUri) == List("http://x.example/doc/1"))
   }
 
+  test("accounted parse surfaces torn tails / lost sync / bad lengths as markers") {
+    val torn = WarcCodec.parseStreamAccounted(
+      new java.io.ByteArrayInputStream(rec(1) ++ rec(2).dropRight(20))).toList
+    assert(torn.map(_.fold(_.reason, _.targetUri)) ==
+      List("http://x.example/doc/1", "torn_tail"))
+
+    val sync = WarcCodec.parseStreamAccounted(new java.io.ByteArrayInputStream(
+      rec(1) ++ "GARBAGE-NOT-A-RECORD\r\n".getBytes ++ rec(2))).toList
+    assert(sync.map(_.fold(_.reason, _.targetUri)) ==
+      List("http://x.example/doc/1", "lost_sync"))
+
+    val badLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: not-a-number\r\n\r\n").getBytes("US-ASCII")
+    val bl = WarcCodec.parseStreamAccounted(
+      new java.io.ByteArrayInputStream(rec(1) ++ badLen)).toList
+    assert(bl.map(_.fold(_.reason, _.targetUri)) ==
+      List("http://x.example/doc/1", "bad_length"))
+  }
+
+  test("64-bit Content-Length past the buffer bound skips by length and continues") {
+    // WARC allows 64-bit lengths; a record past maxRecordBytes must be
+    // SKIPPED with an oversized_record marker, not end the stream (the
+    // pre-r11 toInt parse silently dropped every remaining record)
+    val big = WarcCodec.buildRecord("resource", "<urn:t:big>",
+      "http://x.example/big", "2024-01-01T00:00:00Z", new Array[Byte](64))
+    val rs = WarcCodec.parseStreamAccounted(
+      new java.io.ByteArrayInputStream(big ++ rec(1)),
+      maxRecordBytes = 60L).toList // rec(1) payload = 51 B, big = 64 B
+    assert(rs.map(_.fold(_.reason, _.targetUri)) ==
+      List("oversized_record", "http://x.example/doc/1"))
+  }
+
+  test("UTF-8 header values (non-ASCII target URI) round-trip unmangled") {
+    val uri = "http://例え.example/ścieżka/δοκιμή"
+    val b = WarcCodec.buildRecord("response", "<urn:t:u>", uri,
+      "2024-01-01T00:00:00Z", WarcCodec.httpResponse("x".getBytes("UTF-8")))
+    val rs = parse(b)
+    assert(rs.map(_.targetUri) == List(uri))
+  }
+
+  test("GraftWarc.read emits countable truncation marker rows for damaged archives") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("warc_trunc").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
+      rec(1) ++ rec(2).dropRight(20))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.warc"), rec(3))
+    val out = GraftWarc.read(spark, s"$dir/*.warc").cache()
+    assert(GraftWarc.records(out).count() == 2)
+    val t = GraftWarc.truncations(out)
+      .select("file", "record_id").collect().toSeq
+    assert(t.size == 1 && t.head.getString(0).endsWith("a.warc") &&
+      t.head.getString(1) == "torn_tail",
+      s"damage must be countable data, got $t")
+    out.unpersist()
+  }
+
   test("href/host extraction: absolute https, relative drop, count merge") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
