@@ -3,7 +3,8 @@ package graft
 import graft.dedup.{Contamination, DedupClusters, ExactDedup, MinHashDedup,
   NgramJaccard, Packing}
 import graft.functions.{TextClean, TextStats}
-import org.apache.spark.sql.DataFrame
+import graft.sources.{GraftWarc, WarcTranscode}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus preparation — the §2 operators composed the
@@ -51,6 +52,10 @@ object Pipeline {
     def release(): Unit = handles.foreach(_.unpersist())
   }
 
+  private def stage(name: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
+      col("n_docs"))
+
   /** Run the funnel over `docs` (idCol, textCol). `bench` guards against
     * benchmark contamination (pass an empty frame to skip). Returns the
     * packed sequences (doc_id, n_tokens, seq_id, seq_pos — plus image
@@ -62,6 +67,7 @@ object Pipeline {
       langs: Seq[String] = Seq("en"), minQuality: Long = 10L,
       maxContamPct: Long = 50L, shingleK: Int = 2,
       contamShingleK: Int = 5, minJaccardPct: Int = 50,
+      numPerms: Int = 64, bands: Int = 16, candJaccardPct: Int = -1,
       maxTokens: Long = 512L, packPartitions: Int = 8,
       images: Option[DataFrame] = None, imageId: String = "doc_id",
       imageBlob: String = "blob", minImageW: Int = 1,
@@ -109,9 +115,14 @@ object Pipeline {
 
     val exact = shared(ExactDedup.dedup(gated, "doc_id", "text"))
 
+    // candJaccardPct (default: = minJaccardPct) is the SIGNATURE-ESTIMATE
+    // pre-filter on candidates; the exact-Jaccard verify below always
+    // gates at minJaccardPct. Callers whose corpus has pairs NEAR the
+    // threshold (the web funnel) pass a loose candidate bound so estimate
+    // jitter can't drop a true >= minJaccardPct pair before verification.
     val cands = MinHashDedup.candidatePairs(exact, "doc_id", "text",
-      shingleK = shingleK, numPerms = 64, bands = 16,
-      minJaccardPct = minJaccardPct)
+      shingleK = shingleK, numPerms = numPerms, bands = bands,
+      minJaccardPct = if (candJaccardPct >= 0) candJaccardPct else minJaccardPct)
     // the verified pair list persists too (the q37/q56 memoized-pairs
     // rule): the CC loop below consumes it once per label-propagation
     // ITERATION, and without the persist each iteration re-runs the
@@ -145,9 +156,6 @@ object Pipeline {
       case None => packedBare
     }
 
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
-        col("n_docs"))
     val funnel0 = stage("0_raw", docs)
       .unionAll(stage("1_gated", textGated))
     val funnel1 = imageMeta match {
@@ -160,5 +168,70 @@ object Pipeline {
       .unionAll(stage("4_decontaminated", decontaminated))
       .unionAll(stage("5_packed", packedBare))
     CorpusPrep(packed, funnel, handles.result())
+  }
+
+  /** The WEB-FED funnel: the same corpus-prep program with the three
+    * web-ingest stages composed in front — WARC records ([[GraftWarc]],
+    * q97) → HTTP response bodies → strict charset transcode to UTF-8
+    * ([[WarcTranscode]], q100) → encoding-garbage gate (q99's signals) →
+    * [[prepareCorpus]]. One lazily-built program: Catalyst sees the whole
+    * chain from archive bytes to packed sequences.
+    *
+    * `docId` extracts the document id from the WARC columns (typically a
+    * regexp over `target_uri`). Funnel rows prepend `w0_records` (all
+    * parsed records, damage markers excluded), `w1_http_bodies`
+    * (responses whose HTTP payload parsed), and `w2_transcoded` (bodies
+    * that decoded under their declared charset); the inner funnel's
+    * `0_raw` row is then the encoding-clean handoff count.
+    *
+    * LSH config note: the web path defaults to 128 perms × 64 bands
+    * (2 rows/band — the q17/q19 entry config, pair-miss ≈ 1e-8 at
+    * J = 0.5) rather than prepareCorpus's 64×16: transcoding makes
+    * same-text captures differ by a charset-dependent tail, creating
+    * legitimate MID-J near-dup pairs that the coarser bands would miss
+    * with non-negligible probability, where the planted corpus's
+    * near-dups all sit at high J.
+    *
+    * Scale shape: ingest + transcode + gate are map-side over the archive
+    * scan (parallelism = archive count, the q97 contract); `records` and
+    * `transcoded` persist because the funnel counts and the downstream
+    * chain both consume them — without the persist every stage count
+    * re-parses the archives.
+    */
+  def prepareWebCorpus(warc: DataFrame, docId: Column,
+      bench: DataFrame, benchId: String, benchText: String,
+      langs: Seq[String] = Seq("en"), minQuality: Long = 10L,
+      maxContamPct: Long = 50L, shingleK: Int = 2,
+      contamShingleK: Int = 5, minJaccardPct: Int = 50,
+      numPerms: Int = 128, bands: Int = 64,
+      maxTokens: Long = 512L, packPartitions: Int = 8): CorpusPrep = {
+    import org.apache.spark.storage.StorageLevel
+    val records = GraftWarc.records(warc)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val responses = records.where(col("warc_type") === "response" &&
+      col("body").isNotNull)
+    val cs = WarcTranscode.charsetOf(col("content_type"))
+    val transcoded = responses
+      .select(docId.cast("long").as("doc_id"),
+        WarcTranscode.utf8Text(col("body"), cs).as("text"))
+      .where(col("text").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val encodingClean = transcoded.where(
+      TextStats.replacementCount(col("text")) +
+        TextStats.mojibakeCount(col("text")) +
+        TextStats.controlCharCount(col("text")) === 0)
+    // candJaccardPct = 5: transcoded same-text captures sit at MID J,
+    // where a 50% signature-estimate pre-filter would drop true pairs on
+    // estimate jitter; the exact verify still gates at minJaccardPct
+    val inner = prepareCorpus(encodingClean, "doc_id", "text",
+      bench, benchId, benchText, langs, minQuality, maxContamPct,
+      shingleK, contamShingleK, minJaccardPct, numPerms, bands,
+      candJaccardPct = 5, maxTokens = maxTokens,
+      packPartitions = packPartitions)
+    val funnel = stage("w0_records", records)
+      .unionAll(stage("w1_http_bodies", responses))
+      .unionAll(stage("w2_transcoded", transcoded))
+      .unionAll(inner.funnel)
+    CorpusPrep(inner.packed, funnel, Seq(records, transcoded) ++ inner.handles)
   }
 }

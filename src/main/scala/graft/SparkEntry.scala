@@ -6,7 +6,7 @@ import graft.etl._
 import graft.functions.{Bm25, Bpe, F, Repetition, RomanCodec, TermScores,
   TextStats}
 import graft.multimodal.BinaryPipeline
-import graft.sources.{GraftCsv, GraftWarc, WarcCodec}
+import graft.sources.{GraftCsv, GraftWarc, WarcCodec, WarcTranscode}
 import graft.validation._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -235,6 +235,71 @@ object SparkEntry {
               else WarcCodec.httpResponse(text)
             writeRec(WarcCodec.buildRecord("response",
               s"<urn:graft:$id>", uri, date, payload))
+          }
+          fos.close()
+        }
+      path
+    }
+
+  /** q100 fixture: the documents table as WARC archives whose response
+    * bodies arrive in the charsets a real web crawl serves, keyed by
+    * doc_id mod 5 (each body is the doc text plus a deterministic
+    * non-ASCII suffix, encoded in the declared charset — the oracle knows
+    * the decoded STRING; Spark must recover it by genuinely transcoding
+    * the planted bytes):
+    *  - 0: UTF-8 body, NO charset parameter (the modern-web default path);
+    *  - 1: ISO-8859-1 (`charset=iso-8859-1`);
+    *  - 2: Windows-1250 (`charset=windows-1250` — the reference corpus's
+    *    Polish locale);
+    *  - 3: UTF-16 with BOM (`charset=utf-16`);
+    *  - 4: UTF-8 bytes labeled `charset=x-graft-unknown` — must yield
+    *    NULL text + `unsupported_charset`, never a guessed decode.
+    * Additionally doc_id % 7 = 6 docs carry a stray BEL (U+0007, valid in
+    * every planted charset) before the suffix: q100's transcode passes it
+    * THROUGH (transcoding fixes labeling, not content), and q101's
+    * encoding gate (q99's control-char signal) then drops those docs —
+    * the two-layer contract. documents.text is printable-ASCII by
+    * construction (TESTDATA), so every legacy-charset encode is lossless.
+    * Partition 0's archive is per-record-gzip'd like the q97 fixture.
+    */
+  private def warcCharsetFixture(s: SparkSession, dir: String): String =
+    memoized(s, s"warc_cs|$dir") {
+      val path = tempDirCleanedAtExit("graft_warc_cs_")
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .repartition(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val gz = pid == 0
+          val f = new java.io.File(path,
+            if (gz) s"part-$pid.warc.gz" else s"part-$pid.warc")
+          val fos = new java.io.FileOutputStream(f)
+          def writeRec(b: Array[Byte]): Unit =
+            if (gz) {
+              val g = new java.util.zip.GZIPOutputStream(fos) {
+                override def close(): Unit = { finish(); `def`.end(); fos.flush() }
+              }
+              g.write(b); g.close()
+            } else fos.write(b)
+          rows.foreach { r =>
+            val id = r.getAs[Long]("doc_id")
+            val text = r.getAs[String]("text") +
+              (if (id % 7 == 6) "\u0007" else "")
+            val date = java.time.Instant.parse("2024-01-01T00:00:00Z")
+              .plusSeconds(id % 86400).toString
+            val (ctype, body) = ((id % 5).toInt: @annotation.switch) match {
+              case 0 => ("text/plain", (text + " δ✓").getBytes("UTF-8"))
+              case 1 => ("text/plain; charset=iso-8859-1",
+                (text + " café æøå").getBytes("ISO-8859-1"))
+              case 2 => ("text/plain; charset=windows-1250",
+                (text + " śćżź").getBytes("windows-1250"))
+              case 3 => ("text/plain; charset=utf-16",
+                (text + " Ω16").getBytes("UTF-16"))
+              case _ => ("text/plain; charset=x-graft-unknown",
+                text.getBytes("UTF-8"))
+            }
+            writeRec(WarcCodec.buildRecord("response", s"<urn:graft:cs:$id>",
+              s"http://corpus.example/doc/$id", date,
+              WarcCodec.httpResponse(body, ctype)))
           }
           fos.close()
         }
@@ -1019,6 +1084,50 @@ object SparkEntry {
         TextStats.controlCharCount(dirty).as("n_control"))
         .withColumn("is_clean",
           col("n_replacement") + col("n_mojibake") + col("n_control") === 0)
+    }),
+
+    // 29e. WARC body charset transcoding — the step between q97's raw
+    // bytes and every text operator (VERDICT r10 gap #1): charset from
+    // the HTTP Content-Type parameter, STRICT decode to UTF-8 (mislabeled
+    // bytes → NULL + reason, never half-mojibake), unknown labels →
+    // NULL + 'unsupported_charset'. Bodies planted in ISO-8859-1 /
+    // Windows-1250 / UTF-16 / unlabeled-UTF-8 by doc_id arithmetic; the
+    // oracle knows the decoded STRINGS, Spark must genuinely transcode
+    // the bytes. Map-side kernels — zero shuffles.
+    "q100_warc_transcode" -> ((s, dir) => {
+      val cs = WarcTranscode.charsetOf(col("content_type"))
+      GraftWarc.read(s, s"${warcCharsetFixture(s, dir)}/*.warc*")
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          cs.as("charset"),
+          WarcTranscode.utf8Text(col("body"), cs).as("text_utf8"),
+          WarcTranscode.failReason(col("body"), cs).as("reason"))
+    }),
+
+    // 48b. WEB-FED corpus-prep funnel — the r10 WARC pieces composed
+    // end-to-end as ONE lazy program (VERDICT r10 task 3): archive bytes
+    // (q97 parse) → HTTP bodies → strict charset transcode (q100) →
+    // encoding-garbage gate (q99 signals) → the q90 funnel (clean →
+    // lang/quality → exact dedup → near-dup keeper → decontaminate →
+    // pack). Full stage-count oracle: the ingest/encoding stages are
+    // doc_id arithmetic over the charset fixture; the inner stages are
+    // the q90 composed replay over the transcoded text (the suffixed
+    // strings BOTH engines can reconstruct).
+    "q101_warc_funnel" -> ((s, dir) => {
+      // memoized like q90: the CC loop materializes eagerly; one prep
+      // per (session, sf) so repeated invocations don't stack cache
+      val prep = memoized(s, s"q101_prep|$dir") {
+        val d = Tables(s, dir).documents
+        Pipeline.prepareWebCorpus(
+          GraftWarc.read(s, s"${warcCharsetFixture(s, dir)}/*.warc*"),
+          docId = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1),
+          bench = d.where(col("doc_id") < 40)
+            .select(col("doc_id"), substring(col("text"), 1, 150).as("text")),
+          benchId = "doc_id", benchText = "text")
+      }
+      prep.funnel
     }),
 
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
@@ -2563,6 +2672,137 @@ object SparkEntry {
         |)
         |SELECT doc_id, host, COUNT(*) AS n_links FROM e
         |WHERE host <> '' GROUP BY doc_id, host""".stripMargin,
+    // q100: the decoded strings from the charset plant — the oracle
+    // composes text || suffix literals (already UTF-8 in the SQL text);
+    // Spark must recover identical strings by transcoding the planted
+    // ISO-8859-1 / Windows-1250 / UTF-16 bytes. The unknown-label class
+    // must surface as NULL + reason, never as a guessed decode.
+    "q100_warc_transcode" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 6 THEN chr(7) ELSE '' END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 1 THEN 'iso-8859-1' WHEN 2 THEN 'windows-1250'
+        |    WHEN 3 THEN 'utf-16' WHEN 4 THEN 'x-graft-unknown'
+        |    ELSE NULL END AS charset,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN text || ' δ✓'
+        |    WHEN 1 THEN text || ' café æøå'
+        |    WHEN 2 THEN text || ' śćżź'
+        |    WHEN 3 THEN text || ' Ω16'
+        |    ELSE NULL END AS text_utf8,
+        |  CASE WHEN doc_id % 5 = 4 THEN 'unsupported_charset'
+        |    ELSE NULL END AS reason
+        |FROM t""".stripMargin,
+    // q101: the q90 composed replay with the web-ingest stages in front.
+    // w0/w1 are the charset fixture's record arithmetic (every doc → one
+    // response, all parse); w2 drops the unsupported-charset class
+    // (doc_id%5=4); the inner funnel's 0_raw is the encoding-clean
+    // handoff (also drops the BEL plant, doc_id%7=6); the remaining CTEs
+    // are q90's exact per-stage replays over the TRANSCODED text —
+    // text || suffix(doc_id%5) — which both engines reconstruct
+    // character-identically (the q100 oracle proves the transcode side).
+    // No image gate on the web path. The near-dup recall argument is
+    // q19's, at the web config (128 perms × 64 bands, candidate
+    // pre-filter at 5%): pair-miss ≤ 1e-8 at J = 0.5, and the exact
+    // all-pairs bigram-Jaccard-≥50 oracle matches the engine's
+    // LSH + exact-verify output.
+    "q101_warc_funnel" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 6 THEN chr(7) ELSE '' END
+        |    || CASE CAST(doc_id % 5 AS INTEGER)
+        |         WHEN 0 THEN ' δ✓'
+        |         WHEN 1 THEN ' café æøå'
+        |         WHEN 2 THEN ' śćżź'
+        |         WHEN 3 THEN ' Ω16'
+        |         ELSE NULL END AS text
+        |  FROM documents WHERE doc_id % 5 <> 4
+        |), enc AS (
+        |  SELECT doc_id, text FROM raw WHERE doc_id % 7 <> 6
+        |), cleaned AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        nfc_normalize(regexp_replace(text, '<[^>]*>', '', 'g')),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      '\s+', ' ', 'g')) AS text
+        |  FROM enc
+        |), gated AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |        WHEN contains(p, ' der ') OR contains(p, ' und ') OR contains(p, ' nicht ') THEN 'de'
+        |        WHEN contains(p, ' le ') OR contains(p, ' les ') OR contains(p, ' est ') THEN 'fr'
+        |        WHEN contains(p, ' el ') OR contains(p, ' los ') OR contains(p, ' es ') THEN 'es'
+        |        ELSE 'en' END AS lang,
+        |      least(100, CAST(floor(500.0 * (
+        |          (length(sp) - length(replace(sp, ' the ', ''))) / 5
+        |        + (length(sp) - length(replace(sp, ' a ', ''))) / 3
+        |        + (length(sp) - length(replace(sp, ' and ', ''))) / 5)
+        |        / len(string_split_regex(trim(text), '\s+'))) AS BIGINT)) AS quality
+        |    FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+        |          ' ' || text || ' ' AS sp FROM cleaned))
+        |  WHERE lang = 'en' AND quality >= 10
+        |), x AS (
+        |  SELECT MIN(doc_id) AS doc_id, text FROM gated GROUP BY text
+        |), s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-1, 1)),
+        |    i -> CASE WHEN i+1 <= len(toks) THEN toks[i] || ' ' || toks[i+1]
+        |         ELSE toks[i] END)) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM x)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE floor(len(list_intersect(a.sh, b.sh)) * 100.0 /
+        |        greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)) >= 50
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM x
+        |  UNION
+        |  SELECT e.src, reach.comp FROM e JOIN reach ON e.dst = reach.id
+        |), neardedup AS (
+        |  SELECT x.doc_id, x.text FROM x JOIN (
+        |    SELECT id AS doc_id FROM reach GROUP BY id HAVING id = MIN(comp)
+        |  ) k USING (doc_id)
+        |), bench AS (
+        |  SELECT doc_id, substr(text, 1, 150) AS text FROM documents WHERE doc_id < 40
+        |), cs AS (
+        |  SELECT DISTINCT unnest(sh) AS h FROM (
+        |    SELECT list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-4, 1)),
+        |      i -> list_aggregate(toks[i:least(i+4, len(toks))], 'string_agg', ' '))) AS sh
+        |    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM bench))
+        |), bs AS (
+        |  SELECT doc_id AS train_id, unnest(sh) AS h FROM (
+        |    SELECT doc_id, list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-4, 1)),
+        |      i -> list_aggregate(toks[i:least(i+4, len(toks))], 'string_agg', ' '))) AS sh
+        |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM neardedup))
+        |), contam AS (
+        |  SELECT train_id FROM (
+        |    SELECT train_id, COUNT(*) AS n, COUNT(cs.h) AS n_hit
+        |    FROM bs LEFT JOIN cs USING (h) GROUP BY train_id)
+        |  WHERE floor(n_hit * 100.0 / n) >= 50
+        |), decon AS (
+        |  SELECT doc_id FROM neardedup
+        |  WHERE doc_id NOT IN (SELECT train_id FROM contam)
+        |)
+        |SELECT 'w0_records' AS stage, COUNT(*) AS n_docs FROM documents
+        |UNION ALL SELECT 'w1_http_bodies', COUNT(*) FROM documents
+        |UNION ALL SELECT 'w2_transcoded', COUNT(*) FROM raw
+        |UNION ALL SELECT '0_raw', COUNT(*) FROM enc
+        |UNION ALL SELECT '1_gated', COUNT(*) FROM gated
+        |UNION ALL SELECT '2_exact_dedup', COUNT(*) FROM x
+        |UNION ALL SELECT '3_near_dedup', COUNT(*) FROM neardedup
+        |UNION ALL SELECT '4_decontaminated', COUNT(*) FROM decon
+        |UNION ALL SELECT '5_packed', COUNT(*) FROM decon""".stripMargin,
     // q99: same plant + same replace/regexp count arithmetic in DuckDB;
     // counts are length DIFFS on the same string, so base-text length
     // semantics cancel per engine

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions.col
   */
 final case class WarcRow(file: String, warc_type: String, record_id: String,
     target_uri: String, warc_date: java.sql.Timestamp, content_length: Long,
-    http_status: Option[Int], body: Array[Byte])
+    http_status: Option[Int], content_type: String, body: Array[Byte])
 
 /** WARC (Web ARChive, ISO 28500 — the Common Crawl container) ingest.
   *
@@ -70,12 +70,15 @@ object GraftWarc {
         case Right(r) =>
           val http = if (r.warcType == "response") WarcCodec.parseHttp(r.payload)
             else None
+          val ctype = if (http.isDefined) WarcCodec.contentTypeOf(r.payload)
+            else None
           WarcRow(file, r.warcType, r.recordId, r.targetUri,
             java.sql.Timestamp.from(java.time.Instant.parse(r.warcDate)),
             r.payload.length.toLong,
-            http.map(_._1), http.map(_._2).orNull)
+            http.map(_._1), ctype.orNull, http.map(_._2).orNull)
         case Left(t) =>
-          WarcRow(file, TruncatedType, t.reason, null, null, -1L, None, null)
+          WarcRow(file, TruncatedType, t.reason, null, null, -1L, None, null,
+            null)
       }
     }.toDS().toDF()
   }
@@ -159,6 +162,17 @@ object WarcCodec {
     val status = try parts(1).toInt catch { case _: NumberFormatException => return None }
     Some((status, java.util.Arrays.copyOfRange(payload, headEnd + 4, payload.length)))
   }
+
+  private val ContentTypeRe =
+    "(?im)^content-type:[ \\t]*([^\\r\\n]+?)[ \\t]*$".r
+
+  /** The `Content-Type` header value of an HTTP response payload, or None
+    * when the payload has no header block or no such header — feeds
+    * [[WarcTranscode.charsetOf]].
+    */
+  def contentTypeOf(payload: Array[Byte]): Option[String] =
+    httpHeaderBlock(payload).flatMap(b =>
+      ContentTypeRe.findFirstMatchIn(b).map(_.group(1)))
 
   /** The HTTP header block of a response payload (bytes before the blank
     * line) as a Latin-1-decoded string, or None when the payload has no

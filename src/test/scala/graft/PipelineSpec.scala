@@ -78,6 +78,48 @@ class PipelineSpec extends SparkSpec {
     prep.release() // the cached stage frames free without error
   }
 
+  test("web funnel composes ingest → transcode → encoding gate ahead of the text chain") {
+    import graft.sources.{GraftWarc, WarcCodec}
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    // 6 captures: 1-3 clean UTF-8, 4 ISO-8859-1 (must transcode, then
+    // survive), 5 unknown charset (drops at transcode), 6 well-labeled
+    // but carrying a stray BEL (survives transcode, drops at the
+    // encoding gate) — plus one torn record (excluded from w0 entirely)
+    val t = "the quick brown fox jumps over the lazy dog and then the " +
+      "fox naps on the warm stone all day"
+    def cap(id: Long, body: Array[Byte], ctype: String) =
+      WarcCodec.buildRecord("response", s"<urn:p:$id>",
+        s"http://x.example/doc/$id", "2024-01-01T00:00:00Z",
+        WarcCodec.httpResponse(body, ctype))
+    val bytes =
+      cap(1, t.getBytes("UTF-8"), "text/plain") ++
+      cap(2, (t + " extra").getBytes("UTF-8"), "text/plain") ++
+      cap(3, (t + " café").getBytes("ISO-8859-1"),
+        "text/plain; charset=iso-8859-1") ++
+      cap(4, t.getBytes("UTF-8"), "text/plain; charset=x-nope") ++
+      cap(5, (t + " \u0007bel").getBytes("UTF-8"),
+        "text/plain; charset=utf-8") ++
+      cap(6, t.getBytes("UTF-8"), "text/plain").dropRight(30) // torn
+    val dir = java.nio.file.Files.createTempDirectory("webfunnel").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"), bytes)
+    val prep = Pipeline.prepareWebCorpus(
+      GraftWarc.read(spark, s"$dir/a.warc"),
+      docId = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1),
+      bench = Seq.empty[(Long, String)].toDF("bench_id", "text"),
+      benchId = "bench_id", benchText = "text")
+    val funnel = prep.funnel.as[(String, Long)].collect().toMap
+    assert(funnel("w0_records") == 5L, s"torn record must not count: $funnel")
+    assert(funnel("w1_http_bodies") == 5L)
+    assert(funnel("w2_transcoded") == 4L, s"unknown charset must drop: $funnel")
+    assert(funnel("0_raw") == 3L, s"BEL capture must drop at the gate: $funnel")
+    // docs 1/2/3 proceed: all-distinct exact, 1-2-3 mutually near-dup at
+    // bigram J >= 50 (tail edits only) → one keeper
+    assert(funnel("2_exact_dedup") == 3L && funnel("3_near_dedup") == 1L &&
+      funnel("5_packed") == 1L, s"$funnel")
+    // the transcoded ISO body decodes to real é, never mojibake
+    prep.release()
+  }
+
   test("empty benchmark set skips decontamination without dropping anything") {
     val noBench = Seq.empty[(Long, String)].toDF("bench_id", "text")
     val prep = Pipeline.prepareCorpus(docs, "doc_id", "text",

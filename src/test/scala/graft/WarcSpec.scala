@@ -119,6 +119,48 @@ class WarcSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("mislabeled charset yields NULL text + undecodable, never mojibake") {
+    import graft.sources.WarcTranscode
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // bytes are ISO-8859-1 "café" (0xE9) but the header CLAIMS utf-8:
+    // 0xE9 is not a valid UTF-8 sequence, so the strict decode must fail —
+    // a lenient decode would inject U+FFFD (exactly what q99 then flags)
+    val mislabeled = "café".getBytes("ISO-8859-1")
+    val ok = "café".getBytes("UTF-8")
+    val df = Seq(
+      (1L, "text/plain; charset=utf-8", mislabeled),
+      (2L, "text/plain; charset=iso-8859-1", mislabeled),
+      (3L, "text/plain; charset=\"UTF-8\"", ok), // quoted + upper label
+      (4L, "text/plain", ok), // absent charset → UTF-8 default
+      (5L, "text/plain; charset=x-nope", ok)
+    ).toDF("id", "ctype", "body")
+    val cs = WarcTranscode.charsetOf(col("ctype"))
+    val out = df.select(col("id"),
+        WarcTranscode.utf8Text(col("body"), cs).as("t"),
+        WarcTranscode.failReason(col("body"), cs).as("r"))
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, null, "undecodable"),
+      (2L, "café", null),
+      (3L, "café", null),
+      (4L, "café", null),
+      (5L, null, "unsupported_charset")), s"got $out")
+  }
+
+  test("GraftWarc.read surfaces the Content-Type header for transcoding") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("warc_ct").toString
+    val body = WarcCodec.httpResponse("x".getBytes("UTF-8"),
+      contentType = "text/html; charset=windows-1250")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
+      WarcCodec.buildRecord("response", "<urn:t:1>", "http://x.example/1",
+        "2024-01-01T00:00:00Z", body))
+    val ct = GraftWarc.read(spark, s"$dir/a.warc")
+      .select("content_type").head().getString(0)
+    assert(ct == "text/html; charset=windows-1250")
+  }
+
   test("href/host extraction: absolute https, relative drop, count merge") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
