@@ -20,10 +20,19 @@ import org.apache.spark.sql.functions._
   * exactly. Truncation loses < 1 micro-unit per in-edge per iteration —
   * ranking-irrelevant and perfectly reproducible, which is the point.
   *
-  * Dangling nodes (no out-edges) keep receiving the teleport base and
-  * simply absorb their mass (the standard "removed dangling mass"
-  * simplification, documented rather than hidden; total mass is then not
-  * conserved, relative ranking is unaffected for curation use).
+  * Dangling nodes (no out-edges) keep receiving the teleport base and,
+  * by default, simply absorb their mass (the standard "removed dangling
+  * mass" simplification, documented rather than hidden; total mass is
+  * then not conserved, relative ranking is unaffected for curation use).
+  * `redistributeDangling = true` switches to the canonical formulation,
+  * integer-exactly: each iteration sums the dangling nodes' damped
+  * micro-rank mass D = (Σ_dangling rank · damp) div 1000, gives every
+  * node D div n, and hands the remainder D mod n out as +1 micro-unit to
+  * the nodes with the lowest ids (deterministic on any engine/partition
+  * count — the q102 oracle replays it in unrolled CTEs). Costs one extra
+  * narrow aggregate per iteration (the dangling node set and the id
+  * index are static, built once); total mass is then conserved up to the
+  * documented per-edge truncation.
   *
   * Scale shape: the edge list joins its static out-degree ONCE, and BOTH
   * static frames — the (src, dst, out) edge frame and the distinct node
@@ -51,15 +60,25 @@ object PageRank {
     * max |Δrank_micro| ≤ tolMicro (at most `iters` iterations).
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      dampMilli: Int = 850, tolMicro: Long = -1L): DataFrame =
-    ranksConverged(edges, srcCol, dstCol, iters, dampMilli, tolMicro)._1
+      dampMilli: Int = 850, tolMicro: Long = -1L,
+      redistributeDangling: Boolean = false): DataFrame =
+    ranksConverged(edges, srcCol, dstCol, iters, dampMilli, tolMicro,
+      redistributeDangling)._1
+
+  /** Static per-run frames for dangling-mass redistribution: the dangling
+    * node set, the 1-based id index (remainder micro-units go to the
+    * lowest ids), and the node count.
+    */
+  private[graft] final case class Redistribution(dangling: DataFrame,
+      idx: DataFrame, n: Long)
 
   /** [[ranks]] plus the number of iterations actually executed — the
     * observable for convergence-mode callers (and Round7Spec).
     */
   def ranksConverged(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampMilli: Int = 850,
-      tolMicro: Long = -1L): (DataFrame, Int) = {
+      tolMicro: Long = -1L,
+      redistributeDangling: Boolean = false): (DataFrame, Int) = {
     require(iters >= 1 && dampMilli >= 0 && dampMilli <= 1000)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
@@ -68,12 +87,26 @@ object PageRank {
       .localCheckpoint(true) // static node set, built once
     val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("out")), "src")
       .localCheckpoint(true) // static per-edge out-degree, built once
+    val redist = if (!redistributeDangling) None else {
+      val dangling = nodes
+        .join(eo.select(col("src").as("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true) // static: nodes with no out-edges
+      // 1-based rank of each node id — a ONE-TIME global window sort over
+      // the narrow node set (graphs whose ids are already dense 1..n have
+      // idx = id; production graph builds can substitute that directly).
+      // Checkpointed, so no iteration re-sorts.
+      val idx = nodes.select(col("node"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("node"))).cast("long").as("idx"))
+        .localCheckpoint(true)
+      Some(Redistribution(dangling, idx, nodes.count()))
+    }
     var r = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
     var it = 0
     var converged = false
     while (it < iters && !converged) {
       val prev = r
-      r = iterate(nodes, eo, prev, dampMilli)
+      r = iterate(nodes, eo, prev, dampMilli, redist)
         .localCheckpoint(true) // truncate per-iteration lineage
       if (tolMicro >= 0L && shouldProbe(it, iters)) {
         // counts-only convergence probe: any node moved by > tolMicro?
@@ -113,14 +146,30 @@ object PageRank {
     * scan); [[ranks]] always passes checkpointed `nodes`/`eo`.
     */
   private[graft] def iterate(nodes: DataFrame, eo: DataFrame, r: DataFrame,
-      dampMilli: Int): DataFrame = {
+      dampMilli: Int, redist: Option[Redistribution] = None): DataFrame = {
     val base = lit((1000L - dampMilli) * 1000L)
     val inMass = eo.join(r, eo("src") === r("node"))
       .select(col("dst"),
         expr(s"(rank_micro * $dampMilli) div (1000 * out)").as("c"))
       .groupBy("dst").agg(sum(col("c")).as("m"))
-    nodes.join(inMass, nodes("node") === inMass("dst"), "left")
+    val plain = nodes.join(inMass, nodes("node") === inMass("dst"), "left")
       .select(col("node"),
         (base + coalesce(col("m"), lit(0L))).as("rank_micro"))
+    redist match {
+      case None => plain
+      case Some(Redistribution(dangling, idx, n)) =>
+        // one extra narrow aggregate: the damped dangling mass is a
+        // single-row frame broadcast onto the update — ⌊D/n⌋ everywhere,
+        // the remainder as +1 micro-units to the lowest-id nodes
+        val dmass = r.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dsum"))
+          .select(expr(s"(dsum * $dampMilli) div 1000").as("dmass"))
+        plain.join(idx, "node")
+          .crossJoin(broadcast(dmass))
+          .select(col("node"),
+            (col("rank_micro") + expr(s"dmass div ${n}L") +
+              when(col("idx") <= expr(s"dmass % ${n}L"), lit(1L))
+                .otherwise(lit(0L))).as("rank_micro"))
+    }
   }
 }

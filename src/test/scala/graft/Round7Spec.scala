@@ -176,6 +176,42 @@ class Round7Spec extends SparkSpec {
       deep.as[(Long, Long)].collect().sortBy(_._1).toSeq)
   }
 
+  test("PageRank: dangling redistribution matches hand computation incl. remainder to lowest ids") {
+    // 1→2, 1→3, 2→3; node 3 dangling; n = 3. Iter 1 from r0 = 1e6 each:
+    // D = (1000000·850) div 1000 = 850000 → each +283333, remainder 1
+    // to node 1. c(2) = 850000 div 2 = 425000; c(3) = 425000 + 850000.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = PageRank.ranks(g, "src", "dst", iters = 1,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 433334L, 2L -> 858333L, 3L -> 1708333L), got)
+  }
+
+  test("PageRank: redistribution is a no-op on graphs without dangling nodes") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def run(flag: Boolean) = PageRank.ranks(cycle, "src", "dst", iters = 3,
+      redistributeDangling = flag).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(false) == run(true))
+  }
+
+  test("PageRank: redistribution conserves total mass up to per-edge truncation") {
+    // With redistribution the only mass leaks are the documented integer
+    // floors (< 1 micro-unit per in-edge + per-node share); on the 5-node
+    // dangling fixture, total mass must stay within that bound of n·1e6.
+    val total = PageRank.ranks(edges, "src", "dst", iters = 10,
+        redistributeDangling = true)
+      .agg(sum("rank_micro")).as[Long].head()
+    // steady-state truncation offset ≈ (per-iter floors)/(1−damp) — a few
+    // hundred micro-units here; 1000 is a loose but discriminating bound
+    // (the absorbing mode drifts by ~10^5 on this graph)
+    assert(math.abs(total - 5L * 1000000L) <= 1000L,
+      s"total=$total drifted from ${5L * 1000000L}")
+    // the default (absorbing) mode loses mass monotonically — sanity
+    val absorbed = PageRank.ranks(edges, "src", "dst", iters = 10)
+      .agg(sum("rank_micro")).as[Long].head()
+    assert(absorbed < total)
+  }
+
   test("PageRank: q86 cadence unchanged — fixed-iters result matches hand computation") {
     // 2 nodes, 1→2 only: after iter1, rank(1)=150000 (teleport only),
     // rank(2)=150000+850000=1000000·0.85+150000? — verify exactly:
