@@ -68,7 +68,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    // "runs" makes the median protocol visible in the artifact (VERDICT
+    // r10 task 5): per-query values are medians of `runs` timed passes
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }
