@@ -58,7 +58,12 @@ object GraftFunctions {
     ("graft_image_height",
       "pixel height from a PNG IHDR / JPEG SOF header (-1 if corrupt)",
       invoke(classOf[graft.multimodal.MediaHeader.type], IntegerType,
-        "height", nullableOut = false) _))
+        "height", nullableOut = false) _),
+    ("graft_html_text",
+      "visible text of an HTML string (tags/script/style/head stripped, " +
+        "entities decoded, one line per block)",
+      invoke(classOf[graft.functions.HtmlText.type], StringType,
+        "extractKernel", nullableOut = true) _))
 
   /** Register every graft function into a live session's catalog. */
   def register(spark: SparkSession): Unit =

@@ -3,8 +3,8 @@ package graft
 import graft.ann.{BruteForce, IvfAnn, LshAnn}
 import graft.dedup._
 import graft.etl._
-import graft.functions.{Bm25, Bpe, F, Repetition, RomanCodec, TermScores,
-  TextStats}
+import graft.functions.{Bm25, Bpe, F, HtmlText, Repetition, RomanCodec,
+  TermScores, TextStats}
 import graft.multimodal.BinaryPipeline
 import graft.sources.{GraftCsv, GraftWarc, WarcCodec, WarcTranscode}
 import graft.validation._
@@ -1148,6 +1148,40 @@ object SparkEntry {
           benchId = "doc_id", benchText = "text")
       }
       prep.funnel
+    }),
+
+    // 26n. HTML → visible-text extraction — the real extractor between a
+    // transcoded capture (q100) and the text operators (q98's href kernel
+    // reads the markup's LINKS; this reads its TEXT). The fixture wraps
+    // each doc in a full page exercising every documented rule: head
+    // (title/style/script) elision with raw-text scanning (the script
+    // contains `1<2` and a quoted `</div>`), a chrome comment, a
+    // quote-aware `>` inside an attribute, block-vs-inline line breaks,
+    // and the three entity classes (named/decimal/hex) — including
+    // `&lt;b&gt;` decoding to a literal `<b>` that must NOT be re-parsed
+    // (entity decode runs after tag removal). Oracle composes the
+    // expected text from documents.text; Spark must genuinely parse.
+    // Map-side kernel — zero shuffles.
+    "q103_html_extract" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>skip</title>" +
+          "<style>body{color:#000;}</style>" +
+          "<script>if(1<2){var s=\"</div>\";}</script></head><body>" +
+          "<!-- chrome: <p>never shown</p> -->" +
+          "<nav><a href=\"/home\">Home</a> | " +
+          "<a href=\"/about\" title=\"a>b\">About</a></nav><h1>Doc "),
+        id.cast("string"), lit("</h1><p>"), col("text"), lit("</p>"),
+        when(id % 3 === 0,
+          lit("<p>Extra &amp; entity &#233; &#x41; test</p>"))
+          .otherwise(lit("")),
+        when(id % 7 === 5,
+          lit("<p>&lt;b&gt;not a tag&lt;/b&gt;</p>")).otherwise(lit("")),
+        lit("<footer>Copyright &copy; 2024</footer></body></html>"))
+      Tables(s, dir).documents
+        .select(id, HtmlText.extract(html).as("page_text"))
+        .withColumn("n_lines",
+          size(split(col("page_text"), "\n")).cast("long"))
     }),
 
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
@@ -2899,6 +2933,23 @@ object SparkEntry {
         |SELECT doc_id, n_replacement, n_mojibake, n_control,
         |  n_replacement + n_mojibake + n_control = 0 AS is_clean
         |FROM c""".stripMargin,
+    // q103: the oracle composes the EXPECTED extraction from
+    // documents.text (the entity literals already decoded in the SQL
+    // source — 'é' for &#233;, '©' for &copy;); Spark must recover
+    // identical strings by genuinely parsing the planted page (head/
+    // script/style/comment elision, quote-aware tags, entity decode)
+    "q103_html_extract" ->
+      """SELECT doc_id,
+        |  'Home | About' || chr(10) || 'Doc ' || doc_id || chr(10) || text
+        |  || CASE WHEN doc_id % 3 = 0
+        |       THEN chr(10) || 'Extra & entity é A test' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 5
+        |       THEN chr(10) || '<b>not a tag</b>' ELSE '' END
+        |  || chr(10) || 'Copyright © 2024' AS page_text,
+        |  CAST(4 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |         + CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_lines
+        |FROM documents""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled

@@ -1,0 +1,244 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → visible-text extraction — the step between a transcoded web
+  * capture ([[graft.sources.WarcTranscode]] emits UTF-8 markup) and the
+  * text operators (which all assume prose). [[TextClean.stripHtml]]'s
+  * regex tag-strip is the cheap cleanse for text that merely CONTAINS
+  * markup; this is the real extractor a WARC-fed corpus needs: script and
+  * style CONTENT must not leak into training text, entities must decode,
+  * and block structure must become line structure. A scan-time kernel
+  * (StaticInvoke inside whole-stage codegen, the MediaHeader pattern),
+  * not a DOM parser — no tree is built, memory is O(output).
+  *
+  * Pipeline order (each pass linear, and the order is load-bearing):
+  *  1. TAG SCAN — single pass over the markup:
+  *     - `<!-- ... -->` comments dropped (unterminated comment swallows
+  *       the tail: it IS unterminated markup);
+  *     - `<!...>` declarations and `<?...>` processing instructions
+  *       dropped (quote-aware: a `>` inside a quoted string does not end
+  *       the tag);
+  *     - `<head>` content dropped entirely (title/meta/style belong to
+  *       the browser chrome, not the page text); the section ends at
+  *       `</head` or, when the capture never closes it, at `<body` —
+  *       the same recovery browsers apply;
+  *     - `<script>`/`<style>` skip RAW content to their own close tag
+  *       (a `</div>` or `<` inside script source does not terminate it);
+  *     - block-level tags (p/div/br/li/h1-h6/tr/nav/footer/…, open and
+  *       close) emit a line break; inline tags (a/b/span/em/…) emit
+  *       nothing — "one<br>two" is two lines, "one <b>two</b>" is one;
+  *     - a `<` not followed by a letter, `/`, `!` or `?` is literal text
+  *       (the HTML5 tokenizer's rule), so "x < y" survives.
+  *  2. WHITESPACE STRUCTURE — runs of space/tab/CR collapse to one
+  *     space, lines trim, empty lines drop, lines join with `\n`.
+  *  3. ENTITY DECODE — last, so a decoded `&lt;b&gt;` yields the literal
+  *     text `<b>` and is never re-parsed as markup (the injection-safe
+  *     ordering), and a decoded `&nbsp;` survives the whitespace pass as
+  *     a real U+00A0. Strict form only (`&name;` / `&#NNN;` / `&#xHH;`,
+  *     terminating semicolon required, body ≤ 32 chars); the documented
+  *     named set plus numeric code points (surrogates and out-of-range
+  *     rejected); anything else passes through literally — extraction
+  *     must never invent characters.
+  *
+  * Scale shape: pure map-side column kernel — zero shuffles, null in →
+  * null out, and damage (torn tags, unterminated raw text) degrades to
+  * dropped-tail text rather than an exception, the [[graft.sources.GraftWarc]]
+  * damage posture at the markup layer.
+  */
+object HtmlText {
+
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    GraftSqlBridge.column(e)
+  private def ex(c: Column) = GraftSqlBridge.expression(c)
+
+  /** Tags that break lines. Everything else is inline. */
+  private val BlockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
+      "h1", "h2", "h3", "h4", "h5", "h6", "table", "thead", "tbody",
+      "tfoot", "tr", "td", "th", "caption", "blockquote", "pre",
+      "section", "article", "header", "footer", "nav", "aside", "main",
+      "form", "fieldset", "figure", "figcaption", "address", "center")
+      .foreach(s.add)
+    s
+  }
+
+  /** The common named entities (the WHATWG core set a crawl actually
+    * hits); unknown names pass through literally.
+    */
+  private val NamedEntities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("amp", "&"); m.put("lt", "<"); m.put("gt", ">")
+    m.put("quot", "\""); m.put("apos", "'"); m.put("nbsp", " ")
+    m.put("copy", "©"); m.put("reg", "®"); m.put("trade", "™")
+    m.put("ndash", "–"); m.put("mdash", "—")
+    m.put("hellip", "…"); m.put("middot", "·")
+    m.put("deg", "°"); m.put("laquo", "«"); m.put("raquo", "»")
+    m.put("lsquo", "‘"); m.put("rsquo", "’")
+    m.put("ldquo", "“"); m.put("rdquo", "”")
+    m
+  }
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Case-insensitive check that `s` starts `needle` (ASCII) at `i`. */
+  private def startsAt(s: String, i: Int, needle: String): Boolean = {
+    if (i + needle.length > s.length) return false
+    var k = 0
+    while (k < needle.length) {
+      if (Character.toLowerCase(s.charAt(i + k)) != needle.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** Index just past the quote-aware end `>` of a tag opening at `lt`
+    * (`s(lt) == '<'`), or `s.length` when the tag is torn.
+    */
+  private def tagEnd(s: String, lt: Int): Int = {
+    var i = lt + 1
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    s.length
+  }
+
+  /** Lower-cased tag name starting at `i` (just past `<` or `</`). */
+  private def tagName(s: String, i: Int): String = {
+    var j = i
+    while (j < s.length && (isAsciiLetter(s.charAt(j)) ||
+      (s.charAt(j) >= '0' && s.charAt(j) <= '9'))) j += 1
+    s.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Pass 1: strip markup into a raw text buffer with `\n` at block
+    * boundaries.
+    */
+  private def scanTags(s: String): StringBuilder = {
+    val out = new StringBuilder(s.length / 2)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '<') { out.append(c); i += 1 }
+      else if (startsAt(s, i, "<!--")) {
+        val end = s.indexOf("-->", i + 4)
+        i = if (end < 0) s.length else end + 3
+      } else if (i + 1 < s.length &&
+          (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+        i = tagEnd(s, i)
+      } else if (i + 1 < s.length && (isAsciiLetter(s.charAt(i + 1)) ||
+          (s.charAt(i + 1) == '/' && i + 2 < s.length &&
+            isAsciiLetter(s.charAt(i + 2))))) {
+        val closing = s.charAt(i + 1) == '/'
+        val name = tagName(s, if (closing) i + 2 else i + 1)
+        val afterTag = tagEnd(s, i)
+        if (!closing && name == "head") {
+          // drop head content; recover at </head or an implicit <body
+          var j = afterTag
+          var stop = -1
+          while (stop < 0 && j < s.length) {
+            if (startsAt(s, j, "</head")) stop = tagEnd(s, j)
+            else if (startsAt(s, j, "<body")) stop = j // main loop eats it
+            else j += 1
+          }
+          i = if (stop < 0) s.length else stop
+        } else if (!closing && (name == "script" || name == "style")) {
+          val close = "</" + name
+          var j = afterTag
+          var stop = -1
+          while (stop < 0 && j < s.length) {
+            if (startsAt(s, j, close)) stop = tagEnd(s, j)
+            else j += 1
+          }
+          i = if (stop < 0) s.length else stop
+        } else {
+          if (BlockTags.contains(name)) out.append('\n')
+          i = afterTag
+        }
+      } else { out.append(c); i += 1 } // '<' before non-tag: literal text
+    }
+    out
+  }
+
+  /** Pass 2: collapse space runs, trim lines, drop empties, join '\n'. */
+  private def normalizeWs(raw: StringBuilder): String = {
+    val out = new StringBuilder(raw.length)
+    var lineStart = true   // at start of an output line (trim leading)
+    var pendingSp = false  // a space run awaits a non-space char
+    var pendingNl = false  // a break awaits more content (drop empties)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\n') { pendingNl = true; pendingSp = false }
+      else if (c == ' ' || c == '\t' || c == '\r' || c == '\f') pendingSp = true
+      else {
+        if (pendingNl && out.nonEmpty) { out.append('\n'); lineStart = true }
+        pendingNl = false
+        if (pendingSp && !lineStart) out.append(' ')
+        pendingSp = false
+        out.append(c)
+        lineStart = false
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Pass 3: strict entity decode (see object doc). */
+  private def decodeEntities(s: String): String = {
+    var amp = s.indexOf('&')
+    if (amp < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (amp >= 0) {
+      out.append(s, i, amp)
+      val semi = s.indexOf(';', amp + 1)
+      var decoded: String = null
+      if (semi > amp + 1 && semi - amp <= 33) {
+        val body = s.substring(amp + 1, semi)
+        if (body.charAt(0) == '#') {
+          val hex = body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+          val digits = body.substring(if (hex) 2 else 1)
+          if (digits.nonEmpty)
+            try {
+              val cp = Integer.parseInt(digits, if (hex) 16 else 10)
+              if (cp > 0 && cp <= 0x10ffff &&
+                  !(cp >= 0xd800 && cp <= 0xdfff))
+                decoded = new String(Character.toChars(cp))
+            } catch { case _: NumberFormatException => () }
+        } else decoded = NamedEntities.get(body)
+      }
+      if (decoded != null) { out.append(decoded); i = semi + 1 }
+      else { out.append('&'); i = amp + 1 }
+      amp = s.indexOf('&', i)
+    }
+    out.append(s, i, s.length)
+    out.toString
+  }
+
+  // ---- static kernel (Catalyst-facing) ------------------------------------
+
+  /** Full extraction: tag scan → whitespace structure → entity decode. */
+  def extractKernel(html: UTF8String): UTF8String = {
+    if (html == null) return null
+    UTF8String.fromString(decodeEntities(normalizeWs(scanTags(html.toString))))
+  }
+
+  // ---- column surface -----------------------------------------------------
+
+  /** Visible text of an HTML column, one `\n`-joined line per block. */
+  def extract(html: Column): Column =
+    col(StaticInvoke(classOf[HtmlText.type], StringType, "extractKernel",
+      Seq(ex(html)), Nil, propagateNull = true, returnNullable = true))
+}
