@@ -63,7 +63,12 @@ object GraftFunctions {
       "visible text of an HTML string (tags/script/style/head stripped, " +
         "entities decoded, one line per block)",
       invoke(classOf[graft.functions.HtmlText.type], StringType,
-        "extractKernel", nullableOut = true) _))
+        "extractKernel", nullableOut = true) _),
+    ("graft_url_canon",
+      "canonical form of an absolute http(s) URL (RFC 3986 safe " +
+        "normalizations; NULL for relative/other schemes)",
+      invoke(classOf[graft.functions.UrlNorm.type], StringType,
+        "canonicalizeKernel", nullableOut = true) _))
 
   /** Register every graft function into a live session's catalog. */
   def register(spark: SparkSession): Unit =

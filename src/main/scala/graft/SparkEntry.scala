@@ -4,7 +4,7 @@ import graft.ann.{BruteForce, IvfAnn, LshAnn}
 import graft.dedup._
 import graft.etl._
 import graft.functions.{Bm25, Bpe, F, HtmlText, Repetition, RomanCodec,
-  TermScores, TextStats}
+  TermScores, TextStats, UrlNorm}
 import graft.multimodal.BinaryPipeline
 import graft.sources.{GraftCsv, GraftWarc, WarcCodec, WarcTranscode}
 import graft.validation._
@@ -1182,6 +1182,37 @@ object SparkEntry {
         .select(id, HtmlText.extract(html).as("page_text"))
         .withColumn("n_lines",
           size(split(col("page_text"), "\n")).cast("long"))
+    }),
+
+    // 26o. URL canonicalization + crawl dedup — the identity key a web
+    // corpus needs BEFORE content dedup (refetches of one page under
+    // many spellings collapse for free). Five planted spellings per
+    // canonical target (case/default-port, dot segments, %-encoding +
+    // fragment, userinfo + empty query) all canonicalize to the same
+    // string; doc_id%50 keys the target so ~10 captures share each.
+    // Kernel map-side; the dedup is ONE narrow shuffle on the canonical
+    // string (both window functions share the partition key).
+    "q104_url_canon" -> ((s, dir) => {
+      val id = col("doc_id")
+      val gid = id % 50
+      val h = (gid % 10).cast("string")
+      val tgt = gid.cast("string")
+      val url = when(id % 5 === 0, concat(
+          lit("http://site"), h, lit(".example/a/"), tgt))
+        .when(id % 5 === 1, concat(
+          lit("HTTP://SITE"), h, lit(".EXAMPLE:80/a/"), tgt))
+        .when(id % 5 === 2, concat(
+          lit("http://site"), h, lit(".example/x/../a/./"), tgt))
+        .when(id % 5 === 3, concat(
+          lit("http://site"), h, lit(".example/%61/"), tgt, lit("#frag")))
+        .otherwise(concat(
+          lit("http://u:pw@site"), h, lit(".example/a/"), tgt, lit("?")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url_canon"))
+      Tables(s, dir).documents
+        .select(id, UrlNorm.canonicalize(url).as("url_canon"))
+        .withColumn("n_captures", count(lit(1)).over(w))
+        .withColumn("is_keeper", id === min(id).over(w))
     }),
 
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
@@ -2950,6 +2981,20 @@ object SparkEntry {
         |         + CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END
         |    AS BIGINT) AS n_lines
         |FROM documents""".stripMargin,
+    // q104: every planted spelling canonicalizes to the same target
+    // string, which the oracle composes directly from doc_id arithmetic;
+    // Spark must recover it by genuinely normalizing each variant
+    "q104_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'http://site' || ((doc_id % 50) % 10) || '.example/a/'
+        |      || (doc_id % 50) AS url_canon
+        |  FROM documents
+        |)
+        |SELECT doc_id, url_canon,
+        |  COUNT(*) OVER (PARTITION BY url_canon) AS n_captures,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS is_keeper
+        |FROM u""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled
