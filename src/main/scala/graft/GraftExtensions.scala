@@ -68,7 +68,11 @@ object GraftFunctions {
       "canonical form of an absolute http(s) URL (RFC 3986 safe " +
         "normalizations; NULL for relative/other schemes)",
       invoke(classOf[graft.functions.UrlNorm.type], StringType,
-        "canonicalizeKernel", nullableOut = true) _))
+        "canonicalizeKernel", nullableOut = true) _),
+    ("graft_robots_allowed",
+      "RFC 9309 robots.txt decision for (robots_body, agent, path)",
+      invoke(classOf[graft.functions.RobotsTxt.type], BooleanType,
+        "allowedKernel", nullableOut = false) _))
 
   /** Register every graft function into a live session's catalog. */
   def register(spark: SparkSession): Unit =

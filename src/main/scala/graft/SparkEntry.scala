@@ -3,8 +3,8 @@ package graft
 import graft.ann.{BruteForce, IvfAnn, LshAnn}
 import graft.dedup._
 import graft.etl._
-import graft.functions.{Bm25, Bpe, F, HtmlText, Repetition, RomanCodec,
-  TermScores, TextStats, UrlNorm}
+import graft.functions.{Bm25, Bpe, F, HtmlText, Repetition, RobotsTxt,
+  RomanCodec, TermScores, TextStats, UrlNorm}
 import graft.multimodal.BinaryPipeline
 import graft.sources.{GraftCsv, GraftWarc, WarcCodec, WarcTranscode}
 import graft.validation._
@@ -1213,6 +1213,63 @@ object SparkEntry {
         .select(id, UrlNorm.canonicalize(url).as("url_canon"))
         .withColumn("n_captures", count(lit(1)).over(w))
         .withColumn("is_keeper", id === min(id).over(w))
+    }),
+
+    // 29f. robots.txt gate (RFC 9309) — the crawl-politeness audit over
+    // the canonical-URL frontier: a per-host robots dim (10 hosts, two
+    // policies — even hosts carry an Allow override and a $-anchored
+    // wildcard rule, odd hosts neither) BROADCAST-joins the captures,
+    // and the kernel evaluates longest-match per path map-side. Plan:
+    // one broadcast hash join, zero wide shuffles. The oracle replays
+    // the decision table the planted policies imply.
+    "q105_robots_gate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val gid = id % 50
+      val vid = id % 4
+      val path = when(vid === 0, concat(lit("/a/"), gid.cast("string")))
+        .when(vid === 1, concat(lit("/private/"), gid.cast("string")))
+        .when(vid === 2, concat(lit("/private/ok/"), gid.cast("string")))
+        .otherwise(concat(lit("/files/"), gid.cast("string"), lit(".tmp")))
+      val fullPolicy = "User-agent: graftbot\nDisallow: /private/\n" +
+        "Allow: /private/ok/\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
+      val noOverride = "User-agent: graftbot\nDisallow: /private/\n\n" +
+        "User-agent: *\nDisallow: /\n"
+      val robotsDim = s.range(10).select(col("id").as("host_id"),
+        when(col("id") % 2 === 0, lit(fullPolicy))
+          .otherwise(lit(noOverride)).as("robots"))
+      Tables(s, dir).documents
+        .select(id, (gid % 10).as("host_id"), path.as("path"))
+        .join(broadcast(robotsDim), "host_id")
+        .select(id, col("path"),
+          RobotsTxt.allowed(col("robots"), lit("graftbot"), col("path"))
+            .as("allowed_bot"),
+          RobotsTxt.allowed(col("robots"), lit("otherbot"), col("path"))
+            .as("allowed_other"))
+    }),
+
+    // 29g. anchor-text extraction — the other half of the q98 link
+    // bridge (hosts feed PageRank; anchor TEXT is the classic relevance
+    // signal a link-graph feature store wants). Two same-pattern group
+    // extractions zip positionally into (href, anchor) pairs, then each
+    // href canonicalizes in flight (q104's kernel: port strip + dot
+    // segments; relative links → NULL canon). Map-side throughout.
+    "q106_anchor_text" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(col("text"),
+        lit(" <a href=\"http://site"), (id % 20).cast("string"),
+        lit(".example:80/p/../a/"), id.cast("string"), lit("\">go "),
+        (id % 9).cast("string"), lit("</a>"),
+        when(id % 5 === 1, lit(" <a href=\"/rel/p\">rel</a>"))
+          .otherwise(lit("")))
+      val pat = "<a href=\"([^\"]+)\"[^>]*>([^<]*)</a>"
+      Tables(s, dir).documents.select(id, html.as("html"))
+        .select(id, explode(arrays_zip(
+          regexp_extract_all(col("html"), lit(pat), lit(1)).as("href"),
+          regexp_extract_all(col("html"), lit(pat), lit(2)).as("anchor")))
+          .as("p"))
+        .select(id, col("p.href").as("href"),
+          UrlNorm.canonicalize(col("p.href")).as("url_canon"),
+          col("p.anchor").as("anchor"))
     }),
 
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
@@ -2995,6 +3052,51 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY url_canon) AS n_captures,
         |  doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS is_keeper
         |FROM u""".stripMargin,
+    // q105: the oracle is the decision table the planted policies imply
+    // (vid 0 allowed, vid 1 blocked, vid 2/3 split on host parity — the
+    // Allow override and the $-anchored wildcard exist on even hosts
+    // only); Spark must reach it by parsing and longest-matching the
+    // actual robots text through the broadcast join
+    "q105_robots_gate" ->
+      """WITH u AS (
+        |  SELECT doc_id, (doc_id % 50) % 10 AS h,
+        |    CAST(doc_id % 4 AS INTEGER) AS vid, doc_id % 50 AS gid
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE vid WHEN 0 THEN '/a/' || gid
+        |    WHEN 1 THEN '/private/' || gid
+        |    WHEN 2 THEN '/private/ok/' || gid
+        |    ELSE '/files/' || gid || '.tmp' END AS path,
+        |  CASE WHEN vid = 0 THEN TRUE WHEN vid = 1 THEN FALSE
+        |    WHEN vid = 2 THEN h % 2 = 0 ELSE h % 2 = 1 END AS allowed_bot,
+        |  FALSE AS allowed_other
+        |FROM u""".stripMargin,
+    // q106: parse vs parse (the q98 posture) — DuckDB replays the same
+    // two-group extraction and zips positionally; the canonical column
+    // is the q104 composition the planted href implies (port strip +
+    // dot segments; the relative link yields NULL)
+    "q106_anchor_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' <a href="http://site' || (doc_id % 20)
+        |    || '.example:80/p/../a/' || doc_id || '">go ' || (doc_id % 9)
+        |    || '</a>'
+        |    || CASE WHEN doc_id % 5 = 1
+        |         THEN ' <a href="/rel/p">rel</a>' ELSE '' END AS html
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html,
+        |      '<a href="([^"]+)"[^>]*>([^<]*)</a>', 1)) AS href,
+        |    unnest(regexp_extract_all(html,
+        |      '<a href="([^"]+)"[^>]*>([^<]*)</a>', 2)) AS anchor
+        |  FROM d
+        |)
+        |SELECT doc_id, href,
+        |  CASE WHEN href LIKE 'http://%' THEN 'http://site' || (doc_id % 20)
+        |    || '.example/a/' || doc_id END AS url_canon,
+        |  anchor
+        |FROM pairs""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled

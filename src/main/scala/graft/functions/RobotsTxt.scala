@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.BooleanType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt evaluation (RFC 9309) — the crawl-politeness gate between a
+  * URL frontier and a fetch: a corpus built from web captures must be
+  * able to audit which records a compliant crawler would have been
+  * allowed to take. Pairs with [[UrlNorm]]: group URLs by host, join each
+  * host's robots.txt body alongside, and evaluate per path — the rules
+  * TEXT rides the join (small per host), the scan is map-side.
+  *
+  * Semantics (RFC 9309, with the documented industry tie-break):
+  *  - groups are runs of `User-agent:` lines followed by rules; rules
+  *    before any `User-agent` line are ignored; `#` comments strip;
+  *    field names are case-insensitive, values trim;
+  *  - group selection: every group naming the product token exactly
+  *    (case-insensitive) applies; if none do, the `*` groups apply; if
+  *    none of those, everything is allowed;
+  *  - rule match: patterns anchor at the path start, `*` matches any
+  *    span, a trailing `$` anchors the end; the MOST SPECIFIC matching
+  *    rule wins, specificity = pattern length in characters; at equal
+  *    specificity Allow beats Disallow; no matching rule → allowed;
+  *    an empty-value `Disallow:` matches nothing (allow-all idiom).
+  *
+  * Scale shape: evaluation is a linear scan of the (per-host, small)
+  * rules text per row, inside whole-stage codegen; nothing is cached
+  * between rows, so the kernel is safe under any partitioning. At the
+  * 100 TB shape the join that delivers the rules text is a broadcast
+  * (robots bodies for the host set in play are tiny next to captures).
+  */
+object RobotsTxt {
+
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    GraftSqlBridge.column(e)
+  private def ex(c: Column) = GraftSqlBridge.expression(c)
+
+  /** Anchored wildcard match: `*` spans, trailing `$` anchors the end. */
+  private def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    // greedy with backtracking over '*' (classic two-pointer wildcard)
+    var pi = 0; var si = 0
+    var starP = -1; var starS = -1
+    if (p.isEmpty && !anchored) return true
+    while (si < path.length) {
+      if (pi == p.length && !anchored) return true // pattern consumed: prefix hit
+      if (pi < p.length && (p.charAt(pi) == path.charAt(si))) { pi += 1; si += 1 }
+      else if (pi < p.length && p.charAt(pi) == '*') { starP = pi; pi += 1; starS = si }
+      else if (starP >= 0) { pi = starP + 1; starS += 1; si = starS }
+      else return false
+    }
+    while (pi < p.length && p.charAt(pi) == '*') pi += 1
+    if (pi < p.length) return false
+    if (anchored) si == path.length
+    else true
+  }
+
+  private final case class Rule(allow: Boolean, pattern: String)
+
+  /** Parse groups, return the rules that apply to `agent` (see doc). */
+  private def applicableRules(robots: String, agent: String): java.util.ArrayList[Rule] = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = new java.util.ArrayList[Rule]()
+    val wild = new java.util.ArrayList[Rule]()
+    var groupAgents: List[String] = Nil
+    var inAgentRun = false // consecutive User-agent lines share a group
+    for (line0 <- robots.split("\n", -1)) {
+      var line = line0
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inAgentRun) groupAgents ::= value.toLowerCase(java.util.Locale.ROOT)
+            else { groupAgents = List(value.toLowerCase(java.util.Locale.ROOT)); inAgentRun = true }
+          case "allow" | "disallow" =>
+            inAgentRun = false
+            if (value.nonEmpty) { // empty Disallow matches nothing
+              val r = Rule(key == "allow", value)
+              if (groupAgents.contains(agentLc)) exact.add(r)
+              else if (groupAgents.contains("*")) wild.add(r)
+            }
+          case _ => inAgentRun = false // sitemap/crawl-delay etc. end the run
+        }
+      }
+    }
+    if (!exact.isEmpty) exact else wild
+  }
+
+  // ---- static kernel (Catalyst-facing) ------------------------------------
+
+  /** Would `agent` be allowed to fetch `path` under `robots`? */
+  def allowedKernel(robots: UTF8String, agent: UTF8String,
+      path: UTF8String): Boolean = {
+    if (robots == null || agent == null || path == null) return true
+    val rules = applicableRules(robots.toString, agent.toString)
+    val p = path.toString
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < rules.size()) {
+      val r = rules.get(i)
+      if (patternMatches(r.pattern, p)) {
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len; bestAllow = r.allow
+        }
+      }
+      i += 1
+    }
+    if (bestLen < 0) true else bestAllow
+  }
+
+  // ---- column surface -----------------------------------------------------
+
+  /** True when `agent` may fetch `path` under the `robots` body (NULL
+    * robots/agent/path → allowed: no rules is no restriction).
+    */
+  def allowed(robots: Column, agent: Column, path: Column): Column =
+    col(StaticInvoke(classOf[RobotsTxt.type], BooleanType, "allowedKernel",
+      Seq(ex(robots), ex(agent), ex(path)), Nil, propagateNull = false,
+      returnNullable = false))
+}

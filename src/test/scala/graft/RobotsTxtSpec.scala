@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.RobotsTxt
+
+/** Kernel-level coverage for RFC 9309 robots evaluation — q105's oracle
+  * proves the composition; these pin each documented rule in isolation.
+  * Pure-JVM (kernel called directly): the column path is the same static
+  * method via StaticInvoke, exercised by the query surface.
+  */
+class RobotsTxtSpec extends SparkSpec {
+
+  private val robots =
+    """# corpus policy
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/ok/
+      |Disallow: /*.tmp$
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  private def ok(agent: String, path: String, r: String = robots): Boolean =
+    RobotsTxt.allowedKernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString(r),
+      org.apache.spark.unsafe.types.UTF8String.fromString(agent),
+      org.apache.spark.unsafe.types.UTF8String.fromString(path))
+
+  test("longest match wins; Allow beats a shorter Disallow") {
+    assert(ok("graftbot", "/a/1"))
+    assert(!ok("graftbot", "/private/x"))
+    assert(ok("graftbot", "/private/ok/x"))
+  }
+
+  test("wildcard and end-anchor patterns") {
+    assert(!ok("graftbot", "/files/3.tmp"))
+    assert(ok("graftbot", "/files/3.tmp.bak")) // $ anchors the end
+    assert(!ok("b", "/axbyz", "User-agent: b\nDisallow: /a*b\n"))
+  }
+
+  test("agent fallback to the * group; unknown agent with no * allowed") {
+    assert(!ok("otherbot", "/a/1")) // * group: Disallow /
+    assert(ok("x", "/a", "User-agent: b\nDisallow: /\n"))
+  }
+
+  test("agent names are case-insensitive; comments strip") {
+    assert(!ok("GraftBot", "/private/x"))
+  }
+
+  test("consecutive User-agent lines share a group") {
+    val r = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert(!ok("b", "/x/1", r) && !ok("a", "/x/1", r) && ok("b", "/y", r))
+  }
+
+  test("empty Disallow matches nothing; tie → Allow wins") {
+    assert(ok("b", "/anything", "User-agent: b\nDisallow:\n"))
+    val tie = "User-agent: b\nDisallow: /a/\nAllow: /a*/\n" // hmm lengths 3 vs 4
+    assert(ok("b", "/a/z", tie)) // Allow /a*/ (len 4) beats Disallow /a/ (3)
+    val eq = "User-agent: b\nDisallow: /ab\nAllow: /a*\n"
+    assert(ok("b", "/ab", eq)) // equal length 3: Allow wins
+  }
+
+  test("rules before any User-agent line are ignored; null → allowed") {
+    assert(ok("b", "/x", "Disallow: /\nUser-agent: b\nAllow: /x\n"))
+    assert(RobotsTxt.allowedKernel(null, null, null))
+  }
+}
