@@ -1272,6 +1272,70 @@ object SparkEntry {
           col("p.anchor").as("anchor"))
     }),
 
+    // 29h. per-host crawl-health report — the corpus-ops rollup that
+    // composes the web-layer kernels end-to-end: canonical-URL identity
+    // (q104), the robots gate (q105's broadcast dim), and the encoding
+    // garbage signals (q99's plant), reduced host-wise. Deliberately the
+    // scalable two-stage shape: (host, page) partial aggregate first
+    // (so the distinct-page count is a row count, never an EXPAND), then
+    // the host rollup — two narrow shuffles over integer-and-hash rows.
+    "q107_host_report" -> ((s, dir) => {
+      val id = col("doc_id")
+      val gid = id % 50
+      val vid = id % 4
+      val url = when(id % 5 === 0, concat(
+          lit("http://site"), (gid % 10).cast("string"), lit(".example/a/"),
+          gid.cast("string")))
+        .when(id % 5 === 1, concat(
+          lit("HTTP://SITE"), (gid % 10).cast("string"), lit(".EXAMPLE:80/a/"),
+          gid.cast("string")))
+        .when(id % 5 === 2, concat(
+          lit("http://site"), (gid % 10).cast("string"),
+          lit(".example/x/../a/./"), gid.cast("string")))
+        .when(id % 5 === 3, concat(
+          lit("http://site"), (gid % 10).cast("string"), lit(".example/%61/"),
+          gid.cast("string"), lit("#frag")))
+        .otherwise(concat(
+          lit("http://u:pw@site"), (gid % 10).cast("string"),
+          lit(".example/a/"), gid.cast("string"), lit("?")))
+      val path = when(vid === 0, concat(lit("/a/"), gid.cast("string")))
+        .when(vid === 1, concat(lit("/private/"), gid.cast("string")))
+        .when(vid === 2, concat(lit("/private/ok/"), gid.cast("string")))
+        .otherwise(concat(lit("/files/"), gid.cast("string"), lit(".tmp")))
+      val dirtyText = concat(col("text"),
+        when(id % 13 === 4, lit("��")).otherwise(lit("")),
+        when(id % 17 === 2, lit("Ã©Ã¨")).otherwise(lit("")),
+        when(id % 19 === 3, lit("\u0007")).otherwise(lit("")))
+      val fullPolicy = "User-agent: graftbot\nDisallow: /private/\n" +
+        "Allow: /private/ok/\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
+      val noOverride = "User-agent: graftbot\nDisallow: /private/\n\n" +
+        "User-agent: *\nDisallow: /\n"
+      val robotsDim = s.range(10).select(col("id").as("host_id"),
+        when(col("id") % 2 === 0, lit(fullPolicy))
+          .otherwise(lit(noOverride)).as("robots"))
+      Tables(s, dir).documents
+        .select(id, (gid % 10).as("host_id"),
+          UrlNorm.canonicalize(url).as("url_canon"), path.as("path"),
+          when(TextStats.replacementCount(dirtyText) +
+            TextStats.mojibakeCount(dirtyText) +
+            TextStats.controlCharCount(dirtyText) > 0, 1L).otherwise(0L)
+            .as("dirty"))
+        .join(broadcast(robotsDim), "host_id")
+        .select(col("doc_id"), col("host_id"), col("url_canon"), col("dirty"),
+          when(!RobotsTxt.allowed(col("robots"), lit("graftbot"), col("path")),
+            1L).otherwise(0L).as("blocked"))
+        .groupBy(col("host_id"), col("url_canon"))
+        .agg(count(lit(1)).as("cnt"), sum(col("blocked")).as("nb"),
+          sum(col("dirty")).as("nd"))
+        .groupBy(col("host_id"))
+        .agg(sum(col("cnt")).as("n_captures"),
+          count(lit(1)).as("n_pages"),
+          sum(col("nb")).as("n_blocked"), sum(col("nd")).as("n_dirty"))
+        .select(concat(lit("site"), col("host_id").cast("string"),
+          lit(".example")).as("host"),
+          col("n_captures"), col("n_pages"), col("n_blocked"), col("n_dirty"))
+    }),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -3097,6 +3161,35 @@ object SparkEntry {
         |    || '.example/a/' || doc_id END AS url_canon,
         |  anchor
         |FROM pairs""".stripMargin,
+    // q107: the host report is pure plant arithmetic for the oracle —
+    // blocked replays the q105 decision table, dirty the q99 plant
+    // predicate, pages the gid identity behind the q104 canonical;
+    // Spark must reach the same numbers through the real kernels and
+    // the two-stage rollup
+    "q107_host_report" ->
+      """WITH u AS (
+        |  SELECT doc_id, (doc_id % 50) % 10 AS h, doc_id % 50 AS gid,
+        |    CASE WHEN doc_id % 13 = 4 OR doc_id % 17 = 2
+        |      OR doc_id % 19 = 3 THEN 1 ELSE 0 END AS dirty,
+        |    CASE WHEN doc_id % 4 = 0 THEN 0
+        |      WHEN doc_id % 4 = 1 THEN 1
+        |      WHEN doc_id % 4 = 2 THEN
+        |        CASE WHEN ((doc_id % 50) % 10) % 2 = 0 THEN 0 ELSE 1 END
+        |      ELSE
+        |        CASE WHEN ((doc_id % 50) % 10) % 2 = 1 THEN 0 ELSE 1 END
+        |      END AS blocked
+        |  FROM documents
+        |), g AS (
+        |  SELECT h, gid, COUNT(*) AS cnt,
+        |    SUM(blocked) AS nb, SUM(dirty) AS nd
+        |  FROM u GROUP BY h, gid
+        |)
+        |SELECT 'site' || h || '.example' AS host,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_captures,
+        |  COUNT(*) AS n_pages,
+        |  CAST(SUM(nb) AS BIGINT) AS n_blocked,
+        |  CAST(SUM(nd) AS BIGINT) AS n_dirty
+        |FROM g GROUP BY h""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled

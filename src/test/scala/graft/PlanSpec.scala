@@ -152,4 +152,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("tokenslower") && !p.contains("explode"),
       "search path re-tokenized the corpus:\n" + p.take(1200))
   }
+
+  test("robots gate broadcasts the per-host policy dim") {
+    val p = plan("q105_robots_gate")
+    assert(p.contains("BroadcastHashJoin"), "robots dim not broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("host report: distinct pages via two-stage rollup, never EXPAND") {
+    // count(distinct page) as a grouped re-aggregate keeps rows narrow;
+    // an Expand node would mean the plan multiplied the input instead
+    val p = plan("q107_host_report")
+      .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
+    assert(!p.contains("Expand"), "host report plans an EXPAND:\n" + p.take(1200))
+    // two hash exchanges (page partial, host rollup); the broadcast
+    // exchange for the robots dim is not a shuffle of the fact side
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "host report plans more than its two rollup shuffles:\n" + p.take(1200))
+  }
 }
