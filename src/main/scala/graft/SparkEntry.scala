@@ -1336,6 +1336,31 @@ object SparkEntry {
           col("n_captures"), col("n_pages"), col("n_blocked"), col("n_dirty"))
     }),
 
+    // 29i. unlabeled-body charset recovery — the other half of q100's
+    // transcode story: captures with NO charset label recover via the
+    // WHATWG sniff (BOM first, BOM never reaches the text; else strict
+    // UTF-8 validation; else the documented windows-1252 fallback,
+    // whose total byte map degrades garbage to countable C1 controls
+    // instead of dropping the capture). Bodies planted as real bytes
+    // (encode + BOM prefixes); the oracle knows the decoded strings.
+    // Map-side kernels — zero shuffles.
+    "q108_charset_sniff" -> ((s, dir) => {
+      val id = col("doc_id")
+      val bomU8 = lit(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+      val bomLE = lit(Array[Byte](0xFF.toByte, 0xFE.toByte))
+      val body = when(id % 4 === 0,
+          encode(concat(col("text"), lit(" plain")), "UTF-8"))
+        .when(id % 4 === 1,
+          encode(concat(col("text"), lit(" café")), "ISO-8859-1"))
+        .when(id % 4 === 2,
+          concat(bomLE, encode(concat(col("text"), lit(" Ω")), "UTF-16LE")))
+        .otherwise(
+          concat(bomU8, encode(concat(col("text"), lit(" bom")), "UTF-8")))
+      Tables(s, dir).documents.select(id,
+        WarcTranscode.sniffedCharset(body).as("detected"),
+        WarcTranscode.sniffedText(body).as("text_utf8"))
+    }),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -3190,6 +3215,18 @@ object SparkEntry {
         |  CAST(SUM(nb) AS BIGINT) AS n_blocked,
         |  CAST(SUM(nd) AS BIGINT) AS n_dirty
         |FROM g GROUP BY h""".stripMargin,
+    // q108: the decoded strings from the byte plant (the q100 posture:
+    // the oracle composes text || suffix literals already in UTF-8;
+    // Spark must recover them by sniffing and decoding actual bytes)
+    "q108_charset_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'utf-16le' ELSE 'utf-8-bom' END AS detected,
+        |  text || CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN ' plain' WHEN 1 THEN ' café'
+        |    WHEN 2 THEN ' Ω' ELSE ' bom' END AS text_utf8
+        |FROM documents""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled

@@ -65,6 +65,95 @@ object WarcTranscode {
     } catch { case _: Exception => null }
   }
 
+  // ---- unlabeled-body recovery (WHATWG encoding sniff) --------------------
+  //
+  // q100's path treats an ABSENT charset label as UTF-8 (strict) — correct
+  // for the modern web, but a real crawl's unlabeled tail is full of
+  // legacy-encoded captures that then surface as `undecodable`. The
+  // WHATWG encoding standard defines the deterministic recovery browsers
+  // apply and HTML5 documents: BOM sniffing FIRST (EF BB BF → UTF-8,
+  // FF FE → UTF-16LE, FE FF → UTF-16BE; the BOM never reaches the text),
+  // otherwise validate as UTF-8, otherwise fall back to windows-1252
+  // (whose decode total-maps every byte — undefined slots pass through as
+  // C1 controls, which q99's control-char signal then counts downstream).
+
+  /** The charset the WHATWG sniff selects for an unlabeled body. */
+  def sniffCharsetKernel(body: Array[Byte]): UTF8String = {
+    if (body == null) return null
+    UTF8String.fromString(sniff(body))
+  }
+
+  private def sniff(body: Array[Byte]): String = {
+    if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+      (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf) "utf-8-bom"
+    else if (body.length >= 2 && (body(0) & 0xff) == 0xff &&
+      (body(1) & 0xff) == 0xfe) "utf-16le"
+    else if (body.length >= 2 && (body(0) & 0xff) == 0xfe &&
+      (body(1) & 0xff) == 0xff) "utf-16be"
+    else if (decodeKernel(body, UTF8String.fromString("utf-8")) != null)
+      "utf-8"
+    else "windows-1252"
+  }
+
+  /** The WHATWG windows-1252 decode is TOTAL: 0x80–0x9F map per the
+    * encoding standard's index (Java's strict Cp1252 rejects the five
+    * undefined slots; WHATWG maps them to their C1 controls so damage
+    * stays countable), everything else is the Latin-1 identity.
+    */
+  private val Cp1252High: Array[Char] = Array(
+    '€', '', '‚', 'ƒ', '„', '…', '†',
+    '‡', 'ˆ', '‰', 'Š', '‹', 'Œ', '',
+    'Ž', '', '', '‘', '’', '“', '”',
+    '•', '–', '—', '˜', '™', 'š', '›',
+    'œ', '', 'ž', 'Ÿ')
+
+  private def decode1252(body: Array[Byte]): String = {
+    val out = new Array[Char](body.length)
+    var i = 0
+    while (i < body.length) {
+      val b = body(i) & 0xff
+      out(i) = if (b >= 0x80 && b <= 0x9f) Cp1252High(b - 0x80) else b.toChar
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Decode an unlabeled body under the sniffed charset; the BOM (when
+    * present) is consumed, never emitted. Total: every byte sequence
+    * decodes (the 1252 fallback is a total map), so unlike the labeled
+    * path there is no `undecodable` reason here — garbage degrades to
+    * C1 controls the encoding-quality gate counts, it never vanishes.
+    */
+  def sniffDecodeKernel(body: Array[Byte]): UTF8String = {
+    if (body == null) return null
+    sniff(body) match {
+      case "utf-8-bom" =>
+        decodeKernel(java.util.Arrays.copyOfRange(body, 3, body.length),
+          UTF8String.fromString("utf-8"))
+      case "utf-16le" => // java's UTF-16 consumes the BOM itself
+        decodeKernel(body, UTF8String.fromString("utf-16"))
+      case "utf-16be" =>
+        decodeKernel(body, UTF8String.fromString("utf-16"))
+      case "windows-1252" => UTF8String.fromString(decode1252(body))
+      case cs => decodeKernel(body, UTF8String.fromString(cs))
+    }
+  }
+
+  /** Sniffed charset of an unlabeled body column (see kernel docs). */
+  def sniffedCharset(body: Column): Column =
+    col(StaticInvoke(classOf[WarcTranscode.type], StringType,
+      "sniffCharsetKernel", Seq(ex(body)), Nil, propagateNull = true,
+      returnNullable = true))
+
+  /** UTF-8 text of an unlabeled body via the WHATWG sniff. NULL only for
+    * a NULL body or a BOM-labeled body whose payload contradicts the BOM
+    * (torn multi-byte tail).
+    */
+  def sniffedText(body: Column): Column =
+    col(StaticInvoke(classOf[WarcTranscode.type], StringType,
+      "sniffDecodeKernel", Seq(ex(body)), Nil, propagateNull = true,
+      returnNullable = true))
+
   // ---- column surface -----------------------------------------------------
 
   /** The lower-cased `charset` parameter of a Content-Type value, or NULL

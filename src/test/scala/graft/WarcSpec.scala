@@ -191,4 +191,36 @@ class WarcSpec extends SparkSpec {
       .endsWith("/doc/1")).head().getLong(0) ==
       WarcCodec.httpResponse("body 1".getBytes).length)
   }
+
+  test("WHATWG sniff: BOMs win, UTF-8 validates, 1252 is the fallback") {
+    import graft.sources.WarcTranscode
+    def sniff(b: Array[Byte]): (String, String) = {
+      val cs = WarcTranscode.sniffCharsetKernel(b)
+      val t = WarcTranscode.sniffDecodeKernel(b)
+      (if (cs == null) null else cs.toString,
+        if (t == null) null else t.toString)
+    }
+    assert(sniff("plain".getBytes("UTF-8")) == ("utf-8", "plain"))
+    assert(sniff("café".getBytes("ISO-8859-1")) ==
+      ("windows-1252", "café"))
+    // windows-1252's defined non-Latin-1 slot: 0x80 is the euro sign
+    assert(sniff(Array(0x80.toByte)) == ("windows-1252", "€"))
+    // undefined 1252 slots degrade to C1 controls (total map, q99 counts)
+    assert(sniff(Array(0x81.toByte)) == ("windows-1252", ""))
+    // UTF-8 BOM: stripped, never in the text
+    assert(sniff(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "x".getBytes("UTF-8")) == ("utf-8-bom", "x"))
+    // UTF-16 BOMs: consumed by the decoder
+    assert(sniff(Array[Byte](0xFF.toByte, 0xFE.toByte, 'x'.toByte, 0)) ==
+      ("utf-16le", "x"))
+    assert(sniff(Array[Byte](0xFE.toByte, 0xFF.toByte, 0, 'x'.toByte)) ==
+      ("utf-16be", "x"))
+    // torn UTF-16 tail: detected but strictly undecodable → null text
+    assert(sniff(Array[Byte](0xFF.toByte, 0xFE.toByte, 'x'.toByte)) ==
+      ("utf-16le", null))
+    // empty body is valid (empty) UTF-8
+    assert(sniff(Array.empty[Byte]) == ("utf-8", ""))
+    assert(WarcTranscode.sniffCharsetKernel(null) == null)
+    assert(WarcTranscode.sniffDecodeKernel(null) == null)
+  }
 }
