@@ -217,3 +217,39 @@ object StatefulSessionize {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }
+
+object WebIngestStream {
+
+  /** Streaming twin of the web-ingest layer (q100/q108 → q103 → q99 →
+    * q104 composed): captures arrive as a stream of
+    * (ts, url, content_type, body) rows; each micro-batch transcodes
+    * (labeled charset strictly, unlabeled via the WHATWG sniff),
+    * extracts visible text, gates on the encoding-garbage signals, and
+    * dedups on the canonical URL with BOUNDED state
+    * (dropDuplicatesWithinWatermark — one state entry per canonical URL
+    * inside the watermark horizon, evicted as event time advances; a
+    * crawl frontier's refetch window, not an unbounded seen-set).
+    * Every kernel is map-side, so the only stateful operator is the
+    * dedup — the streaming plan is scan → project → filter → dedup.
+    */
+  def cleanCaptures(captures: org.apache.spark.sql.DataFrame,
+      watermark: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HtmlText, TextStats, UrlNorm}
+    import graft.sources.WarcTranscode
+    val cs = WarcTranscode.charsetOf(col("content_type"))
+    val utf8 = when(cs.isNotNull, WarcTranscode.utf8Text(col("body"), cs))
+      .otherwise(WarcTranscode.sniffedText(col("body")))
+    captures
+      .withColumn("page_text", HtmlText.extract(utf8))
+      .where(col("page_text").isNotNull &&
+        TextStats.replacementCount(col("page_text")) +
+        TextStats.mojibakeCount(col("page_text")) +
+        TextStats.controlCharCount(col("page_text")) === 0)
+      .withColumn("url_canon", UrlNorm.canonicalize(col("url")))
+      .where(col("url_canon").isNotNull)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("url_canon")
+      .select(col("ts"), col("url_canon"), col("page_text"))
+  }
+}

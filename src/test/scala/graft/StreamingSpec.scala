@@ -288,4 +288,40 @@ class StreamingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("row-predicate"))
   }
+
+  test("streaming web ingest: transcode + extract + gate + canonical dedup") {
+    implicit val sql = spark.sqlContext
+    // (ts, url, content_type, body): one clean labeled Latin-1 capture,
+    // an unlabeled 1252 capture, a canonical-duplicate refetch (other
+    // spelling, later batch), a mojibake-dirty capture, a relative URL
+    val mem = MemoryStream[(Timestamp, String, String, Array[Byte])]
+    val out = WebIngestStream.cleanCaptures(
+      mem.toDF().toDF("ts", "url", "content_type", "body"))
+    val q = out.writeStream.format("memory").queryName("web_stream")
+      .outputMode("append").start()
+    def html(s: String) = s"<html><body><p>$s</p></body></html>"
+    try {
+      mem.addData(
+        (ts(10, 0), "http://a.example/x", "text/html; charset=iso-8859-1",
+          html("café one").getBytes("ISO-8859-1")),
+        (ts(10, 1), "http://b.example/y", null,
+          html("two café").getBytes("ISO-8859-1")), // sniffed 1252
+        (ts(10, 2), "http://c.example/z", null,
+          html("bad Ã© mojibake").getBytes("UTF-8")), // gated out
+        (ts(10, 3), "/relative/only", null, html("rel").getBytes("UTF-8")))
+      q.processAllAvailable()
+      mem.addData( // refetch of a.example/x under another spelling
+        (ts(10, 4), "HTTP://A.EXAMPLE:80/p/../x", "text/html; charset=utf-8",
+          html("café refetch").getBytes("UTF-8")),
+        (ts(10, 5), "http://d.example/w", null, html("four").getBytes("UTF-8")))
+      q.processAllAvailable()
+      val got = spark.table("web_stream")
+        .select("url_canon", "page_text")
+        .as[(String, String)].collect().toMap
+      assert(got.keySet == Set("http://a.example/x", "http://b.example/y",
+        "http://d.example/w"), s"wrong survivor set: ${got.keySet}")
+      assert(got("http://a.example/x") == "café one", "first fetch must win")
+      assert(got("http://b.example/y") == "two café", "1252 sniff failed")
+    } finally q.stop()
+  }
 }
