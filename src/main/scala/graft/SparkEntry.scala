@@ -86,6 +86,20 @@ object SparkEntry {
       java.lang.Long.valueOf(sizingCountFrame(s, dir, name).head().getLong(0))
     }.longValue()
 
+  /** Archive count for the WARC fixtures: one task streams one archive,
+    * so parallelism IS the archive count — Common Crawl ships tens of
+    * thousands of archives per snapshot, and a fixture that pinned 4
+    * archives at every scale left 28 of 32 cores idle from 10× up (the
+    * r11 100× probe measured q100 at 37× per decade purely from this).
+    * ~2000 records per archive, clamped to [4, 64]; a pure function of
+    * the table's row count (footer-count, no shuffle), so the record
+    * SET stays deterministic per sf across core counts, and the oracle
+    * scales (sf0.001-0.1) keep their historical 4-archive layout.
+    */
+  private def warcArchiveCount(s: SparkSession, dir: String): Int =
+    math.max(4L, math.min(64L,
+      (tableRowCount(s, dir, "documents") + 1999L) / 2000L)).toInt
+
   /** A temp directory deleted (recursively) at JVM exit, so per-(session,
     * sf) scratch artifacts like the q78 BM25 index never accumulate on
     * the bench host across runs.
@@ -205,7 +219,8 @@ object SparkEntry {
       // *.warc* glob across JVMs/sessions); cleaned at JVM exit
       val path = tempDirCleanedAtExit("graft_warc_docs_")
       Tables(s, dir).documents.select(col("doc_id"), col("text"))
-        .repartition(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .repartition(warcArchiveCount(s, dir), col("doc_id"))
+        .sortWithinPartitions("doc_id")
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val gz = pid == 0
@@ -266,7 +281,8 @@ object SparkEntry {
     memoized(s, s"warc_cs|$dir") {
       val path = tempDirCleanedAtExit("graft_warc_cs_")
       Tables(s, dir).documents.select(col("doc_id"), col("text"))
-        .repartition(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .repartition(warcArchiveCount(s, dir), col("doc_id"))
+        .sortWithinPartitions("doc_id")
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val gz = pid == 0
@@ -1116,14 +1132,18 @@ object SparkEntry {
     // the bytes. Map-side kernels — zero shuffles.
     "q100_warc_transcode" -> ((s, dir) => {
       val cs = WarcTranscode.charsetOf(col("content_type"))
+      // decode ONCE, derive the reason from the materialized text —
+      // failReason(body, cs) inline would run the strict decode twice
+      // per record (measured at the r11 100× probe)
       GraftWarc.read(s, s"${warcCharsetFixture(s, dir)}/*.warc*")
         .where(col("warc_type") === "response")
         .select(
           regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
             .cast("long").as("doc_id"),
           cs.as("charset"),
-          WarcTranscode.utf8Text(col("body"), cs).as("text_utf8"),
-          WarcTranscode.failReason(col("body"), cs).as("reason"))
+          WarcTranscode.utf8Text(col("body"), cs).as("text_utf8"))
+        .withColumn("reason",
+          WarcTranscode.failReasonFromText(col("text_utf8"), col("charset")))
     }),
 
     // 48b. WEB-FED corpus-prep funnel — the r10 WARC pieces composed

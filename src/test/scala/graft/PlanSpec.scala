@@ -153,6 +153,16 @@ class PlanSpec extends SparkSpec {
       "search path re-tokenized the corpus:\n" + p.take(1200))
   }
 
+  test("URL-canon dedup: both window functions share ONE shuffle") {
+    // count + is-keeper min partition on the same canonical key; a
+    // second exchange would mean the window specs diverged
+    val p = plan("q104_url_canon")
+      .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "canonical dedup should be exactly one key shuffle:\n" + p.take(1200))
+    assert("Window".r.findAllIn(p).size <= 2, p.take(1200))
+  }
+
   test("robots gate broadcasts the per-host policy dim") {
     val p = plan("q105_robots_gate")
     assert(p.contains("BroadcastHashJoin"), "robots dim not broadcast")

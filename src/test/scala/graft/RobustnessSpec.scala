@@ -152,4 +152,34 @@ class RobustnessSpec extends SparkSpec {
       .maxDupSpan(none, "doc_id", "text", k = 5, minSpanTokens = 7L)
       .count() == 0L)
   }
+
+  test("round-11 web kernels are total on adversarial inputs") {
+    // The web layer parses attacker-controlled bytes; every kernel must
+    // be total — return, never throw — on arbitrary garbage. Seeded
+    // generator over the characters that drive each parser's states.
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{HtmlText, RobotsTxt, UrlNorm}
+    import graft.sources.WarcTranscode
+    val alphabet =
+      "<>&%;/*$\"'#?@:=.-_~a1 \t\r\né �😀".toCharArray
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 2000) {
+      val s = new String(Array.fill(rnd.nextInt(48))(
+        alphabet(rnd.nextInt(alphabet.length))))
+      val u = UTF8String.fromString(s)
+      assert(HtmlText.extractKernel(u) != null)
+      UrlNorm.canonicalizeKernel(u) // NULL allowed; throwing is not
+      RobotsTxt.allowedKernel(u, UTF8String.fromString("bot"), u)
+      WarcTranscode.sniffDecodeKernel(s.getBytes("UTF-8"))
+    }
+    // truncated-structure prefixes a fuzzer rarely lands on exactly
+    for (p <- Seq("http://", "https://x", "http://h/%", "http://h/%2",
+        "http://[", "http://@", "http://:80/", "http://h:99999999999/x"))
+      UrlNorm.canonicalizeKernel(UTF8String.fromString(p))
+    // random BYTES through the sniff (not UTF-8-shaped)
+    for (_ <- 1 to 500) {
+      val b = new Array[Byte](rnd.nextInt(24)); rnd.nextBytes(b)
+      assert(WarcTranscode.sniffCharsetKernel(b) != null)
+    }
+  }
 }
