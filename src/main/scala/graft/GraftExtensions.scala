@@ -72,7 +72,12 @@ object GraftFunctions {
     ("graft_robots_allowed",
       "RFC 9309 robots.txt decision for (robots_body, agent, path)",
       invoke(classOf[graft.functions.RobotsTxt.type], BooleanType,
-        "allowedKernel", nullableOut = false) _))
+        "allowedKernel", nullableOut = false) _),
+    ("graft_html_main",
+      "main-content text of (html, max_link_pct, min_line_chars) — " +
+        "visible text minus link-dominated and too-short lines",
+      invoke(classOf[graft.functions.HtmlText.type], StringType,
+        "mainContentKernel", nullableOut = true) _))
 
   /** Register every graft function into a live session's catalog. */
   def register(spark: SparkSession): Unit =

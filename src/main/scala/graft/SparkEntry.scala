@@ -1381,6 +1381,34 @@ object SparkEntry {
         WarcTranscode.sniffedText(body).as("text_utf8"))
     }),
 
+    // 26p. boilerplate removal — the main-content step between raw
+    // extraction (q103) and quality filtering: the public line-wise
+    // heuristic (jusText / CCNet / RefinedWeb family) rides q103's tag
+    // scan with anchor-depth tracking — link-dominated lines (nav,
+    // footer link bars) and short fragments (bare headings) drop,
+    // prose survives; thresholds apply before entity decode (decode
+    // stays last). The fixture's nav and footer lines are
+    // link-dominated by construction, the h1 is always under-length,
+    // the prose lines always pass. Map-side kernel, zero shuffles.
+    "q109_boilerplate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>skip</title></head><body>" +
+          "<nav><a href=\"/home\">Home</a> | " +
+          "<a href=\"/about\">About</a></nav><h1>Doc "),
+        id.cast("string"), lit("</h1><p>"), col("text"), lit("</p>"),
+        when(id % 3 === 0,
+          lit("<p>Extra &amp; entity &#233; &#x41; test</p>"))
+          .otherwise(lit("")),
+        when(id % 7 === 5,
+          lit("<p>&lt;b&gt;not a tag&lt;/b&gt;</p>")).otherwise(lit("")),
+        lit("<footer><a href=\"/tos\">Terms</a> · " +
+          "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      Tables(s, dir).documents.select(id,
+        HtmlText.mainContent(html).as("main_text"),
+        HtmlText.keptLineCount(html).as("n_kept"))
+    }),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -3246,6 +3274,21 @@ object SparkEntry {
         |  text || CASE CAST(doc_id % 4 AS INTEGER)
         |    WHEN 0 THEN ' plain' WHEN 1 THEN ' café'
         |    WHEN 2 THEN ' Ω' ELSE ' bom' END AS text_utf8
+        |FROM documents""".stripMargin,
+    // q109: the surviving lines are the prose plants (nav/footer are
+    // link-dominated by construction, the h1 under-length); the oracle
+    // composes them decoded, Spark must reach the same text by scanning
+    // anchors and measuring densities
+    "q109_boilerplate" ->
+      """SELECT doc_id,
+        |  text
+        |  || CASE WHEN doc_id % 3 = 0
+        |       THEN chr(10) || 'Extra & entity é A test' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 5
+        |       THEN chr(10) || '<b>not a tag</b>' ELSE '' END AS main_text,
+        |  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |         + CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS n_kept
         |FROM documents""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by

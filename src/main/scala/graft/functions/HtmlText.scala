@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HTML → visible-text extraction — the step between a transcoded web
@@ -235,10 +236,161 @@ object HtmlText {
     UTF8String.fromString(decodeEntities(normalizeWs(scanTags(html.toString))))
   }
 
+  // ---- boilerplate removal (line-wise link density) -----------------------
+  //
+  // [[extractKernel]] keeps EVERYTHING visible; a training corpus wants
+  // the main content only. The public-literature line-wise heuristic
+  // (jusText / CCNet / RefinedWeb family): navigation, footers and
+  // share-bars are short and link-dominated, prose is long and link-free.
+  // One extra signal rides the same tag scan: how many of a line's
+  // characters sit inside an <a> element.
+
+  /** One assembled line plus its anchor-char statistics. */
+  private final class LineAcc {
+    val sb = new java.lang.StringBuilder()
+    var linkNonWs = 0 // non-whitespace chars inside an <a> element
+    var nonWs = 0     // non-whitespace chars total
+  }
+
+  /** Scan variant for [[mainContentKernel]]: identical elision/line rules
+    * to [[scanTags]], plus anchor-depth tracking per emitted char.
+    */
+  private def scanLines(s: String): java.util.ArrayList[LineAcc] = {
+    val lines = new java.util.ArrayList[LineAcc]()
+    var cur = new LineAcc
+    var anchorDepth = 0
+    def endLine(): Unit = { lines.add(cur); cur = new LineAcc }
+    def emit(c: Char): Unit = {
+      val ws = c == ' ' || c == '\t' || c == '\r' || c == '\f'
+      // collapse runs / trim leading whitespace at append time
+      if (ws) {
+        if (cur.sb.length > 0 &&
+          cur.sb.charAt(cur.sb.length - 1) != ' ') cur.sb.append(' ')
+      } else {
+        cur.sb.append(c)
+        cur.nonWs += 1
+        if (anchorDepth > 0) cur.linkNonWs += 1
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '<') { emit(c); i += 1 }
+      else if (startsAt(s, i, "<!--")) {
+        val end = s.indexOf("-->", i + 4)
+        i = if (end < 0) s.length else end + 3
+      } else if (i + 1 < s.length &&
+          (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+        i = tagEnd(s, i)
+      } else if (i + 1 < s.length && (isAsciiLetter(s.charAt(i + 1)) ||
+          (s.charAt(i + 1) == '/' && i + 2 < s.length &&
+            isAsciiLetter(s.charAt(i + 2))))) {
+        val closing = s.charAt(i + 1) == '/'
+        val name = tagName(s, if (closing) i + 2 else i + 1)
+        val afterTag = tagEnd(s, i)
+        if (!closing && name == "head") {
+          var j = afterTag
+          var stop = -1
+          while (stop < 0 && j < s.length) {
+            if (startsAt(s, j, "</head")) stop = tagEnd(s, j)
+            else if (startsAt(s, j, "<body")) stop = j
+            else j += 1
+          }
+          i = if (stop < 0) s.length else stop
+        } else if (!closing && (name == "script" || name == "style")) {
+          val close = "</" + name
+          var j = afterTag
+          var stop = -1
+          while (stop < 0 && j < s.length) {
+            if (startsAt(s, j, close)) stop = tagEnd(s, j)
+            else j += 1
+          }
+          i = if (stop < 0) s.length else stop
+        } else {
+          if (name == "a") {
+            if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
+            else anchorDepth += 1
+          }
+          if (BlockTags.contains(name)) endLine()
+          i = afterTag
+        }
+      } else { emit(c); i += 1 }
+    }
+    endLine()
+    lines
+  }
+
+  /** Main-content text: [[extractKernel]]'s pipeline with a line filter
+    * between the scan and the entity decode. A line survives when
+    *  - its link density `linkNonWs * 100 <= maxLinkPct * nonWs`
+    *    (anchor-dominated lines are chrome), AND
+    *  - its trimmed length (pre-entity-decode) ≥ `minChars` (fragments
+    *    like bare headings/dates carry no training signal).
+    * Thresholds apply BEFORE entity decode (decode stays last, the
+    * [[extractKernel]] ordering), so `&amp;` counts as five chars for
+    * the length test — deterministic, and an entity bomb cannot sneak a
+    * short line past the filter by decoding long.
+    */
+  def mainContentKernel(html: UTF8String, maxLinkPct: Int,
+      minChars: Int): UTF8String = {
+    if (html == null) return null
+    val lines = scanLines(html.toString)
+    val out = new java.lang.StringBuilder()
+    var i = 0
+    while (i < lines.size()) {
+      val l = lines.get(i)
+      // strip the single trailing space a run at line end leaves
+      if (l.sb.length > 0 && l.sb.charAt(l.sb.length - 1) == ' ')
+        l.sb.setLength(l.sb.length - 1)
+      if (l.sb.length >= minChars &&
+          l.linkNonWs * 100 <= maxLinkPct.toLong * l.nonWs) {
+        if (out.length > 0) out.append('\n')
+        out.append(l.sb)
+      }
+      i += 1
+    }
+    UTF8String.fromString(decodeEntities(out.toString))
+  }
+
+  /** Count of lines [[mainContentKernel]] would KEEP (same walk). */
+  def keptLineCountKernel(html: UTF8String, maxLinkPct: Int,
+      minChars: Int): Int = {
+    if (html == null) return -1
+    val lines = scanLines(html.toString)
+    var kept = 0
+    var i = 0
+    while (i < lines.size()) {
+      val l = lines.get(i)
+      var len = l.sb.length
+      if (len > 0 && l.sb.charAt(len - 1) == ' ') len -= 1
+      if (len >= minChars &&
+        l.linkNonWs * 100 <= maxLinkPct.toLong * l.nonWs) kept += 1
+      i += 1
+    }
+    kept
+  }
+
   // ---- column surface -----------------------------------------------------
 
   /** Visible text of an HTML column, one `\n`-joined line per block. */
   def extract(html: Column): Column =
     col(StaticInvoke(classOf[HtmlText.type], StringType, "extractKernel",
       Seq(ex(html)), Nil, propagateNull = true, returnNullable = true))
+
+  /** Main content of an HTML column: visible text minus link-dominated
+    * and too-short lines (see [[mainContentKernel]]).
+    */
+  def mainContent(html: Column, maxLinkPct: Int = 50,
+      minChars: Int = 12): Column =
+    col(StaticInvoke(classOf[HtmlText.type], StringType, "mainContentKernel",
+      Seq(ex(html), ex(lit(maxLinkPct)), ex(lit(minChars))), Nil,
+      propagateNull = true, returnNullable = true))
+
+  /** Lines [[mainContent]] keeps, as a column (−1 for NULL html). */
+  def keptLineCount(html: Column, maxLinkPct: Int = 50,
+      minChars: Int = 12): Column =
+    col(StaticInvoke(classOf[HtmlText.type], IntegerType,
+      "keptLineCountKernel",
+      Seq(ex(html), ex(lit(maxLinkPct)), ex(lit(minChars))), Nil,
+      propagateNull = false, returnNullable = false))
 }

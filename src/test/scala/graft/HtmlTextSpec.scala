@@ -74,4 +74,54 @@ class HtmlTextSpec extends SparkSpec {
       HtmlText.extract(lit("")).as("e")).collect()(0)
     assert(r.isNullAt(0) && r.getString(1) == "")
   }
+
+  private def main(html: String, pct: Int = 50, min: Int = 12): String = {
+    val rows = spark.range(1)
+      .select(HtmlText.mainContent(lit(html), pct, min).as("t")).collect()
+    rows(0).getString(0)
+  }
+
+  test("main content: link-dominated lines drop, prose survives") {
+    val page = "<nav><a href=\"/\">Home</a> | <a href=\"/a\">About</a></nav>" +
+      "<p>this paragraph is long enough to keep and has no links</p>" +
+      "<footer><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></footer>"
+    assert(main(page) ==
+      "this paragraph is long enough to keep and has no links")
+  }
+
+  test("main content: a prose line with an inline link still survives") {
+    val page = "<p>read the <a href=\"/d\">details</a> in this long sentence" +
+      " of mostly prose</p>"
+    assert(main(page) == "read the details in this long sentence of mostly prose")
+  }
+
+  test("main content: short fragments drop by min length") {
+    assert(main("<h1>Doc 7</h1><p>a line that is clearly long enough</p>") ==
+      "a line that is clearly long enough")
+  }
+
+  test("main content: thresholds apply before entity decode") {
+    // '&amp;&amp;' is 10 chars pre-decode (passes min 8), decodes to '&&'
+    assert(main("<p>&amp;&amp;</p>", 50, 8) == "&&")
+    // pre-decode length rules: 'ab&lt;&gt;' is 10 chars (4 decoded) —
+    // passes min 10 exactly, fails min 11
+    assert(main("<p>ab&lt;&gt;</p>", 50, 10) == "ab<>")
+    assert(main("<p>ab&lt;&gt;</p>", 50, 11) == "")
+  }
+
+  test("main content: nested and unbalanced anchors never crash the depth") {
+    val page = "<p></a></a>plain text that is long enough here</p>" +
+      "<p><a><a><b>all of this text sits inside anchors</b></a></a></p>"
+    assert(main(page) == "plain text that is long enough here")
+  }
+
+  test("kept-line count matches the surviving lines") {
+    val page = "<nav><a href=\"/\">Home page link row</a></nav>" +
+      "<p>first real paragraph of content</p>" +
+      "<p>second real paragraph of content</p>"
+    val r = spark.range(1).select(
+      HtmlText.keptLineCount(lit(page)).as("k"),
+      HtmlText.keptLineCount(lit(null).cast("string")).as("n")).collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == -1)
+  }
 }

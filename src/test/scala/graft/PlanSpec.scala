@@ -153,6 +153,14 @@ class PlanSpec extends SparkSpec {
       "search path re-tokenized the corpus:\n" + p.take(1200))
   }
 
+  test("WARC transcode decodes each body exactly once") {
+    // the reason column derives from the materialized text; an inline
+    // failReason would re-run the strict decode per record (r11 100×)
+    val p = plan("q100_warc_transcode")
+    assert("decodeKernel".r.findAllIn(p).size == 1,
+      "q100 plans more than one strict decode per record:\n" + p.take(1200))
+  }
+
   test("URL-canon dedup: both window functions share ONE shuffle") {
     // count + is-keeper min partition on the same canonical key; a
     // second exchange would mean the window specs diverged
