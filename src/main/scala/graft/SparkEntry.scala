@@ -1409,6 +1409,43 @@ object SparkEntry {
         HtmlText.keptLineCount(html).as("n_kept"))
     }),
 
+    // 29k. sitemap ingest — the third crawl-side surface (robots says
+    // what MAY be fetched, sitemaps say what SHOULD be): url-block
+    // extraction with dialect-neutral regexps (parse vs parse, the q98
+    // posture), per-entry loc/lastmod/changefreq fields (absent →
+    // NULL), and each loc canonicalized in flight (q104 — the second
+    // entry is planted in a non-canonical spelling). Map-side
+    // extraction + one explode, zero shuffles.
+    "q110_sitemap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val h = ((id % 50) % 10).cast("string")
+      val mm = lpad((lit(1) + id % 12).cast("string"), 2, "0")
+      val dd = lpad((lit(1) + id % 28).cast("string"), 2, "0")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>http://site"), h,
+        lit(".example/a/"), id.cast("string"),
+        lit("</loc><lastmod>2024-"), mm, lit("-"), dd, lit("</lastmod>"),
+        when(id % 2 === 0, lit("<changefreq>daily</changefreq>"))
+          .otherwise(lit("")),
+        lit("</url>"),
+        when(id % 3 === 0, concat(
+          lit("<url><loc>HTTP://SITE"), h, lit(".EXAMPLE:80/b/"),
+          id.cast("string"), lit("</loc></url>"))).otherwise(lit("")),
+        lit("</urlset>"))
+      Tables(s, dir).documents.select(id, xml.as("xml"))
+        .select(id, explode(regexp_extract_all(col("xml"),
+          lit("<url>([\\s\\S]*?)</url>"), lit(1))).as("b"))
+        .select(id,
+          UrlNorm.canonicalize(
+            regexp_extract(col("b"), "<loc>([^<]*)</loc>", 1))
+            .as("url_canon"),
+          nullif(regexp_extract(col("b"), "<lastmod>([^<]*)</lastmod>", 1),
+            lit("")).cast("date").as("lastmod"),
+          nullif(regexp_extract(col("b"),
+            "<changefreq>([^<]*)</changefreq>", 1), lit(""))
+            .as("changefreq"))
+    }),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -3290,6 +3327,44 @@ object SparkEntry {
         |         + CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END
         |    AS INTEGER) AS n_kept
         |FROM documents""".stripMargin,
+    // q110: the oracle replays the same block/field regexps over the
+    // same composed XML and the q104 canonical for each loc — parse vs
+    // parse, with the second entry's spelling normalized
+    "q110_sitemap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '<?xml version="1.0"?><urlset><url><loc>http://site'
+        |    || ((doc_id % 50) % 10) || '.example/a/' || doc_id
+        |    || '</loc><lastmod>2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+        |    || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || '</lastmod>'
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN '<changefreq>daily</changefreq>' ELSE '' END
+        |    || '</url>'
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN '<url><loc>HTTP://SITE' || ((doc_id % 50) % 10)
+        |           || '.EXAMPLE:80/b/' || doc_id || '</loc></url>'
+        |         ELSE '' END
+        |    || '</urlset>' AS xml
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(xml, '<url>([\s\S]*?)</url>', 1)) AS b
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id,
+        |    regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
+        |    nullif(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), '') AS lm,
+        |    nullif(regexp_extract(b, '<changefreq>([^<]*)</changefreq>', 1), '')
+        |      AS changefreq
+        |  FROM blocks
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN loc LIKE 'http://%'
+        |    THEN 'http://site' || ((doc_id % 50) % 10) || '.example/a/' || doc_id
+        |    ELSE 'http://site' || ((doc_id % 50) % 10) || '.example/b/' || doc_id
+        |    END AS url_canon,
+        |  CAST(lm AS DATE) AS lastmod, changefreq
+        |FROM f""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled
