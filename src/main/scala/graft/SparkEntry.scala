@@ -65,9 +65,26 @@ object SparkEntry {
   // identity so a restarted SparkSession never serves stale frames.
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
-  private def memoized[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
-    memo.computeIfAbsent(s"${System.identityHashCode(s)}|$key",
-      _ => build).asInstanceOf[T]
+  /** Per-(session, key) memo. NOT computeIfAbsent: memoized builds nest
+    * (q101's prep memo builds the charset-fixture memo, entries memoize
+    * row counts inside fixture memos), and ConcurrentHashMap's
+    * computeIfAbsent throws IllegalStateException("Recursive update")
+    * whenever an inner insert lands in the SAME bin as the outer key —
+    * an intermittent, hash-layout-dependent crash (caught by the r11
+    * repeated-Verify loop: 1 failure in 6 full runs). get → build
+    * outside the map → putIfAbsent instead; two racing builders both
+    * build, the first put wins — builds are idempotent (fixtures write
+    * to fresh temp dirs, frames are lazy), duplicate work is the
+    * accepted cost of not holding a lock around a Spark job.
+    */
+  private def memoized[T <: AnyRef](s: SparkSession, key: String)(build: => T): T = {
+    val k = s"${System.identityHashCode(s)}|$key"
+    val hit = memo.get(k)
+    if (hit != null) return hit.asInstanceOf[T]
+    val built = build
+    val prev = memo.putIfAbsent(k, built)
+    (if (prev != null) prev else built).asInstanceOf[T]
+  }
 
   /** Row count of a base table computed from the UNSPREAD parquet scan
     * (no columns requested, no round-robin exchange — only the one-row
