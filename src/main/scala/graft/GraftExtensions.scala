@@ -24,6 +24,16 @@ object GraftFunctions {
     StaticInvoke(clazz, dt, method, args, inputTypes = Nil,
       propagateNull = true, returnNullable = nullableOut)
 
+  /** Like [[invoke]] but NULL args reach the kernel (for kernels whose
+    * documented NULL semantics are not null-out — e.g. robots
+    * evaluation, where NULL robots means "no rules" and must yield
+    * TRUE, not NULL; the DataFrame surface already does this).
+    */
+  private def invokeNullIn(clazz: Class[_], dt: DataType, method: String,
+      nullableOut: Boolean)(args: Seq[Expression]): Expression =
+    StaticInvoke(clazz, dt, method, args, inputTypes = Nil,
+      propagateNull = false, returnNullable = nullableOut)
+
   /** (name, description, builder) for every SQL-exposed kernel. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_to_roman", "int -> Roman numeral string (null outside 1..3999)",
@@ -70,8 +80,9 @@ object GraftFunctions {
       invoke(classOf[graft.functions.UrlNorm.type], StringType,
         "canonicalizeKernel", nullableOut = true) _),
     ("graft_robots_allowed",
-      "RFC 9309 robots.txt decision for (robots_body, agent, path)",
-      invoke(classOf[graft.functions.RobotsTxt.type], BooleanType,
+      "RFC 9309 robots.txt decision for (robots_body, agent, path); " +
+        "NULL robots (no robots.txt) allows",
+      invokeNullIn(classOf[graft.functions.RobotsTxt.type], BooleanType,
         "allowedKernel", nullableOut = false) _),
     ("graft_html_main",
       "main-content text of (html, max_link_pct, min_line_chars) — " +

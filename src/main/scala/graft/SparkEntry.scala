@@ -103,6 +103,50 @@ object SparkEntry {
       java.lang.Long.valueOf(sizingCountFrame(s, dir, name).head().getLong(0))
     }.longValue()
 
+  /** The crawl-layer plants shared by q104/q105/q107 (hoisted so the
+    * three entries and their oracles cannot drift apart — r11 review):
+    * five URL spellings per canonical target keyed by doc_id%5, four
+    * path variants keyed by doc_id%4, and the two per-host robots
+    * policies (even hosts carry the Allow override and the $-anchored
+    * wildcard rule, odd hosts neither).
+    */
+  private def plantedCrawlUrl(id: Column): Column = {
+    val gid = id % 50
+    val h = (gid % 10).cast("string")
+    val tgt = gid.cast("string")
+    when(id % 5 === 0, concat(
+        lit("http://site"), h, lit(".example/a/"), tgt))
+      .when(id % 5 === 1, concat(
+        lit("HTTP://SITE"), h, lit(".EXAMPLE:80/a/"), tgt))
+      .when(id % 5 === 2, concat(
+        lit("http://site"), h, lit(".example/x/../a/./"), tgt))
+      .when(id % 5 === 3, concat(
+        lit("http://site"), h, lit(".example/%61/"), tgt, lit("#frag")))
+      .otherwise(concat(
+        lit("http://u:pw@site"), h, lit(".example/a/"), tgt, lit("?")))
+  }
+
+  private def plantedCrawlPath(id: Column): Column = {
+    val gid = id % 50
+    val vid = id % 4
+    when(vid === 0, concat(lit("/a/"), gid.cast("string")))
+      .when(vid === 1, concat(lit("/private/"), gid.cast("string")))
+      .when(vid === 2, concat(lit("/private/ok/"), gid.cast("string")))
+      .otherwise(concat(lit("/files/"), gid.cast("string"), lit(".tmp")))
+  }
+
+  private val RobotsFullPolicy: String =
+    "User-agent: graftbot\nDisallow: /private/\n" +
+      "Allow: /private/ok/\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
+  private val RobotsNoOverride: String =
+    "User-agent: graftbot\nDisallow: /private/\n\n" +
+      "User-agent: *\nDisallow: /\n"
+
+  private def robotsPolicyDim(s: SparkSession): DataFrame =
+    s.range(10).select(col("id").as("host_id"),
+      when(col("id") % 2 === 0, lit(RobotsFullPolicy))
+        .otherwise(lit(RobotsNoOverride)).as("robots"))
+
   /** Archive count for the WARC fixtures: one task streams one archive,
     * so parallelism IS the archive count — Common Crawl ships tens of
     * thousands of archives per snapshot, and a fixture that pinned 4
@@ -1231,23 +1275,11 @@ object SparkEntry {
     // string (both window functions share the partition key).
     "q104_url_canon" -> ((s, dir) => {
       val id = col("doc_id")
-      val gid = id % 50
-      val h = (gid % 10).cast("string")
-      val tgt = gid.cast("string")
-      val url = when(id % 5 === 0, concat(
-          lit("http://site"), h, lit(".example/a/"), tgt))
-        .when(id % 5 === 1, concat(
-          lit("HTTP://SITE"), h, lit(".EXAMPLE:80/a/"), tgt))
-        .when(id % 5 === 2, concat(
-          lit("http://site"), h, lit(".example/x/../a/./"), tgt))
-        .when(id % 5 === 3, concat(
-          lit("http://site"), h, lit(".example/%61/"), tgt, lit("#frag")))
-        .otherwise(concat(
-          lit("http://u:pw@site"), h, lit(".example/a/"), tgt, lit("?")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("url_canon"))
       Tables(s, dir).documents
-        .select(id, UrlNorm.canonicalize(url).as("url_canon"))
+        .select(id,
+          UrlNorm.canonicalize(plantedCrawlUrl(id)).as("url_canon"))
         .withColumn("n_captures", count(lit(1)).over(w))
         .withColumn("is_keeper", id === min(id).over(w))
     }),
@@ -1261,22 +1293,10 @@ object SparkEntry {
     // the decision table the planted policies imply.
     "q105_robots_gate" -> ((s, dir) => {
       val id = col("doc_id")
-      val gid = id % 50
-      val vid = id % 4
-      val path = when(vid === 0, concat(lit("/a/"), gid.cast("string")))
-        .when(vid === 1, concat(lit("/private/"), gid.cast("string")))
-        .when(vid === 2, concat(lit("/private/ok/"), gid.cast("string")))
-        .otherwise(concat(lit("/files/"), gid.cast("string"), lit(".tmp")))
-      val fullPolicy = "User-agent: graftbot\nDisallow: /private/\n" +
-        "Allow: /private/ok/\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
-      val noOverride = "User-agent: graftbot\nDisallow: /private/\n\n" +
-        "User-agent: *\nDisallow: /\n"
-      val robotsDim = s.range(10).select(col("id").as("host_id"),
-        when(col("id") % 2 === 0, lit(fullPolicy))
-          .otherwise(lit(noOverride)).as("robots"))
       Tables(s, dir).documents
-        .select(id, (gid % 10).as("host_id"), path.as("path"))
-        .join(broadcast(robotsDim), "host_id")
+        .select(id, (id % 50 % 10).as("host_id"),
+          plantedCrawlPath(id).as("path"))
+        .join(broadcast(robotsPolicyDim(s)), "host_id")
         .select(id, col("path"),
           RobotsTxt.allowed(col("robots"), lit("graftbot"), col("path"))
             .as("allowed_bot"),
@@ -1318,46 +1338,19 @@ object SparkEntry {
     // the host rollup — two narrow shuffles over integer-and-hash rows.
     "q107_host_report" -> ((s, dir) => {
       val id = col("doc_id")
-      val gid = id % 50
-      val vid = id % 4
-      val url = when(id % 5 === 0, concat(
-          lit("http://site"), (gid % 10).cast("string"), lit(".example/a/"),
-          gid.cast("string")))
-        .when(id % 5 === 1, concat(
-          lit("HTTP://SITE"), (gid % 10).cast("string"), lit(".EXAMPLE:80/a/"),
-          gid.cast("string")))
-        .when(id % 5 === 2, concat(
-          lit("http://site"), (gid % 10).cast("string"),
-          lit(".example/x/../a/./"), gid.cast("string")))
-        .when(id % 5 === 3, concat(
-          lit("http://site"), (gid % 10).cast("string"), lit(".example/%61/"),
-          gid.cast("string"), lit("#frag")))
-        .otherwise(concat(
-          lit("http://u:pw@site"), (gid % 10).cast("string"),
-          lit(".example/a/"), gid.cast("string"), lit("?")))
-      val path = when(vid === 0, concat(lit("/a/"), gid.cast("string")))
-        .when(vid === 1, concat(lit("/private/"), gid.cast("string")))
-        .when(vid === 2, concat(lit("/private/ok/"), gid.cast("string")))
-        .otherwise(concat(lit("/files/"), gid.cast("string"), lit(".tmp")))
       val dirtyText = concat(col("text"),
-        when(id % 13 === 4, lit("��")).otherwise(lit("")),
-        when(id % 17 === 2, lit("Ã©Ã¨")).otherwise(lit("")),
+        when(id % 13 === 4, lit("\ufffd\ufffd")).otherwise(lit("")),
+        when(id % 17 === 2, lit("\u00c3\u00a9\u00c3\u00a8")).otherwise(lit("")),
         when(id % 19 === 3, lit("\u0007")).otherwise(lit("")))
-      val fullPolicy = "User-agent: graftbot\nDisallow: /private/\n" +
-        "Allow: /private/ok/\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
-      val noOverride = "User-agent: graftbot\nDisallow: /private/\n\n" +
-        "User-agent: *\nDisallow: /\n"
-      val robotsDim = s.range(10).select(col("id").as("host_id"),
-        when(col("id") % 2 === 0, lit(fullPolicy))
-          .otherwise(lit(noOverride)).as("robots"))
       Tables(s, dir).documents
-        .select(id, (gid % 10).as("host_id"),
-          UrlNorm.canonicalize(url).as("url_canon"), path.as("path"),
+        .select(id, (id % 50 % 10).as("host_id"),
+          UrlNorm.canonicalize(plantedCrawlUrl(id)).as("url_canon"),
+          plantedCrawlPath(id).as("path"),
           when(TextStats.replacementCount(dirtyText) +
             TextStats.mojibakeCount(dirtyText) +
             TextStats.controlCharCount(dirtyText) > 0, 1L).otherwise(0L)
             .as("dirty"))
-        .join(broadcast(robotsDim), "host_id")
+        .join(broadcast(robotsPolicyDim(s)), "host_id")
         .select(col("doc_id"), col("host_id"), col("url_canon"), col("dirty"),
           when(!RobotsTxt.allowed(col("robots"), lit("graftbot"), col("path")),
             1L).otherwise(0L).as("blocked"))
@@ -3330,17 +3323,23 @@ object SparkEntry {
         |    WHEN 2 THEN ' Ω' ELSE ' bom' END AS text_utf8
         |FROM documents""".stripMargin,
     // q109: the surviving lines are the prose plants (nav/footer are
-    // link-dominated by construction, the h1 under-length); the oracle
-    // composes them decoded, Spark must reach the same text by scanning
-    // anchors and measuring densities
+    // link-dominated by construction); the oracle composes them
+    // decoded, Spark must reach the same text by scanning anchors and
+    // measuring densities. The h1 line 'Doc <id>' is under the
+    // 12-char minimum at every oracle scale but NOT in principle
+    // (8-digit ids pass it), so the oracle carries the same length
+    // rule rather than hard-coding the drop (r11 review)
     "q109_boilerplate" ->
       """SELECT doc_id,
-        |  text
+        |  CASE WHEN length('Doc ' || doc_id) >= 12
+        |       THEN 'Doc ' || doc_id || chr(10) ELSE '' END
+        |  || text
         |  || CASE WHEN doc_id % 3 = 0
         |       THEN chr(10) || 'Extra & entity é A test' ELSE '' END
         |  || CASE WHEN doc_id % 7 = 5
         |       THEN chr(10) || '<b>not a tag</b>' ELSE '' END AS main_text,
-        |  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |  CAST(1 + CASE WHEN length('Doc ' || doc_id) >= 12 THEN 1 ELSE 0 END
+        |         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
         |         + CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END
         |    AS INTEGER) AS n_kept
         |FROM documents""".stripMargin,

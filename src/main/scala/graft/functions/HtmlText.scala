@@ -35,8 +35,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *       nothing — "one<br>two" is two lines, "one <b>two</b>" is one;
   *     - a `<` not followed by a letter, `/`, `!` or `?` is literal text
   *       (the HTML5 tokenizer's rule), so "x < y" survives.
-  *  2. WHITESPACE STRUCTURE — runs of space/tab/CR collapse to one
-  *     space, lines trim, empty lines drop, lines join with `\n`.
+  *  2. WHITESPACE STRUCTURE — a SOURCE newline is inter-word space
+  *     (HTML semantics: pretty-printing is not layout; only block tags
+  *     break lines); runs of whitespace collapse to one space, lines
+  *     trim, empty lines drop, lines join with `\n`.
   *  3. ENTITY DECODE — last, so a decoded `&lt;b&gt;` yields the literal
   *     text `<b>` and is never re-parsed as markup (the injection-safe
   *     ordering), and a decoded `&nbsp;` survives the whitespace pass as
@@ -123,16 +125,29 @@ object HtmlText {
     s.substring(i, j).toLowerCase(java.util.Locale.ROOT)
   }
 
-  /** Pass 1: strip markup into a raw text buffer with `\n` at block
-    * boundaries.
+  /** One scanner, two consumers ([[extractKernel]] and
+    * [[mainContentKernel]]'s line builder): the elision rules stay
+    * provably identical because there is exactly one copy of them
+    * (the r11 review caught the forked-scanner divergence). A SOURCE
+    * newline is surfaced as plain whitespace (HTML semantics: layout
+    * newlines are inter-word space); ONLY block tags produce
+    * `blockBreak()` — line structure comes from markup, never from
+    * pretty-printing.
     */
-  private def scanTags(s: String): StringBuilder = {
-    val out = new StringBuilder(s.length / 2)
+  private trait ScanSink {
+    def emit(c: Char): Unit       // visible char (whitespace normalized-ish)
+    def blockBreak(): Unit        // block-level tag boundary
+    def anchor(open: Boolean): Unit = () // <a> open/close (link density)
+  }
+
+  private def scanMarkup(s: String, sink: ScanSink): Unit = {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c != '<') { out.append(c); i += 1 }
-      else if (startsAt(s, i, "<!--")) {
+      if (c != '<') {
+        sink.emit(if (c == '\n') ' ' else c)
+        i += 1
+      } else if (startsAt(s, i, "<!--")) {
         val end = s.indexOf("-->", i + 4)
         i = if (end < 0) s.length else end + 3
       } else if (i + 1 < s.length &&
@@ -164,11 +179,23 @@ object HtmlText {
           }
           i = if (stop < 0) s.length else stop
         } else {
-          if (BlockTags.contains(name)) out.append('\n')
+          if (name == "a") sink.anchor(!closing)
+          if (BlockTags.contains(name)) sink.blockBreak()
           i = afterTag
         }
-      } else { out.append(c); i += 1 } // '<' before non-tag: literal text
+      } else { sink.emit(c); i += 1 } // '<' before non-tag: literal text
     }
+  }
+
+  /** Pass 1: strip markup into a raw text buffer with `\n` at block
+    * boundaries.
+    */
+  private def scanTags(s: String): StringBuilder = {
+    val out = new StringBuilder(s.length / 2)
+    scanMarkup(s, new ScanSink {
+      def emit(c: Char): Unit = out.append(c)
+      def blockBreak(): Unit = out.append('\n')
+    })
     out
   }
 
@@ -252,71 +279,34 @@ object HtmlText {
     var nonWs = 0     // non-whitespace chars total
   }
 
-  /** Scan variant for [[mainContentKernel]]: identical elision/line rules
-    * to [[scanTags]], plus anchor-depth tracking per emitted char.
+  /** [[scanMarkup]] sink for [[mainContentKernel]]: same elision/line
+    * rules as [[scanTags]] by construction, plus anchor-depth tracking
+    * per emitted char.
     */
   private def scanLines(s: String): java.util.ArrayList[LineAcc] = {
     val lines = new java.util.ArrayList[LineAcc]()
-    var cur = new LineAcc
-    var anchorDepth = 0
-    def endLine(): Unit = { lines.add(cur); cur = new LineAcc }
-    def emit(c: Char): Unit = {
-      val ws = c == ' ' || c == '\t' || c == '\r' || c == '\f'
-      // collapse runs / trim leading whitespace at append time
-      if (ws) {
-        if (cur.sb.length > 0 &&
-          cur.sb.charAt(cur.sb.length - 1) != ' ') cur.sb.append(' ')
-      } else {
-        cur.sb.append(c)
-        cur.nonWs += 1
-        if (anchorDepth > 0) cur.linkNonWs += 1
-      }
-    }
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c != '<') { emit(c); i += 1 }
-      else if (startsAt(s, i, "<!--")) {
-        val end = s.indexOf("-->", i + 4)
-        i = if (end < 0) s.length else end + 3
-      } else if (i + 1 < s.length &&
-          (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
-        i = tagEnd(s, i)
-      } else if (i + 1 < s.length && (isAsciiLetter(s.charAt(i + 1)) ||
-          (s.charAt(i + 1) == '/' && i + 2 < s.length &&
-            isAsciiLetter(s.charAt(i + 2))))) {
-        val closing = s.charAt(i + 1) == '/'
-        val name = tagName(s, if (closing) i + 2 else i + 1)
-        val afterTag = tagEnd(s, i)
-        if (!closing && name == "head") {
-          var j = afterTag
-          var stop = -1
-          while (stop < 0 && j < s.length) {
-            if (startsAt(s, j, "</head")) stop = tagEnd(s, j)
-            else if (startsAt(s, j, "<body")) stop = j
-            else j += 1
-          }
-          i = if (stop < 0) s.length else stop
-        } else if (!closing && (name == "script" || name == "style")) {
-          val close = "</" + name
-          var j = afterTag
-          var stop = -1
-          while (stop < 0 && j < s.length) {
-            if (startsAt(s, j, close)) stop = tagEnd(s, j)
-            else j += 1
-          }
-          i = if (stop < 0) s.length else stop
+    val sink = new ScanSink {
+      var cur = new LineAcc
+      var anchorDepth = 0
+      def emit(c: Char): Unit = {
+        val ws = c == ' ' || c == '\t' || c == '\r' || c == '\f'
+        // collapse runs / trim leading whitespace at append time
+        if (ws) {
+          if (cur.sb.length > 0 &&
+            cur.sb.charAt(cur.sb.length - 1) != ' ') cur.sb.append(' ')
         } else {
-          if (name == "a") {
-            if (closing) { if (anchorDepth > 0) anchorDepth -= 1 }
-            else anchorDepth += 1
-          }
-          if (BlockTags.contains(name)) endLine()
-          i = afterTag
+          cur.sb.append(c)
+          cur.nonWs += 1
+          if (anchorDepth > 0) cur.linkNonWs += 1
         }
-      } else { emit(c); i += 1 }
+      }
+      def blockBreak(): Unit = { lines.add(cur); cur = new LineAcc }
+      override def anchor(open: Boolean): Unit =
+        if (open) anchorDepth += 1
+        else if (anchorDepth > 0) anchorDepth -= 1
     }
-    endLine()
+    scanMarkup(s, sink)
+    lines.add(sink.cur)
     lines
   }
 

@@ -61,11 +61,18 @@ object RobotsTxt {
 
   private final case class Rule(allow: Boolean, pattern: String)
 
-  /** Parse groups, return the rules that apply to `agent` (see doc). */
+  /** Parse groups, return the rules that apply to `agent` (see doc).
+    * Group MEMBERSHIP is tracked independently of whether any usable
+    * rule was collected: a group that names the agent but carries only
+    * empty-valued rules (the "this bot may crawl everything" idiom) is
+    * still THE applicable group — it must not fall through to `*`
+    * (RFC 9309 group selection; caught by the r11 review).
+    */
   private def applicableRules(robots: String, agent: String): java.util.ArrayList[Rule] = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val exact = new java.util.ArrayList[Rule]()
     val wild = new java.util.ArrayList[Rule]()
+    var exactGroupExists = false
     var groupAgents: List[String] = Nil
     var inAgentRun = false // consecutive User-agent lines share a group
     for (line0 <- robots.split("\n", -1)) {
@@ -79,8 +86,10 @@ object RobotsTxt {
         val value = line.substring(colon + 1).trim
         key match {
           case "user-agent" =>
-            if (inAgentRun) groupAgents ::= value.toLowerCase(java.util.Locale.ROOT)
-            else { groupAgents = List(value.toLowerCase(java.util.Locale.ROOT)); inAgentRun = true }
+            val v = value.toLowerCase(java.util.Locale.ROOT)
+            if (inAgentRun) groupAgents ::= v
+            else { groupAgents = List(v); inAgentRun = true }
+            if (v == agentLc) exactGroupExists = true
           case "allow" | "disallow" =>
             inAgentRun = false
             if (value.nonEmpty) { // empty Disallow matches nothing
@@ -92,7 +101,7 @@ object RobotsTxt {
         }
       }
     }
-    if (!exact.isEmpty) exact else wild
+    if (exactGroupExists) exact else wild
   }
 
   // ---- static kernel (Catalyst-facing) ------------------------------------

@@ -285,7 +285,11 @@ object WarcCodec {
       private var nextEv: Either[Truncated, Rec] = advance()
 
       private def closeQuietly(): Unit =
-        try raw.close() catch { case _: java.io.IOException => () }
+        // close the WRAPPER chain, not raw: for a gzip'd archive `in`
+        // is the GZIPInputStream whose close() releases the Inflater's
+        // native buffer and cascades to raw — closing raw alone leaves
+        // the native zlib buffer to the GC (r11 review)
+        try in.close() catch { case _: java.io.IOException => () }
 
       private def end(reason: String): Either[Truncated, Rec] = {
         finished = true

@@ -117,9 +117,46 @@ object WarcTranscode {
       (body(1) & 0xff) == 0xfe) "utf-16le"
     else if (body.length >= 2 && (body(0) & 0xff) == 0xfe &&
       (body(1) & 0xff) == 0xff) "utf-16be"
-    else if (decodeKernel(body, UTF8String.fromString("utf-8")) != null)
-      "utf-8"
+    else if (isValidUtf8(body, 0)) "utf-8"
     else "windows-1252"
+  }
+
+  /** Strict UTF-8 validation without building a string — the sniff used
+    * to VALIDATE by running a full CharsetDecoder whose output was
+    * discarded, and the decode kernel then decoded the same bytes again
+    * (the double-decode class this module's labeled path already
+    * eliminated; r11 review). Rejects exactly what REPORT rejects:
+    * truncated sequences, bare continuations, overlongs, surrogates,
+    * and code points past U+10FFFF.
+    */
+  private def isValidUtf8(b: Array[Byte], from: Int): Boolean = {
+    var i = from
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation lead / overlong 2-byte
+      else if (c < 0xe0) {
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) {
+        if (i + 2 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xe0) 0xa0 else 0x80 // overlong guard
+        val hi = if (c == 0xed) 0x9f else 0xbf // surrogate guard
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if (c < 0xf5) {
+        if (i + 3 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xf0) 0x90 else 0x80 // overlong guard
+        val hi = if (c == 0xf4) 0x8f else 0xbf // > U+10FFFF guard
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80 ||
+          (b(i + 3) & 0xc0) != 0x80) return false
+        i += 4
+      } else return false // f5..ff never valid
+    }
+    true
   }
 
   /** The WHATWG windows-1252 decode is TOTAL: 0x80–0x9F map per the
@@ -155,14 +192,17 @@ object WarcTranscode {
     if (body == null) return null
     sniff(body) match {
       case "utf-8-bom" =>
-        decodeKernel(java.util.Arrays.copyOfRange(body, 3, body.length),
-          UTF8String.fromString("utf-8"))
+        // payload may still contradict the BOM (torn multi-byte tail)
+        if (isValidUtf8(body, 3))
+          UTF8String.fromBytes(body, 3, body.length - 3)
+        else null
       case "utf-16le" => // java's UTF-16 consumes the BOM itself
         decodeKernel(body, UTF8String.fromString("utf-16"))
       case "utf-16be" =>
         decodeKernel(body, UTF8String.fromString("utf-16"))
       case "windows-1252" => UTF8String.fromString(decode1252(body))
-      case cs => decodeKernel(body, UTF8String.fromString(cs))
+      case _ => // "utf-8": already validated by the sniff — zero-copy
+        UTF8String.fromBytes(body, 0, body.length)
     }
   }
 

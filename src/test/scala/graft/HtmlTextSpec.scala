@@ -58,6 +58,18 @@ class HtmlTextSpec extends SparkSpec {
     assert(extract("<p></p>") == "")
   }
 
+  test("source newlines are inter-word space, not line breaks — both kernels") {
+    // pretty-printed HTML: the paragraph is ONE line in both the full
+    // extraction and the line-wise filter (r11 review: the forked
+    // scanner treated '\n' as content in one and a break in the other)
+    val pretty = "<p>foo\nbar baz qux quux words enough</p>"
+    assert(extract(pretty) == "foo bar baz qux quux words enough")
+    assert(main(pretty) == "foo bar baz qux quux words enough")
+    val r = spark.range(1)
+      .select(HtmlText.keptLineCount(lit(pretty)).as("k")).collect()(0)
+    assert(r.getInt(0) == 1)
+  }
+
   test("entities decode strictly, after tag removal") {
     assert(extract("&amp; &lt;b&gt;x&lt;/b&gt; &#233; &#x41; &copy;") ==
       "& <b>x</b> é A ©")

@@ -64,4 +64,25 @@ class RobotsTxtSpec extends SparkSpec {
     assert(ok("b", "/x", "Disallow: /\nUser-agent: b\nAllow: /x\n"))
     assert(RobotsTxt.allowedKernel(null, null, null))
   }
+
+  test("an agent group with only empty rules never falls through to *") {
+    // the classic 'this bot may crawl everything' idiom (r11 review):
+    // the graftbot group exists, so the * group's Disallow / must not
+    // apply even though graftbot's only rule is empty-valued
+    val r = "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    assert(ok("graftbot", "/anything", r))
+    assert(!ok("otherbot", "/anything", r))
+    // note: WITHOUT a rule between them the two User-agent lines would
+    // share one group (consecutive-run rule) and Disallow / would bind
+    // both agents — the empty Disallow is what separates the groups
+  }
+
+  test("SQL surface: NULL robots body means no robots.txt → allowed") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_robots_allowed(CAST(NULL AS STRING), 'bot', '/x') AS a")
+      .collect()(0)
+    assert(!row.isNullAt(0) && row.getBoolean(0),
+      "NULL robots must evaluate to TRUE, not NULL")
+  }
 }
