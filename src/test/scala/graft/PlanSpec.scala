@@ -177,6 +177,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("PageRank dangling redistribution builds its node index without a single-partition window") {
+    // VERDICT r11: the old index was row_number().over(Window.orderBy(node))
+    // over the ENTIRE node set — every node id through ONE task on a
+    // 10⁹-node graph. The distributed build (range-partition → per-pid
+    // window + broadcast offsets) must plan NO SinglePartition exchange
+    // and its window must carry a partition spec.
+    import org.apache.spark.sql.functions._
+    val nodes = Tables(spark, sf0001).events
+      .select(col("user_id").cast("long").as("node")).distinct()
+    val p = graft.graph.PageRank.nodeIndexFrame(nodes)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      "node index funnels through one partition:\n" + p.take(1500))
+    assert(p.contains("windowspecdefinition(pid"),
+      "index window lost its pid partition spec:\n" + p.take(1500))
+  }
+
   test("host report: distinct pages via two-stage rollup, never EXPAND") {
     // count(distinct page) as a grouped re-aggregate keeps rows narrow;
     // an Expand node would mean the plan multiplied the input instead
