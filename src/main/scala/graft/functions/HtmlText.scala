@@ -101,6 +101,23 @@ object HtmlText {
     true
   }
 
+  /** HTML5 tag-name boundary: after a matched name the next char must be
+    * `>`, `/` or ASCII whitespace (or end-of-input — a torn tag) for the
+    * match to BE that tag. Without it `</scripty` would terminate a
+    * `<script>` raw-text skip and `</header` would end a `<head>` skip
+    * (r11 ADVICE).
+    */
+  private def nameBoundary(s: String, p: Int): Boolean =
+    p >= s.length || { val c = s.charAt(p)
+      c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' ||
+        c == '\r' || c == '\f' }
+
+  /** [[startsAt]] + [[nameBoundary]] for a full tag prefix like
+    * `</script` or `<body`.
+    */
+  private def tagAt(s: String, i: Int, prefix: String): Boolean =
+    startsAt(s, i, prefix) && nameBoundary(s, i + prefix.length)
+
   /** Index just past the quote-aware end `>` of a tag opening at `lt`
     * (`s(lt) == '<'`), or `s.length` when the tag is torn.
     */
@@ -164,8 +181,8 @@ object HtmlText {
           var j = afterTag
           var stop = -1
           while (stop < 0 && j < s.length) {
-            if (startsAt(s, j, "</head")) stop = tagEnd(s, j)
-            else if (startsAt(s, j, "<body")) stop = j // main loop eats it
+            if (tagAt(s, j, "</head")) stop = tagEnd(s, j)
+            else if (tagAt(s, j, "<body")) stop = j // main loop eats it
             else j += 1
           }
           i = if (stop < 0) s.length else stop
@@ -174,7 +191,7 @@ object HtmlText {
           var j = afterTag
           var stop = -1
           while (stop < 0 && j < s.length) {
-            if (startsAt(s, j, close)) stop = tagEnd(s, j)
+            if (tagAt(s, j, close)) stop = tagEnd(s, j)
             else j += 1
           }
           i = if (stop < 0) s.length else stop

@@ -25,8 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     the edge cases it invites.
   *  3. Path: dot segments resolve per RFC 3986 §5.2.4 on the LITERAL
   *     segments (`/a/./b/../c` → `/a/c`; `..` above root drops; a
-  *     trailing `/`, `/.` or `/..` keeps the directory slash); an empty
-  *     path becomes `/`.
+  *     trailing `/`, `/.` or `/..` keeps the directory slash); empty
+  *     segments are segments (`/a//b` keeps its `//` — §5.2.4 elides
+  *     only dots, and collapsing `//` would merge distinct resources);
+  *     an empty path becomes `/`.
   *  4. Percent-encoding (path and query): `%XX` decoding only for
   *     unreserved characters (ALPHA / DIGIT / `-._~`); every surviving
   *     triplet uppercases its hex; a malformed `%` (not two hex digits)
@@ -53,26 +55,39 @@ object UrlNorm {
     (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
       (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
 
-  /** RFC 3986 §5.2.4 over literal segments (see object doc, rule 3). */
+  /** RFC 3986 §5.2.4 over literal segments (see object doc, rule 3).
+    * Empty segments are SEGMENTS (`/a//b` keeps its `//` — r11 ADVICE):
+    * §5.2.4 only elides `.` and resolves `..`; collapsing `//` would
+    * merge genuinely distinct resources, breaking the module's
+    * safe-normalizations-only contract. A `..` consumes whatever
+    * segment precedes it, empty included (the RFC's remove-last-segment
+    * rule), and a path ending in `/.` or `/..` keeps its directory
+    * slash. The trailing empty segment OF a directory slash falls out
+    * naturally from split(-1).
+    */
   private def removeDotSegments(path: String): String = {
     if (path.isEmpty) return "/"
     val out = new java.util.ArrayDeque[String]()
+    // path always starts with '/' here (it follows the authority);
+    // drop ONLY that leading root marker, keep every other empty segment
     val segs = path.split("/", -1)
-    val dirSlash = path.endsWith("/") || path.endsWith("/.") ||
-      path.endsWith("/..")
-    var i = 0
+    var i = 1
     while (i < segs.length) {
       segs(i) match {
-        case "" | "." => ()
+        case "." => ()
         case ".." => if (!out.isEmpty) out.removeLast()
         case s => out.addLast(s)
       }
       i += 1
     }
+    // `/x/.` and `/x/..` denote the directory itself → trailing slash
+    // (unconditional: §5.2.4 rules 2B/2C leave a "/" in the input
+    // buffer, which rule 2E then moves out as an empty final segment)
+    if (path.endsWith("/.") || path.endsWith("/..")) out.addLast("")
+    if (out.isEmpty) return "/"
     val sb = new java.lang.StringBuilder(path.length)
     out.forEach(s => { sb.append('/'); sb.append(s) })
-    if (sb.length == 0) "/"
-    else { if (dirSlash) sb.append('/'); sb.toString }
+    sb.toString
   }
 
   /** Decode unreserved `%XX`, uppercase surviving triplets (rule 4). */

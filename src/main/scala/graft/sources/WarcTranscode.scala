@@ -49,25 +49,38 @@ object WarcTranscode {
     * UNKNOWN label walks the full charset-provider chain every call
     * (measured 247 µs/record at the r11 100× probe: the unknown-label
     * class alone cost 25 s of CPU). Negative entries are what a crawl
-    * needs — bogus labels repeat millions of times. Capped so
-    * attacker-minted unique labels can't grow the map unboundedly
-    * (past the cap, misses just pay the slow path).
+    * needs — bogus labels repeat millions of times. Positive entries
+    * cache unconditionally (key space bounded by the JVM's alias set,
+    * case-folded); only NEGATIVE entries are capped, so minted unique
+    * labels can't evict or starve legitimate ones (past the cap,
+    * unknown-label misses just pay the slow path).
     */
   private val charsetCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private val NegativeEntry = new Object
-  private val CharsetCacheMax = 1024
+  private val NegativeCacheMax = 1024
+  private val negativeCount = new java.util.concurrent.atomic.AtomicInteger
 
   private def lookupCharset(name: String): java.nio.charset.Charset = {
-    val hit = charsetCache.get(name)
+    // charset names are ASCII case-insensitive (RFC 2978); lowercasing
+    // the key bounds the POSITIVE key space by the JVM's real alias set
+    // (a few hundred), so positives cache unconditionally — the r11
+    // ADVICE scenario (attacker-minted bogus labels filling the cap and
+    // evicting nothing, so later legitimate labels pay the full
+    // provider walk forever) can only waste the NEGATIVE budget, and
+    // only its own entries
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    val hit = charsetCache.get(key)
     if (hit != null)
       return if (hit eq NegativeEntry) null
         else hit.asInstanceOf[java.nio.charset.Charset]
     val cs =
       try java.nio.charset.Charset.forName(name)
       catch { case _: Exception => null }
-    if (charsetCache.size < CharsetCacheMax)
-      charsetCache.put(name, if (cs == null) NegativeEntry else cs)
+    if (cs != null) charsetCache.put(key, cs)
+    else if (negativeCount.get < NegativeCacheMax &&
+        charsetCache.putIfAbsent(key, NegativeEntry) == null)
+      negativeCount.incrementAndGet()
     cs
   }
 

@@ -29,6 +29,17 @@ class HtmlTextSpec extends SparkSpec {
     assert(extract("a<script>var x = 1;") == "a")
   }
 
+  test("raw-text terminators require a tag-name boundary (HTML5)") {
+    // r11 ADVICE: </scripty must NOT end a <script> skip — only
+    // </script followed by '>', '/' or whitespace is the close tag
+    assert(extract("a<script>var s='</scripty';x=1;</script>b") == "ab")
+    assert(extract("a<script>y</script >b") == "ab")
+    assert(extract("a<style>s{}</styles>t{}</style>b") == "ab")
+    // </header is NOT </head; <bodyx is NOT an implicit <body
+    assert(extract("<head><title>T</title></header></head><body>x") == "x")
+    assert(extract("<head><title>T</title><bodyx><body>x") == "x")
+  }
+
   test("head content drops; recovery at an implicit <body>") {
     assert(extract("<head><title>T</title></head><body>x</body>") == "x")
     assert(extract("<head><title>T</title><body>x</body>") == "x")

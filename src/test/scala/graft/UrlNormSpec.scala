@@ -31,6 +31,18 @@ class UrlNormSpec extends SparkSpec {
     assert(canon("http://h.example") == "http://h.example/")
   }
 
+  test("empty path segments are preserved (RFC 3986: // is not /)") {
+    // r11 ADVICE: collapsing // merged distinct resources; §5.2.4
+    // elides only dot segments
+    assert(canon("http://h.example/a//b") == "http://h.example/a//b")
+    assert(canon("http://h.example//a") == "http://h.example//a")
+    assert(canon("http://h.example/a//") == "http://h.example/a//")
+    // .. consumes the preceding segment, empty included (rule 2C)
+    assert(canon("http://h.example/a//../b") == "http://h.example/a/b")
+    assert(canon("http://h.example/a//..") == "http://h.example/a/")
+    assert(canon("http://h.example/a///..") == "http://h.example/a//")
+  }
+
   test("percent: unreserved decodes, others uppercase, malformed literal") {
     assert(canon("http://h.example/%61%2Fb%7e") == "http://h.example/a%2Fb~")
     assert(canon("http://h.example/a%2") == "http://h.example/a%2")
