@@ -3,7 +3,8 @@ package graft
 import graft.dedup.{Contamination, DedupClusters, ExactDedup, MinHashDedup,
   NgramJaccard, Packing}
 import graft.functions.{TextClean, TextStats}
-import graft.sources.{GraftWarc, WarcTranscode}
+import graft.functions.HtmlText
+import graft.sources.{ContentRoute, GraftWarc, WarcTranscode}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -180,9 +181,13 @@ object Pipeline {
     * `docId` extracts the document id from the WARC columns (typically a
     * regexp over `target_uri`). Funnel rows prepend `w0_records` (all
     * parsed records, damage markers excluded), `w1_http_bodies`
-    * (responses whose HTTP payload parsed), and `w2_transcoded` (bodies
-    * that decoded under their declared charset); the inner funnel's
-    * `0_raw` row is then the encoding-clean handoff count.
+    * (responses whose HTTP payload parsed), `w1b_text_routed` (captures
+    * whose Content-Type routes to the text chain — [[ContentRoute]]:
+    * html and any text subtype; images/PDF/unlabeled route out here, never through
+    * a text kernel), and `w2_transcoded` (routed bodies that decoded
+    * under their declared charset, html captures through the q103
+    * extractor); the inner funnel's `0_raw` row is then the
+    * encoding-clean handoff count.
     *
     * LSH config note: the web path defaults to 128 perms × 64 bands
     * (2 rows/band — the q17/q19 entry config, pair-miss ≈ 1e-8 at
@@ -210,10 +215,19 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val responses = records.where(col("warc_type") === "response" &&
       col("body").isNotNull)
+    // media-type dispatch (ContentRoute, q111): only html/plain captures
+    // enter the text chain — html through the q103 extractor, plain as
+    // the transcoded body; image/binary/unknown payloads route OUT here,
+    // counted by the w1b stage, and never touch a text kernel
+    val routeCol = ContentRoute.route(col("content_type"))
+    val textual = responses.where(
+      routeCol.isin(ContentRoute.RouteHtml, ContentRoute.RoutePlain))
     val cs = WarcTranscode.charsetOf(col("content_type"))
-    val transcoded = responses
+    val decoded = WarcTranscode.utf8Text(col("body"), cs)
+    val transcoded = textual
       .select(docId.cast("long").as("doc_id"),
-        WarcTranscode.utf8Text(col("body"), cs).as("text"))
+        when(routeCol === ContentRoute.RouteHtml, HtmlText.extract(decoded))
+          .otherwise(decoded).as("text"))
       .where(col("text").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val encodingClean = transcoded.where(
@@ -230,6 +244,7 @@ object Pipeline {
       packPartitions = packPartitions)
     val funnel = stage("w0_records", records)
       .unionAll(stage("w1_http_bodies", responses))
+      .unionAll(stage("w1b_text_routed", textual))
       .unionAll(stage("w2_transcoded", transcoded))
       .unionAll(inner.funnel)
     CorpusPrep(inner.packed, funnel, Seq(records, transcoded) ++ inner.handles)

@@ -6,7 +6,8 @@ import graft.etl._
 import graft.functions.{Bm25, Bpe, F, HtmlText, Repetition, RobotsTxt,
   RomanCodec, TermScores, TextStats, UrlNorm}
 import graft.multimodal.BinaryPipeline
-import graft.sources.{GraftCsv, GraftWarc, WarcCodec, WarcTranscode}
+import graft.sources.{ContentRoute, GraftCsv, GraftWarc, WarcCodec,
+  WarcTranscode}
 import graft.validation._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -377,6 +378,80 @@ object SparkEntry {
             writeRec(WarcCodec.buildRecord("response", s"<urn:graft:cs:$id>",
               s"http://corpus.example/doc/$id", date,
               WarcCodec.httpResponse(body, ctype)))
+          }
+          fos.close()
+        }
+      path
+    }
+
+  /** q111 fixture: a MIXED-TYPE crawl — the payload classes a real
+    * archive interleaves, keyed by doc_id mod 5 so the oracle composes
+    * every expected output from arithmetic while Spark must genuinely
+    * dispatch on the declared Content-Type and run the per-type kernel:
+    *  - 0: `text/html; charset=utf-8` — a page wrapping the doc text
+    *    (head elision + block structure exercise the q103 extractor
+    *    INSIDE the route);
+    *  - 1: `text/plain; charset=iso-8859-1` — legacy-charset prose with
+    *    a non-ASCII suffix (transcode inside the route);
+    *  - 2: `image/bmp` — a real BMP header whose dims are id arithmetic
+    *    (the q83 kernel reads metadata; bytes never touch a text path);
+    *  - 3: `application/pdf` — binary payload, counted skip;
+    *  - 4: NO Content-Type header at all — unknown, counted skip.
+    * Partition 0's archive is per-record-gzip'd like the q97 fixture.
+    */
+  private def warcMixedFixture(s: SparkSession, dir: String): String =
+    memoized(s, s"warc_mixed|$dir") {
+      val path = tempDirCleanedAtExit("graft_warc_mixed_")
+      Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .repartition(warcArchiveCount(s, dir), col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val gz = pid == 0
+          val f = new java.io.File(path,
+            if (gz) s"part-$pid.warc.gz" else s"part-$pid.warc")
+          val fos = new java.io.FileOutputStream(f)
+          def writeRec(b: Array[Byte]): Unit =
+            if (gz) {
+              val g = new java.util.zip.GZIPOutputStream(fos) {
+                override def close(): Unit = { finish(); `def`.end(); fos.flush() }
+              }
+              g.write(b); g.close()
+            } else fos.write(b)
+          def le32(v: Int): Array[Byte] = Array[Byte](
+            (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+          def bmp(w: Int, h: Int): Array[Byte] =
+            // "BM" file header (size/reserved/offset) + BITMAPINFOHEADER
+            // prefix through bitcount — the q83 fixture's layout
+            Array[Byte]('B', 'M') ++ le32(0) ++ le32(0) ++ le32(0x36) ++
+              le32(40) ++ le32(w) ++ le32(h) ++
+              Array[Byte](1, 0, 24, 0)
+          rows.foreach { r =>
+            val id = r.getAs[Long]("doc_id")
+            val text = r.getAs[String]("text")
+            val date = java.time.Instant.parse("2024-01-01T00:00:00Z")
+              .plusSeconds(id % 86400).toString
+            val payload = ((id % 5).toInt: @annotation.switch) match {
+              case 0 => WarcCodec.httpResponse(
+                (s"<html><head><title>skip</title></head><body><h1>Doc " +
+                  s"$id</h1><p>$text</p></body></html>").getBytes("UTF-8"),
+                "text/html; charset=utf-8")
+              case 1 => WarcCodec.httpResponse(
+                (text + " café").getBytes("ISO-8859-1"),
+                "text/plain; charset=iso-8859-1")
+              case 2 => WarcCodec.httpResponse(
+                bmp(1 + (id % 1024).toInt, 1 + (id % 768).toInt),
+                "image/bmp")
+              case 3 => WarcCodec.httpResponse(
+                (s"%PDF-1.4 graft $id").getBytes("US-ASCII"),
+                "application/pdf")
+              case _ => // untyped: no Content-Type header anywhere
+                ("HTTP/1.1 200 OK\r\nX-Graft: untyped\r\n\r\n")
+                  .getBytes("US-ASCII") ++ text.getBytes("UTF-8")
+            }
+            writeRec(WarcCodec.buildRecord("response", s"<urn:graft:mx:$id>",
+              s"http://corpus.example/doc/$id", date, payload))
           }
           fos.close()
         }
@@ -1454,6 +1529,30 @@ object SparkEntry {
           nullif(regexp_extract(col("b"),
             "<changefreq>([^<]*)</changefreq>", 1), lit(""))
             .as("changefreq"))
+    }),
+
+    // 26q. Content-Type payload routing (VERDICT r11 task 3) — the
+    // dispatch step a mixed-type crawl needs between transcode and
+    // extraction: html → strict transcode + q103 visible-text kernel,
+    // text/* → transcode passthrough, image/* → q83 header metadata
+    // (bytes never touch a text path), application/* → counted binary
+    // skip, absent Content-Type → counted unknown skip. The fixture
+    // interleaves all five classes by doc_id arithmetic; the oracle
+    // composes every expected output (extracted page text, transcoded
+    // prose, BMP dims) from the same arithmetic while Spark genuinely
+    // parses the HTTP header, dispatches, and runs the per-type kernel.
+    // Map-side end-to-end: zero shuffles.
+    "q111_content_route" -> ((s, dir) => {
+      GraftWarc.read(s, s"${warcMixedFixture(s, dir)}/*.warc*")
+        .where(col("warc_type") === "response")
+        .transform(df => ContentRoute.routed(df))
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("media_type"), col("route"),
+          col("text").as("page_text"), col("img_format"),
+          col("img_w").cast("long").as("img_w"),
+          col("img_h").cast("long").as("img_h"))
     }),
 
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
@@ -3177,6 +3276,7 @@ object SparkEntry {
         |)
         |SELECT 'w0_records' AS stage, COUNT(*) AS n_docs FROM documents
         |UNION ALL SELECT 'w1_http_bodies', COUNT(*) FROM documents
+        |UNION ALL SELECT 'w1b_text_routed', COUNT(*) FROM documents
         |UNION ALL SELECT 'w2_transcoded', COUNT(*) FROM raw
         |UNION ALL SELECT '0_raw', COUNT(*) FROM enc
         |UNION ALL SELECT '1_gated', COUNT(*) FROM gated
@@ -3221,6 +3321,28 @@ object SparkEntry {
         |  CAST(4 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
         |         + CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END
         |    AS BIGINT) AS n_lines
+        |FROM documents""".stripMargin,
+    // q111: every routed output composes from doc_id arithmetic — the
+    // html page's extracted text ('Doc N' block + the doc text), the
+    // ISO-8859-1 prose with its transcoded suffix, the BMP dims the
+    // fixture encoded; binary and untyped captures carry NULLs with
+    // only the route label. Spark must genuinely parse the HTTP
+    // Content-Type, dispatch, and run the per-type kernel.
+    "q111_content_route" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+        |    WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'application/pdf'
+        |    END AS media_type,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'html' WHEN 1 THEN 'plain' WHEN 2 THEN 'image'
+        |    WHEN 3 THEN 'binary' ELSE 'unknown' END AS route,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'Doc ' || doc_id || chr(10) || text
+        |    WHEN 1 THEN text || ' café' END AS page_text,
+        |  CASE WHEN doc_id % 5 = 2 THEN 'bmp' END AS img_format,
+        |  CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 1024 END AS img_w,
+        |  CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 768 END AS img_h
         |FROM documents""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;

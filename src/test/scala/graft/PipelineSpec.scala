@@ -99,6 +99,10 @@ class PipelineSpec extends SparkSpec {
       cap(4, t.getBytes("UTF-8"), "text/plain; charset=x-nope") ++
       cap(5, (t + " \u0007bel").getBytes("UTF-8"),
         "text/plain; charset=utf-8") ++
+      // a PDF capture: must route OUT at w1b, never mangle through a
+      // text kernel (q111's ContentRoute inside the funnel)
+      cap(7, "%PDF-1.4 not prose".getBytes("US-ASCII"),
+        "application/pdf") ++
       cap(6, t.getBytes("UTF-8"), "text/plain").dropRight(30) // torn
     val dir = java.nio.file.Files.createTempDirectory("webfunnel").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"), bytes)
@@ -108,8 +112,10 @@ class PipelineSpec extends SparkSpec {
       bench = Seq.empty[(Long, String)].toDF("bench_id", "text"),
       benchId = "bench_id", benchText = "text")
     val funnel = prep.funnel.as[(String, Long)].collect().toMap
-    assert(funnel("w0_records") == 5L, s"torn record must not count: $funnel")
-    assert(funnel("w1_http_bodies") == 5L)
+    assert(funnel("w0_records") == 6L, s"torn record must not count: $funnel")
+    assert(funnel("w1_http_bodies") == 6L)
+    assert(funnel("w1b_text_routed") == 5L,
+      s"the PDF capture must route out: $funnel")
     assert(funnel("w2_transcoded") == 4L, s"unknown charset must drop: $funnel")
     assert(funnel("0_raw") == 3L, s"BEL capture must drop at the gate: $funnel")
     // docs 1/2/3 proceed: all-distinct exact, 1-2-3 mutually near-dup at
