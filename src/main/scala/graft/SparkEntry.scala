@@ -1506,7 +1506,7 @@ object SparkEntry {
       val h = ((id % 50) % 10).cast("string")
       val mm = lpad((lit(1) + id % 12).cast("string"), 2, "0")
       val dd = lpad((lit(1) + id % 28).cast("string"), 2, "0")
-      val xml = concat(
+      val urlset = concat(
         lit("<?xml version=\"1.0\"?><urlset><url><loc>http://site"), h,
         lit(".example/a/"), id.cast("string"),
         lit("</loc><lastmod>2024-"), mm, lit("-"), dd, lit("</lastmod>"),
@@ -1517,16 +1517,38 @@ object SparkEntry {
           lit("<url><loc>HTTP://SITE"), h, lit(".EXAMPLE:80/b/"),
           id.cast("string"), lit("</loc></url>"))).otherwise(lit("")),
         lit("</urlset>"))
-      Tables(s, dir).documents.select(id, xml.as("xml"))
-        .select(id, explode(regexp_extract_all(col("xml"),
-          lit("<url>([\\s\\S]*?)</url>"), lit(1))).as("b"))
-        .select(id,
+      // the recursion contract (r11 VERDICT task 4): doc_id%7=1 bodies
+      // are <sitemapindex> files — their <sitemap> children are CHILD
+      // SITEMAP URLs (kind='sitemap', feeding the next ingest round),
+      // one with lastmod and one spelled non-canonically
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex><sitemap>" +
+          "<loc>http://site"), h, lit(".example/sm/"), id.cast("string"),
+        lit("/a.xml.gz</loc><lastmod>2024-"), mm, lit("-"), dd,
+        lit("</lastmod></sitemap><sitemap><loc>HTTP://SITE"), h,
+        lit(".EXAMPLE:80/sm/"), id.cast("string"),
+        lit("/b.xml.gz</loc></sitemap></sitemapindex>"))
+      val xml = when(id % 7 === 1, index).otherwise(urlset)
+      // the dominant wire form is gzip: doc_id%4=2 bodies arrive
+      // compressed and Sitemap.bodyText must sniff + inflate them
+      val body = when(id % 4 === 2, graft.sources.Sitemap.gzipUtf8(xml))
+        .otherwise(xml.cast("binary"))
+      Tables(s, dir).documents
+        .select(id, graft.sources.Sitemap.bodyText(body).as("xml"))
+        .select(id, explode(concat(
+          transform(regexp_extract_all(col("xml"),
+            lit("<url>([\\s\\S]*?)</url>"), lit(1)),
+            b => struct(lit("url").as("kind"), b.as("b"))),
+          transform(regexp_extract_all(col("xml"),
+            lit("<sitemap>([\\s\\S]*?)</sitemap>"), lit(1)),
+            b => struct(lit("sitemap").as("kind"), b.as("b"))))).as("e"))
+        .select(id, col("e.kind").as("kind"),
           UrlNorm.canonicalize(
-            regexp_extract(col("b"), "<loc>([^<]*)</loc>", 1))
+            regexp_extract(col("e.b"), "<loc>([^<]*)</loc>", 1))
             .as("url_canon"),
-          nullif(regexp_extract(col("b"), "<lastmod>([^<]*)</lastmod>", 1),
+          nullif(regexp_extract(col("e.b"), "<lastmod>([^<]*)</lastmod>", 1),
             lit("")).cast("date").as("lastmod"),
-          nullif(regexp_extract(col("b"),
+          nullif(regexp_extract(col("e.b"),
             "<changefreq>([^<]*)</changefreq>", 1), lit(""))
             .as("changefreq"))
     }),
@@ -1836,6 +1858,22 @@ object SparkEntry {
           sampleBasisPoints = 1000)
       }
       docs.select(col("doc_id"),
+        Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+    }),
+
+    // 23b. BPE ENCODE under a FIXED merge table (VERDICT r11 task 5):
+    // training is inherently sequential (spec-gated, q47), but encoding
+    // under a fixed table is deterministic and fully distributable — the
+    // q84b isolate-the-distributable-step precedent. The planted merges
+    // hit the corpus vocabulary (scan/agg/table/row...), including one
+    // second-order rule (b+le) consuming an earlier rule's output, and
+    // no rule's output ever feeds an EARLIER rank — which is what makes
+    // the oracle's rank-order separator-string rewrite equivalent to
+    // the kernel's greedy lowest-rank-first loop.
+    "q47b_bpe_encode_fixed" -> ((s, dir) => {
+      val merges = Seq("a" -> "g", "s" -> "c", "a" -> "n", "l" -> "e",
+        "b" -> "le", "r" -> "o")
+      Tables(s, dir).documents.select(col("doc_id"),
         Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
     }),
 
@@ -3465,44 +3503,38 @@ object SparkEntry {
         |         + CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END
         |    AS INTEGER) AS n_kept
         |FROM documents""".stripMargin,
-    // q110: the oracle replays the same block/field regexps over the
-    // same composed XML and the q104 canonical for each loc — parse vs
-    // parse, with the second entry's spelling normalized
+    // q110: the oracle composes every expected row (url + sitemap-index
+    // children, canonical spellings, lastmod arithmetic) directly from
+    // doc_id; Spark must reach them by inflating the gzipped bodies,
+    // splitting <url>/<sitemap> blocks, and canonicalizing each loc
     "q110_sitemap" ->
       """WITH d AS (
-        |  SELECT doc_id,
-        |    '<?xml version="1.0"?><urlset><url><loc>http://site'
-        |    || ((doc_id % 50) % 10) || '.example/a/' || doc_id
-        |    || '</loc><lastmod>2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
-        |    || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || '</lastmod>'
-        |    || CASE WHEN doc_id % 2 = 0
-        |         THEN '<changefreq>daily</changefreq>' ELSE '' END
-        |    || '</url>'
-        |    || CASE WHEN doc_id % 3 = 0
-        |         THEN '<url><loc>HTTP://SITE' || ((doc_id % 50) % 10)
-        |           || '.EXAMPLE:80/b/' || doc_id || '</loc></url>'
-        |         ELSE '' END
-        |    || '</urlset>' AS xml
+        |  SELECT doc_id, ((doc_id % 50) % 10) AS h,
+        |    CAST('2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+        |      || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |      AS DATE) AS lm
         |  FROM documents
-        |), blocks AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_extract_all(xml, '<url>([\s\S]*?)</url>', 1)) AS b
-        |  FROM d
-        |), f AS (
-        |  SELECT doc_id,
-        |    regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
-        |    nullif(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), '') AS lm,
-        |    nullif(regexp_extract(b, '<changefreq>([^<]*)</changefreq>', 1), '')
-        |      AS changefreq
-        |  FROM blocks
         |)
-        |SELECT doc_id,
-        |  CASE WHEN loc LIKE 'http://%'
-        |    THEN 'http://site' || ((doc_id % 50) % 10) || '.example/a/' || doc_id
-        |    ELSE 'http://site' || ((doc_id % 50) % 10) || '.example/b/' || doc_id
-        |    END AS url_canon,
-        |  CAST(lm AS DATE) AS lastmod, changefreq
-        |FROM f""".stripMargin,
+        |SELECT doc_id, 'url' AS kind,
+        |  'http://site' || h || '.example/a/' || doc_id AS url_canon,
+        |  lm AS lastmod,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'daily' END AS changefreq
+        |FROM d WHERE doc_id % 7 <> 1
+        |UNION ALL
+        |SELECT doc_id, 'url',
+        |  'http://site' || h || '.example/b/' || doc_id,
+        |  CAST(NULL AS DATE), NULL
+        |FROM d WHERE doc_id % 7 <> 1 AND doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'sitemap',
+        |  'http://site' || h || '.example/sm/' || doc_id || '/a.xml.gz',
+        |  lm, NULL
+        |FROM d WHERE doc_id % 7 = 1
+        |UNION ALL
+        |SELECT doc_id, 'sitemap',
+        |  'http://site' || h || '.example/sm/' || doc_id || '/b.xml.gz',
+        |  CAST(NULL AS DATE), NULL
+        |FROM d WHERE doc_id % 7 = 1""".stripMargin,
     // q83: the fixture dims are pure doc_id arithmetic — the oracle
     // recomputes them directly; Spark must recover the same numbers by
     // actually parsing the headers it assembled
@@ -3802,6 +3834,42 @@ object SparkEntry {
         |  ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
         | COUNT(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    // q47b: the oracle replays BPE encoding as separator-string
+    // rewriting — each word becomes |c|h|a|r|s|, each merge rank applies
+    // as replace('|a|b|' → '|ab|') in rank order. One pass can miss
+    // CHAINED occurrences (adjacent matches share a boundary separator
+    // the replacement consumes), so each rank applies three times —
+    // after one pass no two remaining occurrences are adjacent, so two
+    // always suffice; the third is margin. Rank-order rewriting equals
+    // the kernel's lowest-rank-first greedy loop because no planted
+    // rule's output feeds an earlier rank (see the entry comment).
+    "q47b_bpe_encode_fixed" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
+        |  FROM documents
+        |), s0 AS (
+        |  SELECT doc_id, '|' || regexp_replace(wd, '(.)', '\1|', 'g') AS s
+        |  FROM w WHERE wd <> ''
+        |), m0 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|a|g|', '|ag|'), '|a|g|', '|ag|'), '|a|g|', '|ag|') AS s FROM s0
+        |), m1 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|s|c|', '|sc|'), '|s|c|', '|sc|'), '|s|c|', '|sc|') AS s FROM m0
+        |), m2 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|a|n|', '|an|'), '|a|n|', '|an|'), '|a|n|', '|an|') AS s FROM m1
+        |), m3 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|l|e|', '|le|'), '|l|e|', '|le|'), '|l|e|', '|le|') AS s FROM m2
+        |), m4 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|b|le|', '|ble|'), '|b|le|', '|ble|'), '|b|le|', '|ble|') AS s FROM m3
+        |), m5 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|r|o|', '|ro|'), '|r|o|', '|ro|'), '|r|o|', '|ro|') AS s FROM m4
+        |), n AS (
+        |  SELECT doc_id,
+        |    SUM(length(s) - length(replace(s, '|', '')) - 1) AS n
+        |  FROM m5 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_bpe_tokens
+        |FROM documents d LEFT JOIN n USING (doc_id)""".stripMargin,
     "q48_fuzzy_join" ->
       """WITH l AS (SELECT n_nationkey AS lid, lower(n_name) AS ls FROM nation),
         |r AS (SELECT n_nationkey AS rid,

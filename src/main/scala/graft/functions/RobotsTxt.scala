@@ -106,6 +106,35 @@ object RobotsTxt {
 
   // ---- static kernel (Catalyst-facing) ------------------------------------
 
+  /** `Sitemap:` discovery lines of a robots body, in file order — the
+    * link from the politeness dim (q105) to sitemap ingest (q110).
+    * Per the sitemaps.org protocol the record is GROUP-INDEPENDENT
+    * (valid anywhere in the file, regardless of User-agent runs), so
+    * this is a flat scan: comments strip, the field name is
+    * case-insensitive, values trim, empty values drop. NULL/absent
+    * robots → empty array (no advertised sitemaps).
+    */
+  def sitemapsKernel(robots: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    if (robots != null) {
+      for (line0 <- robots.toString.split("\n", -1)) {
+        var line = line0
+        val hash = line.indexOf('#')
+        if (hash >= 0) line = line.substring(0, hash)
+        line = line.trim
+        val colon = line.indexOf(':')
+        if (colon > 0 &&
+            line.substring(0, colon).trim
+              .equalsIgnoreCase("sitemap")) {
+          val value = line.substring(colon + 1).trim
+          if (value.nonEmpty) out.add(UTF8String.fromString(value))
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
+
   /** Would `agent` be allowed to fetch `path` under `robots`? */
   def allowedKernel(robots: UTF8String, agent: UTF8String,
       path: UTF8String): Boolean = {
@@ -136,5 +165,15 @@ object RobotsTxt {
   def allowed(robots: Column, agent: Column, path: Column): Column =
     col(StaticInvoke(classOf[RobotsTxt.type], BooleanType, "allowedKernel",
       Seq(ex(robots), ex(agent), ex(path)), Nil, propagateNull = false,
+      returnNullable = false))
+
+  /** Advertised sitemap URLs of a `robots` body (array, file order;
+    * NULL robots → empty array).
+    */
+  def sitemaps(robots: Column): Column =
+    col(StaticInvoke(classOf[RobotsTxt.type],
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false),
+      "sitemapsKernel", Seq(ex(robots)), Nil, propagateNull = false,
       returnNullable = false))
 }

@@ -34,6 +34,25 @@ class BpeSpec extends SparkSpec {
     assert(count("LOW") == 1L, "encoder lower-cases like the trainer")
   }
 
+  test("fixed-table encode: rank priority, chained pairs, second-order merges") {
+    // the q47b table; hand-computed counts pin the greedy
+    // lowest-rank-first semantics the oracle's rank-order rewrite
+    // must reproduce
+    def n(text: String, merges: Seq[(String, String)]): Long =
+      BpeKernels.encodeCount(UTF8String.fromString(text),
+        UTF8String.fromString(Bpe.mergesToSpec(merges)))
+    val t = Seq("a" -> "g", "s" -> "c", "a" -> "n", "l" -> "e",
+      "b" -> "le", "r" -> "o")
+    assert(n("scan", t) == 2L)     // s+c, then a+n
+    assert(n("table", t) == 3L)    // l+e, then b+le (second-order)
+    assert(n("agg", t) == 2L)      // leftmost a+g; (g,g) is no rule
+    assert(n("anan", t) == 2L)     // chained same-rank pair merges twice
+    assert(n("ananan", t) == 3L)   // chain of three
+    assert(n("agan", t) == 2L)     // rank 0 (a,g) beats rank 2 (a,n)
+    assert(n("order", t) == 5L)    // no rule fires
+    assert(n("scan table", t) == 5L)
+  }
+
   test("distributed encode matches the kernel and compresses real text") {
     val docs = Tables(spark, sf0001).documents.limit(200)
     val merges = Bpe.train(docs, "doc_id", "text", nMerges = 100,

@@ -77,6 +77,32 @@ class RobotsTxtSpec extends SparkSpec {
     // both agents — the empty Disallow is what separates the groups
   }
 
+  test("Sitemap: discovery lines are group-independent, in file order") {
+    def sitemaps(robots: String): Seq[String] = {
+      val a = RobotsTxt.sitemapsKernel(
+        if (robots == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(robots))
+      (0 until a.numElements()).map(i =>
+        a.getUTF8String(i).toString)
+    }
+    // valid anywhere: before, inside, and after groups; case-insensitive
+    // field name; comments strip; empty values drop
+    val r = "Sitemap: http://h.example/a.xml\n" +
+      "User-agent: b\nDisallow: /p\n" +
+      "SITEMAP: http://h.example/b.xml.gz # primary\n" +
+      "Sitemap:\n" +
+      "User-agent: *\nDisallow: /\n" +
+      "sitemap:   http://h.example/c.xml  \n"
+    assert(sitemaps(r) == Seq("http://h.example/a.xml",
+      "http://h.example/b.xml.gz", "http://h.example/c.xml"))
+    assert(sitemaps("User-agent: *\nDisallow: /\n") == Seq.empty)
+    assert(sitemaps(null) == Seq.empty)
+    // a Sitemap line between groups must not change gate decisions
+    assert(!ok("otherbot", "/x",
+      "User-agent: b\nDisallow: /p\nSitemap: http://h.example/s.xml\n" +
+        "User-agent: *\nDisallow: /\n"))
+  }
+
   test("SQL surface: NULL robots body means no robots.txt → allowed") {
     GraftFunctions.register(spark)
     val row = spark.sql(
