@@ -136,16 +136,30 @@ object SparkEntry {
       .otherwise(concat(lit("/files/"), gid.cast("string"), lit(".tmp")))
   }
 
+  // Crawl-delay lines ride the existing groups (graftbot's on even
+  // hosts, the * group's on odd) — the q105 gate ignores them, q113
+  // reads them; sitemap discovery lines are appended host-specific in
+  // robotsPolicyDim below
   private val RobotsFullPolicy: String =
     "User-agent: graftbot\nDisallow: /private/\n" +
-      "Allow: /private/ok/\nDisallow: /*.tmp$\n\nUser-agent: *\nDisallow: /\n"
+      "Allow: /private/ok/\nDisallow: /*.tmp$\nCrawl-delay: 2.5\n\n" +
+      "User-agent: *\nDisallow: /\n"
   private val RobotsNoOverride: String =
     "User-agent: graftbot\nDisallow: /private/\n\n" +
-      "User-agent: *\nDisallow: /\n"
+      "User-agent: *\nDisallow: /\nCrawl-delay: 10\n"
 
+  /** Even hosts additionally advertise two `Sitemap:` lines (one in a
+    * non-canonical spelling) APPENDED after the groups — the record is
+    * group-independent (RFC 9309 / sitemaps.org), so q105's decision
+    * table is untouched while q112 gets a discovery surface; odd hosts
+    * advertise none (the empty-array path).
+    */
   private def robotsPolicyDim(s: SparkSession): DataFrame =
     s.range(10).select(col("id").as("host_id"),
-      when(col("id") % 2 === 0, lit(RobotsFullPolicy))
+      when(col("id") % 2 === 0, concat(lit(RobotsFullPolicy),
+          lit("Sitemap: http://site"), col("id").cast("string"),
+          lit(".example/sm/index.xml.gz\nSitemap: HTTP://SITE"),
+          col("id").cast("string"), lit(".EXAMPLE:80/sm/extra.xml\n")))
         .otherwise(lit(RobotsNoOverride)).as("robots"))
 
   /** Archive count for the WARC fixtures: one task streams one archive,
@@ -1576,6 +1590,35 @@ object SparkEntry {
           col("img_w").cast("long").as("img_w"),
           col("img_h").cast("long").as("img_h"))
     }),
+
+    // 29l. robots → sitemap discovery — the composition the sitemap trio
+    // implies: each host's advertised Sitemap: lines (group-independent,
+    // RobotsTxt.sitemaps) surface per host and canonicalize in flight
+    // (q104's kernel — the second planted line is spelled
+    // non-canonically); hosts advertising none keep a NULL row
+    // (explode_outer), so the frontier join can distinguish
+    // "no sitemap" from "host missing". Map-side over the broadcast-size
+    // policy dim — zero shuffles.
+    "q112_sitemap_discovery" -> ((s, dir) =>
+      robotsPolicyDim(s)
+        .select(col("host_id"),
+          explode_outer(RobotsTxt.sitemaps(col("robots"))).as("sm"))
+        .select(col("host_id"),
+          UrlNorm.canonicalize(col("sm")).as("sitemap_canon"))),
+
+    // 29m. Crawl-delay politeness (the de-facto convention alongside the
+    // RFC 9309 gate): per-host delay for the product token and for an
+    // unnamed agent — group-scoped with exact-agent precedence, so the
+    // planted policies resolve differently per (host parity, agent):
+    // graftbot reads its own group's delay on even hosts and NULL on
+    // odd (its group exists but advertises none — no * fallback);
+    // an unnamed agent reads the * group's delay on odd hosts only.
+    "q113_crawl_delay" -> ((s, dir) =>
+      robotsPolicyDim(s).select(col("host_id"),
+        RobotsTxt.crawlDelay(col("robots"), lit("graftbot"))
+          .as("delay_bot"),
+        RobotsTxt.crawlDelay(col("robots"), lit("OtherBot"))
+          .as("delay_other"))),
 
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
@@ -3382,6 +3425,32 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 1024 END AS img_w,
         |  CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 768 END AS img_h
         |FROM documents""".stripMargin,
+    // q112: the oracle composes each host's advertised sitemap list
+    // (canonical spellings) from host_id arithmetic; Spark must recover
+    // it by scanning the robots text and canonicalizing each value
+    "q112_sitemap_discovery" ->
+      """WITH h AS (SELECT range AS host_id FROM range(10))
+        |SELECT host_id,
+        |  'http://site' || host_id || '.example/sm/index.xml.gz'
+        |    AS sitemap_canon
+        |FROM h WHERE host_id % 2 = 0
+        |UNION ALL
+        |SELECT host_id,
+        |  'http://site' || host_id || '.example/sm/extra.xml'
+        |FROM h WHERE host_id % 2 = 0
+        |UNION ALL
+        |SELECT host_id, CAST(NULL AS VARCHAR)
+        |FROM h WHERE host_id % 2 = 1""".stripMargin,
+    // q113: the oracle is the (host parity × agent) delay table the
+    // planted group-scoped Crawl-delay lines imply
+    "q113_crawl_delay" ->
+      """WITH h AS (SELECT range AS host_id FROM range(10))
+        |SELECT host_id,
+        |  CASE WHEN host_id % 2 = 0 THEN CAST(2.5 AS DOUBLE) END
+        |    AS delay_bot,
+        |  CASE WHEN host_id % 2 = 1 THEN CAST(10 AS DOUBLE) END
+        |    AS delay_other
+        |FROM h""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

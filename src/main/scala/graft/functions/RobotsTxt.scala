@@ -135,6 +135,55 @@ object RobotsTxt {
       out.toArray(new Array[UTF8String](out.size())))
   }
 
+  /** De-facto `Crawl-delay` record (not in RFC 9309, but the public
+    * industry convention Bing/Yandex document — group-scoped like
+    * Allow/Disallow): seconds the named agent should wait between
+    * fetches. Group selection mirrors [[allowedKernel]]: groups naming
+    * the agent exactly take precedence over `*` groups; the FIRST
+    * parseable non-negative value among the applicable groups wins;
+    * absent/unparseable → -1 (the column surface maps it to NULL).
+    */
+  def crawlDelayKernel(robots: UTF8String, agent: UTF8String): Double = {
+    if (robots == null || agent == null) return -1.0
+    val agentLc = agent.toString.toLowerCase(java.util.Locale.ROOT)
+    var exactDelay = -1.0
+    var wildDelay = -1.0
+    var exactGroupExists = false
+    var groupAgents: List[String] = Nil
+    var inAgentRun = false
+    for (line0 <- robots.toString.split("\n", -1)) {
+      var line = line0
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            val v = value.toLowerCase(java.util.Locale.ROOT)
+            if (inAgentRun) groupAgents ::= v
+            else { groupAgents = List(v); inAgentRun = true }
+            if (v == agentLc) exactGroupExists = true
+          case "crawl-delay" =>
+            inAgentRun = false
+            val d = try value.toDouble
+              catch { case _: NumberFormatException => -1.0 }
+            if (d >= 0) {
+              if (groupAgents.contains(agentLc)) {
+                if (exactDelay < 0) exactDelay = d
+              } else if (groupAgents.contains("*") && wildDelay < 0)
+                wildDelay = d
+            }
+          case _ => inAgentRun = false
+        }
+      }
+    }
+    if (exactGroupExists) exactDelay else wildDelay
+  }
+
   /** Would `agent` be allowed to fetch `path` under `robots`? */
   def allowedKernel(robots: UTF8String, agent: UTF8String,
       path: UTF8String): Boolean = {
@@ -166,6 +215,18 @@ object RobotsTxt {
     col(StaticInvoke(classOf[RobotsTxt.type], BooleanType, "allowedKernel",
       Seq(ex(robots), ex(agent), ex(path)), Nil, propagateNull = false,
       returnNullable = false))
+
+  /** Crawl-delay seconds for `agent` under `robots`, NULL when the
+    * applicable group advertises none (see kernel).
+    */
+  def crawlDelay(robots: Column, agent: Column): Column = {
+    val raw = col(StaticInvoke(classOf[RobotsTxt.type],
+      org.apache.spark.sql.types.DoubleType, "crawlDelayKernel",
+      Seq(ex(robots), ex(agent)), Nil, propagateNull = false,
+      returnNullable = false))
+    org.apache.spark.sql.functions.when(
+      raw >= 0, raw)
+  }
 
   /** Advertised sitemap URLs of a `robots` body (array, file order;
     * NULL robots → empty array).

@@ -103,6 +103,29 @@ class RobotsTxtSpec extends SparkSpec {
         "User-agent: *\nDisallow: /\n"))
   }
 
+  test("Crawl-delay: group-scoped, exact-agent precedence, first value wins") {
+    def delay(robots: String, agent: String): Double =
+      RobotsTxt.crawlDelayKernel(
+        if (robots == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(robots),
+        org.apache.spark.unsafe.types.UTF8String.fromString(agent))
+    val r = "User-agent: b\nDisallow: /p\nCrawl-delay: 2.5\n\n" +
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"
+    assert(delay(r, "b") == 2.5)
+    assert(delay(r, "B") == 2.5)       // agent names case-fold
+    assert(delay(r, "other") == 10.0)  // falls to the * group
+    // an exact group WITHOUT a delay never falls through to *
+    val noDelay = "User-agent: b\nDisallow: /p\n\n" +
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"
+    assert(delay(noDelay, "b") == -1.0)
+    // first parseable value wins; garbage values skip
+    val multi = "User-agent: b\nCrawl-delay: soon\nCrawl-delay: 3\n" +
+      "Crawl-delay: 7\n"
+    assert(delay(multi, "b") == 3.0)
+    assert(delay(null, "b") == -1.0)
+    assert(delay("", "b") == -1.0)
+  }
+
   test("SQL surface: NULL robots body means no robots.txt → allowed") {
     GraftFunctions.register(spark)
     val row = spark.sql(
