@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.DecimalType
   * survives, and no cross-cluster pair is ever compared — that is the
   * algorithm's contract, not an approximation we add).
   *
-  * Scale shape: centroids broadcast (k × dim floats). Assignment is ONE
-  * map-side pass over the corpus (broadcast cross join + partial max, the
-  * IvfAnn.assign shape) — the corpus shuffles once, on the narrow cell
+  * Scale shape: centroids ship as a plan literal (k × dim floats — the
+  * same bound a broadcast would carry). Assignment is ONE map-side
+  * argmax pass over the corpus inside whole-stage codegen — zero
+  * assignment shuffles; the corpus shuffles once, on the narrow cell
   * key. The pair stage joins the cluster to itself on `cell` only, so its
   * cost is Σ|cell|² — the paper's own knob: k grows with N so the mean
   * cell size stays constant (k ≈ N/1000 at the 100 TB design point), and
@@ -86,22 +87,35 @@ object SemDedup {
     if (probe <= 0) assign(corpus, cents, idCol, vecCol)
     else assignProbed(corpus, cents, idCol, vecCol, probe)
 
-  /** Nearest-centroid cell per vector: broadcast cross join + map-side
-    * partial max over (cos, cid) — deterministic tie-break. Output:
-    * (nid, cell, n_vec).
+  /** Nearest-centroid cell per vector as a PURE MAP-SIDE argmax over the
+    * codebook shipped as a plan literal — deterministic (cos, cid)
+    * tie-break via struct array_max. Output: (nid, cell, n_vec).
+    *
+    * Why not crossJoin(broadcast(cents)) + groupBy(nid).agg(max(struct))
+    * (the shape this replaced): max over a STRUCT buffer can't run in
+    * HashAggregate, and ObjectHashAggregate falls back to SORT-BASED
+    * past its per-partition key threshold — so the n·k exploded rows
+    * (each dragging the 64-float vector) were being SORTED, measured as
+    * a disk-filling 50+ GB UnsafeExternalSorter spill at the r12 100×
+    * probe (200k vectors × 5.4k centroids). The literal codebook is the
+    * SAME k-row bound the broadcast already shipped (the assignProbed
+    * super-cell precedent); the argmax now runs inside whole-stage
+    * codegen with zero joins, zero aggregates, zero shuffle.
     */
   private def assign(corpus: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val best = corpus
-      .select(col(idCol).cast("long").as("nid"), col(vecCol).as("n_vec"))
-      .crossJoin(broadcast(cents))
-      .groupBy(col("nid"))
-      .agg(max(struct(F.cosine(col("n_vec"), col("c_vec")).as("cos"),
-        col("cid").as("cid"))).as("m"))
-      .select(col("nid"), col("m.cid").as("cell"))
+    // BOUNDED collect: cents is the k-row codebook the old path already
+    // materialized into a broadcast relation
+    val centLit: Seq[(Long, Seq[Float])] = cents.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq: Seq[Float]))
+      .sortBy(_._1)
+    val scored = transform(typedLit(centLit), c =>
+      struct(F.cosine(col("n_vec"), c.getField("_2")).as("cos"),
+        c.getField("_1").as("cid")))
     corpus
       .select(col(idCol).cast("long").as("nid"), col(vecCol).as("n_vec"))
-      .join(best, "nid")
+      .withColumn("m", array_max(scored))
+      .select(col("nid"), col("m.cid").as("cell"), col("n_vec"))
   }
 
   /** Two-level coarse-quantized assignment (the IvfAnn probe shape, for
