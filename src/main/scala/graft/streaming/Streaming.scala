@@ -220,12 +220,18 @@ object StatefulSessionize {
 
 object WebIngestStream {
 
-  /** Streaming twin of the web-ingest layer (q100/q108 → q103 → q99 →
-    * q104 composed): captures arrive as a stream of
-    * (ts, url, content_type, body) rows; each micro-batch transcodes
-    * (labeled charset strictly, unlabeled via the WHATWG sniff),
-    * extracts visible text, gates on the encoding-garbage signals, and
-    * dedups on the canonical URL with BOUNDED state
+  /** Streaming twin of the web-ingest layer (q100/q108 → q111 routing →
+    * q103 → q99 → q104 composed): captures arrive as a stream of
+    * (ts, url, content_type, body) rows; each micro-batch ROUTES on the
+    * declared media type first (q111's dispatch — only html and text
+    * subtypes continue; image/binary/unlabeled captures drop here
+    * rather than mangling through the HTML scanner; a batch-side
+    * [[graft.sources.ContentRoute.routed]] pass is where a full
+    * pipeline would count them), transcodes (labeled charset strictly,
+    * unlabeled TEXT captures via the WHATWG sniff), extracts visible
+    * text for the html route (plain text passes through), gates on the
+    * encoding-garbage signals, and dedups on the canonical URL with
+    * BOUNDED state
     * (dropDuplicatesWithinWatermark — one state entry per canonical URL
     * inside the watermark horizon, evicted as event time advances; a
     * crawl frontier's refetch window, not an unbounded seen-set).
@@ -236,12 +242,21 @@ object WebIngestStream {
       watermark: String = "1 hour"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.{HtmlText, TextStats, UrlNorm}
-    import graft.sources.WarcTranscode
+    import graft.sources.{ContentRoute, WarcTranscode}
     val cs = WarcTranscode.charsetOf(col("content_type"))
     val utf8 = when(cs.isNotNull, WarcTranscode.utf8Text(col("body"), cs))
       .otherwise(WarcTranscode.sniffedText(col("body")))
+    val route = ContentRoute.route(col("content_type"))
+    // unlabeled captures: the batch router skips them outright; the
+    // streaming twin keeps the WHATWG sniff for TEXTUAL recovery but
+    // only when the label is absent AND the sniff yields text — typed
+    // non-text payloads (image/*, application/*) never reach a kernel
     captures
-      .withColumn("page_text", HtmlText.extract(utf8))
+      .where(route.isin(ContentRoute.RouteHtml, ContentRoute.RoutePlain,
+        ContentRoute.RouteUnknown))
+      .withColumn("page_text",
+        when(route === ContentRoute.RoutePlain, utf8)
+          .otherwise(HtmlText.extract(utf8)))
       .where(col("page_text").isNotNull &&
         TextStats.replacementCount(col("page_text")) +
         TextStats.mojibakeCount(col("page_text")) +

@@ -313,15 +313,27 @@ class StreamingSpec extends SparkSpec {
       mem.addData( // refetch of a.example/x under another spelling
         (ts(10, 4), "HTTP://A.EXAMPLE:80/p/../x", "text/html; charset=utf-8",
           html("café refetch").getBytes("UTF-8")),
-        (ts(10, 5), "http://d.example/w", null, html("four").getBytes("UTF-8")))
+        (ts(10, 5), "http://d.example/w", null, html("four").getBytes("UTF-8")),
+        // typed non-text payloads route OUT (q111's dispatch in the
+        // stream): never mangled through the HTML scanner
+        (ts(10, 6), "http://e.example/img", "image/png",
+          Array[Byte](0x50, 0x4e, 0x47, 1, 2, 3)),
+        (ts(10, 7), "http://f.example/doc", "application/pdf",
+          "%PDF-1.4 not prose".getBytes("US-ASCII")),
+        // a text/plain capture passes through WITHOUT HTML extraction
+        (ts(10, 8), "http://g.example/t", "text/plain; charset=utf-8",
+          "plain <notatag> text".getBytes("UTF-8")))
       q.processAllAvailable()
       val got = spark.table("web_stream")
         .select("url_canon", "page_text")
         .as[(String, String)].collect().toMap
       assert(got.keySet == Set("http://a.example/x", "http://b.example/y",
-        "http://d.example/w"), s"wrong survivor set: ${got.keySet}")
+        "http://d.example/w", "http://g.example/t"),
+        s"wrong survivor set: ${got.keySet}")
       assert(got("http://a.example/x") == "café one", "first fetch must win")
       assert(got("http://b.example/y") == "two café", "1252 sniff failed")
+      assert(got("http://g.example/t") == "plain <notatag> text",
+        "text/plain must pass through without HTML extraction")
     } finally q.stop()
   }
 }
