@@ -1620,6 +1620,20 @@ object SparkEntry {
         RobotsTxt.crawlDelay(col("robots"), lit("OtherBot"))
           .as("delay_other"))),
 
+    // 26r. CCNet-style trained-LM perplexity: fit an add-one bigram LM on
+    // the deterministic q41 train split, score the WHOLE corpus against
+    // it — model and corpus decoupled (q58's self-LM can't say "looks
+    // like the reference domain"; this is the signal CCNet buckets into
+    // head/middle/tail). DECIMAL(18,9) per-bigram quantization keeps the
+    // score engine-exact; the LM join shuffles on the bigram key (the
+    // bigram table is O(train tokens), not Heaps-sublinear — see
+    // Perplexity.bigramScore's scaladoc for why broadcast is opt-in).
+    "q114_bigram_lm" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.functions.Perplexity.bigramScore(
+        Sampling.sample(docs, "doc_id", 9000), docs, "doc_id", "text")
+    }),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -3451,6 +3465,43 @@ object SparkEntry {
         |  CASE WHEN host_id % 2 = 1 THEN CAST(10 AS DOUBLE) END
         |    AS delay_other
         |FROM h""".stripMargin,
+    // q114: the oracle refits the same add-one bigram LM on the same
+    // hash-defined train split (q41's membership arithmetic) and replays
+    // the scoring; the DECIMAL(18,9) per-bigram quantization absorbs
+    // engine ln() ulp differences exactly as q58's does. range(1,len) is
+    // empty for single-token docs on both engines (the Spark side guards
+    // sequence()'s descending surprise explicitly).
+    "q114_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+        |  FROM documents
+        |), tb AS (
+        |  SELECT unnest(list_transform(range(1, len(l)),
+        |    i -> l[i] || ' ' || l[i+1])) AS bg
+        |  FROM d WHERE (hash(doc_id) >> 16) % 10000 < 9000
+        |), c2 AS (
+        |  SELECT bg, COUNT(*) AS c2 FROM tb GROUP BY 1
+        |), c1 AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+        |  FROM tb GROUP BY 1
+        |), voc AS (
+        |  SELECT COUNT(DISTINCT term) AS v FROM (
+        |    SELECT unnest(l) AS term FROM d
+        |    WHERE (hash(doc_id) >> 16) % 10000 < 9000)
+        |), sb AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |    i -> l[i] || ' ' || l[i+1])) AS bg
+        |  FROM d
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(floor(SUM(CAST(-ln((COALESCE(c2, 0) + 1)
+        |      / (COALESCE(c1, 0) + v * 1.0)) AS DECIMAL(18,9)))
+        |    * 1000 / COUNT(*)) AS BIGINT) AS avg_nll_x1000
+        |FROM sb
+        |LEFT JOIN c2 USING (bg)
+        |LEFT JOIN c1 ON split_part(sb.bg, ' ', 1) = c1.w1
+        |CROSS JOIN voc
+        |GROUP BY doc_id""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

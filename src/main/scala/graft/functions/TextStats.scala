@@ -263,6 +263,75 @@ object Perplexity {
         floor(sum(col("nll")) * 1000 / count(lit(1))).cast("long")
           .as("avg_nll_x1000"))
   }
+
+  /** Ordered token bigrams of a text column as "w1 w2" strings (tokens are
+    * whitespace-split, so the space separator is unambiguous). Documents
+    * with fewer than two tokens yield an empty array. The size guard is
+    * load-bearing: Spark's `sequence(1, 0)` DESCENDS instead of returning
+    * empty, and `element_at(_, 0)` is an ANSI error.
+    */
+  def bigrams(text: Column): Column = {
+    val t = F.tokensLower(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** CCNet-style trained-LM perplexity filter: fit an add-one-smoothed
+    * bigram LM on an in-domain reference corpus (CCNet trains on
+    * Wikipedia; a pipeline here trains on the deterministic q41 train
+    * split) and score EVERY document's mean bigram negative
+    * log-likelihood against it — unlike [[score]]'s self-LM, the model
+    * and the scored corpus are decoupled, so the score measures
+    * "how much does this look like the reference domain", the signal
+    * CCNet buckets into head/middle/tail.
+    *
+    * P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V): Laplace over the train
+    * vocabulary V, with c1 the count of w1 as a bigram CONTEXT (so the
+    * distribution sums to 1 over the vocab; unseen contexts degrade to
+    * the uniform 1/V). Per-bigram NLL quantizes to DECIMAL(18,9) before
+    * summing — exact, partitioning-independent document scores (the q58
+    * discipline). Documents with fewer than two tokens have no bigram
+    * evidence and drop out.
+    *
+    * Scale shape: the LM is (w1 w2, count) — O(train tokens) rows, NOT
+    * the sublinear Heaps-law vocab of the unigram case, so the default
+    * is a shuffle join on the bigram key (Zipf-hot keys ride AQE's
+    * skew split), not a broadcast. `broadcastLm = true` opts in when the
+    * reference corpus is known-small (the common CCNet deployment: a
+    * curated in-domain sample, not the crawl itself). The context-count
+    * and vocab frames are narrow aggregates of the same exploded tokens.
+    */
+  def bigramScore(train: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      broadcastLm: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val trainBg = train.select(explode(bigrams(col(textCol))).as("bg"))
+    val c2Plain = trainBg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1Plain = trainBg
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val (c2, c1) =
+      if (broadcastLm) (broadcast(c2Plain), broadcast(c1Plain))
+      else (c2Plain, c1Plain)
+    val vocab = train
+      .select(explode(F.tokensLower(col(textCol))).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(bigrams(col(textCol))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c2, Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(vocab) // one-row totals frame
+      .withColumn("nll",
+        (-log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("nll")) * 1000 / count(lit(1))).cast("long")
+          .as("avg_nll_x1000"))
+  }
 }
 
 object TermScores {

@@ -333,6 +333,42 @@ class EtlSpec extends SparkSpec {
     assert(again == out, "scores must be partitioning-independent")
   }
 
+  test("bigram LM scores in-domain text below out-of-domain, hand-checked") {
+    import graft.functions.Perplexity
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat"),      // every bigram seen
+      (11L, "sat the cat"),      // "sat the" unseen, rest seen
+      (12L, "dog ate cheese"),   // nothing seen: uniform 1/V floor
+      (13L, "solo"),             // one token: no bigram evidence → dropped
+      (14L, "")                  // tokenizes to [""]: dropped too
+    ).toDF("doc_id", "text")
+    val out = Perplexity.bigramScore(train, score, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_nll_x1000")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(10L, 11L, 12L), s"got ${out.keySet}")
+    assert(out(10L)._2 == 2 && out(11L)._2 == 2 && out(12L)._2 == 2)
+    // V = |{the,cat,sat,ran}| = 4.
+    // c1(the)=2, c2(the cat)=2 → P(cat|the)=(2+1)/(2+4)=1/2;
+    // c1(cat)=2, c2(cat sat)=1 → P(sat|cat)=(1+1)/(2+4)=1/3.
+    // doc10 mean NLL = (ln2 + ln3)/2 = 0.8958... → 895
+    assert(out(10L)._3 == 895L, s"hand-computed 895, got ${out(10L)._3}")
+    // unseen everything: per-bigram P = 1/V = 1/4 → mean NLL = ln4 → 1386
+    assert(out(12L)._3 == 1386L, s"uniform floor ln(4)≈1386, got ${out(12L)._3}")
+    assert(out(10L)._3 < out(11L)._3 && out(11L)._3 < out(12L)._3,
+      "in-domain must score below partially/fully out-of-domain")
+    val again = Perplexity.bigramScore(
+      train.repartition(3), score.repartition(5), "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_nll_x1000")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == out, "scores must be partitioning-independent")
+    val bcast = Perplexity.bigramScore(train, score, "doc_id", "text",
+      broadcastLm = true)
+      .select("doc_id", "n_bigrams", "avg_nll_x1000")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(bcast == out, "broadcast and shuffle paths must agree")
+  }
+
   test("diversity metrics flag repetitive text") {
     import graft.functions.Diversity
     val df = Seq(
