@@ -1634,6 +1634,17 @@ object SparkEntry {
         Sampling.sample(docs, "doc_id", 9000), docs, "doc_id", "text")
     }),
 
+    // 26s. Gopher quality-rule battery (Rae et al. 2021 table A1 — the
+    // public heuristic set MassiveText/RefinedWeb/Dolma filter with):
+    // word-count and mean-word-length bounds, symbol-to-word ratio,
+    // bullet/ellipsis line fractions, alphabetic-word fraction, stop-word
+    // hits. Every rule decided in integer cross-multiplied arithmetic —
+    // no float thresholds for engines to disagree on. One map-side
+    // codegen pass, zero shuffles.
+    "q115_gopher_rules" -> ((s, dir) =>
+      graft.functions.GopherRules.evaluate(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -3502,6 +3513,62 @@ object SparkEntry {
         |LEFT JOIN c1 ON split_part(sb.bg, ' ', 1) = c1.w1
         |CROSS JOIN voc
         |GROUP BY doc_id""".stripMargin,
+    // q115: every Gopher rule is integer cross-multiplied arithmetic, so
+    // the oracle recomputes counters and verdicts exactly (list lambdas
+    // replay the token/line scans; '//' and the long cast agree with
+    // Spark's truncating markerCount division on non-negative counts)
+    "q115_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS l,
+        |    string_split(text, chr(10)) AS ln, text
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(l) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(l, x -> len(x))) AS BIGINT)
+        |      AS word_chars,
+        |    CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST((len(text) - len(replace(text, '#', '')))
+        |      + (len(text) - len(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_symbols,
+        |    CAST(len(ln) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ln,
+        |      x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS BIGINT)
+        |      AS n_bullet_lines,
+        |    CAST(len(list_filter(ln,
+        |      x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$'))) AS BIGINT)
+        |      AS n_ellipsis_lines,
+        |    CAST(CAST(list_contains(l, 'the') AS INT)
+        |      + CAST(list_contains(l, 'be') AS INT)
+        |      + CAST(list_contains(l, 'to') AS INT)
+        |      + CAST(list_contains(l, 'of') AS INT)
+        |      + CAST(list_contains(l, 'and') AS INT)
+        |      + CAST(list_contains(l, 'that') AS INT)
+        |      + CAST(list_contains(l, 'have') AS INT)
+        |      + CAST(list_contains(l, 'with') AS INT) AS BIGINT)
+        |      AS n_stop_hits
+        |  FROM d
+        |)
+        |SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols,
+        |  n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_hits,
+        |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |  word_chars >= n_words * 3 AND word_chars <= n_words * 10
+        |    AS r_mean_len,
+        |  n_symbols * 10 < n_words AS r_symbol_ratio,
+        |  n_bullet_lines * 10 <= n_lines * 9 AS r_bullet,
+        |  n_ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis,
+        |  n_alpha_words * 5 >= n_words * 4 AS r_alpha,
+        |  n_stop_hits >= 2 AS r_stop_words,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
+        |    AND n_symbols * 10 < n_words
+        |    AND n_bullet_lines * 10 <= n_lines * 9
+        |    AND n_ellipsis_lines * 10 <= n_lines * 3
+        |    AND n_alpha_words * 5 >= n_words * 4
+        |    AND n_stop_hits >= 2 AS pass
+        |FROM m""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

@@ -42,11 +42,22 @@ object F {
 
   /** Word k-shingles: overlapping k-grams of the token array, re-joined with
     * single spaces. Shorter-than-k documents yield one (short) shingle.
+    *
+    * `tokenArr` is bound to a lambda variable through a one-element outer
+    * transform before the index loop touches it. This is load-bearing: a
+    * non-lambda-bound expression INSIDE a higher-order-function lambda
+    * re-evaluates its whole subtree per iteration, and every caller here
+    * passes the regex tokenization — the naive
+    * `transform(sequence(…), i -> slice(tokenArr, …))` re-ran the split
+    * once per shingle index, O(tokens²) per document (measured 7× on the
+    * bigram builder's identical shape at the 100× probe; a lambda
+    * variable is a plain bound-value read).
     */
   def shingles(tokenArr: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(tokenArr) - k, lit(0))),
-      i => concat_ws(" ", slice(tokenArr, i + 1, lit(k))))
+    flatten(transform(array(tokenArr), ts =>
+      transform(
+        sequence(lit(0), greatest(size(ts) - k, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
 
   // ---- hashing / sketches -------------------------------------------------
 

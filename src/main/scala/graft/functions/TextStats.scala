@@ -264,18 +264,24 @@ object Perplexity {
           .as("avg_nll_x1000"))
   }
 
-  /** Ordered token bigrams of a text column as "w1 w2" strings (tokens are
-    * whitespace-split, so the space separator is unambiguous). Documents
-    * with fewer than two tokens yield an empty array. The size guard is
-    * load-bearing: Spark's `sequence(1, 0)` DESCENDS instead of returning
-    * empty, and `element_at(_, 0)` is an ANSI error.
+  /** Ordered token bigrams of a text column as (w1, w2) structs (tokens
+    * are whitespace-split; structs instead of concatenated strings, so
+    * downstream joins key on the pair directly with no concat/split
+    * round-trips). Documents with fewer than two tokens yield an empty
+    * array. Built as `zip_with` over two slices, NOT as
+    * `transform(sequence(…), i -> element_at(t, i))`: a non-lambda-bound
+    * array reference INSIDE a higher-order-function lambda re-evaluates
+    * its whole subtree per iteration — the regex tokenization would run
+    * once per bigram index, O(tokens²) per document (measured: 29 s vs
+    * 4 s for the plain token explode over the same 100× corpus). The
+    * slices are ordinary arguments, evaluated once per row.
     */
   def bigrams(text: Column): Column = {
     val t = F.tokensLower(text)
     when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
   }
 
   /** CCNet-style trained-LM perplexity filter: fit an add-one-smoothed
@@ -295,32 +301,48 @@ object Perplexity {
     * discipline). Documents with fewer than two tokens have no bigram
     * evidence and drop out.
     *
-    * Scale shape: the LM is (w1 w2, count) — O(train tokens) rows, NOT
+    * Scale shape: the LM is (w1, w2, count) — O(train tokens) rows, NOT
     * the sublinear Heaps-law vocab of the unigram case, so the default
-    * is a shuffle join on the bigram key (Zipf-hot keys ride AQE's
+    * is a shuffle join on the bigram pair (Zipf-hot keys ride AQE's
     * skew split), not a broadcast. `broadcastLm = true` opts in when the
     * reference corpus is known-small (the common CCNet deployment: a
-    * curated in-domain sample, not the crawl itself). The context-count
-    * and vocab frames are narrow aggregates of the same exploded tokens.
+    * curated in-domain sample, not the crawl itself).
+    *
+    * The plan keeps the hot corpus bigram stream to ONE wide shuffle and
+    * ONE sort (the 100× probe measured the naive string-keyed
+    * three-shuffle shape at 94 s, and a split-stream variant that
+    * evaluates the big join twice at 150 s): the context count c1
+    * derives algebraically from the bigram counts (`Σ_w2 c2(w1,w2)` —
+    * no second corpus explode) and is BROADCAST — c1 is exactly q58's
+    * unigram-LM frame, a (token, count) aggregate that Heaps' law keeps
+    * sublinear in the corpus — so the c1 lookup is a map-side hash join
+    * and only the c2 join shuffles the corpus, once, on (w1, w2).
+    * (A subtler single-shuffle variant — co-partition everything on w1
+    * alone — is blocked by requireAllClusterKeysForCoPartition, which
+    * would have to be flipped session-wide; the broadcast shape needs no
+    * config and survives AQE.) Hot-(w1,w2) skew rides AQE's skew-join
+    * split; a genuinely unbounded junk vocabulary that breaks the c1
+    * broadcast belongs on the same escape hatch as q58's `broadcastLm =
+    * false`: pre-filter the junk, not the join strategy.
     */
   def bigramScore(train: org.apache.spark.sql.DataFrame,
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       broadcastLm: Boolean = false): org.apache.spark.sql.DataFrame = {
     val trainBg = train.select(explode(bigrams(col(textCol))).as("bg"))
-    val c2Plain = trainBg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val c1Plain = trainBg
-      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(count(lit(1)).as("c1"))
-    val (c2, c1) =
-      if (broadcastLm) (broadcast(c2Plain), broadcast(c1Plain))
-      else (c2Plain, c1Plain)
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2Plain = trainBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = broadcast(
+      c2Plain.groupBy(col("w1")).agg(sum(col("c2")).as("c1")))
     val vocab = train
       .select(explode(F.tokensLower(col(textCol))).as("term"))
       .agg(count_distinct(col("term")).as("v"))
-    docs
+    val sb = docs
       .select(col(idCol).as("doc_id"), explode(bigrams(col(textCol))).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(c2, Seq("bg"), "left")
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = if (broadcastLm) broadcast(c2Plain) else c2Plain
+    sb
+      .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(vocab) // one-row totals frame
       .withColumn("nll",
@@ -331,6 +353,72 @@ object Perplexity {
       .agg(count(lit(1)).as("n_bigrams"),
         floor(sum(col("nll")) * 1000 / count(lit(1))).cast("long")
           .as("avg_nll_x1000"))
+  }
+}
+
+/** The Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+  * Models", table A1 — the public heuristic filter set MassiveText used
+  * before model-based scoring, since adopted by RefinedWeb/Dolma): word
+  * count bounds, mean-word-length bounds, symbol-to-word ratio,
+  * bullet-start / ellipsis-end line fractions, alphabetic-word fraction,
+  * and a minimum stop-word hit count.
+  *
+  * Every rule is decided in INTEGER cross-multiplied arithmetic (e.g.
+  * mean word length in [3,10] is `3·n ≤ chars ≤ 10·n`), so there is no
+  * float threshold for engines to disagree on. One map-side pass over
+  * codegen'd built-ins: zero shuffles, zero UDFs.
+  */
+object GopherRules {
+
+  /** The eight fixed stop words of the Gopher rule ("the, be, to, of,
+    * and, that, have, with" — at least [[MinStopHits]] must appear).
+    */
+  val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val MinStopHits = 2
+
+  /** Per-document rule verdicts plus the composite `pass`. Counters the
+    * rules divide are also emitted so a downstream re-threshold needs no
+    * re-scan (the published bounds are corpus-tuned, not sacred).
+    */
+  def evaluate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val toks = F.tokensLower(t)
+    val lines = split(t, "\n")
+    val nWords = size(toks).cast("long")
+    val wordChars = aggregate(transform(toks, w => length(w)),
+      lit(0L), (acc, x) => acc + x)
+    val nAlphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val nSymbols = TextStats.markerCount(t, "#") + TextStats.markerCount(t, "...")
+    val nLines = size(lines).cast("long")
+    val nBulletLines = size(filter(lines, l =>
+      l.rlike("^[ \t]*[-*•]"))).cast("long")
+    val nEllipsisLines = size(filter(lines, l =>
+      l.rlike("(\\.\\.\\.|…)[ \t]*$"))).cast("long")
+    val nStopHits = StopWords.map(w =>
+      when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(
+      col(idCol).as("doc_id"),
+      nWords.as("n_words"),
+      wordChars.as("word_chars"),
+      nAlphaWords.as("n_alpha_words"),
+      nSymbols.as("n_symbols"),
+      nLines.as("n_lines"),
+      nBulletLines.as("n_bullet_lines"),
+      nEllipsisLines.as("n_ellipsis_lines"),
+      nStopHits.as("n_stop_hits"),
+      (nWords >= 50 && nWords <= 100000).as("r_word_count"),
+      (wordChars >= nWords * 3 && wordChars <= nWords * 10).as("r_mean_len"),
+      (nSymbols * 10 < nWords).as("r_symbol_ratio"),
+      (nBulletLines * 10 <= nLines * 9).as("r_bullet"),
+      (nEllipsisLines * 10 <= nLines * 3).as("r_ellipsis"),
+      (nAlphaWords * 5 >= nWords * 4).as("r_alpha"),
+      (nStopHits >= MinStopHits).as("r_stop_words"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol_ratio") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+        col("r_stop_words"))
   }
 }
 

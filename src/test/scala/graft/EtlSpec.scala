@@ -369,6 +369,36 @@ class EtlSpec extends SparkSpec {
     assert(bcast == out, "broadcast and shuffle paths must agree")
   }
 
+  test("Gopher rule battery: hand-checked counters and verdicts") {
+    import graft.functions.GopherRules
+    // 63 words, mean word length 231/63 ≈ 3.7 — inside every bound
+    val good = ("the be to of and that have with wonderful " * 7).trim
+    val docs = Seq(
+      (1L, good),                        // passes everything
+      (2L, "- bullet\n- bullet2\nplain..."),
+      (3L, ""),                          // degenerate: 1 empty token
+      (4L, "#### ## # zz")               // symbol-heavy
+    ).toDF("doc_id", "text")
+    val out = GopherRules.evaluate(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"), "stereotypical doc must pass")
+    assert(out(1L).getAs[Long]("n_words") == 63)
+    assert(out(1L).getAs[Long]("n_stop_hits") == 8)
+    val b = out(2L)
+    assert(b.getAs[Long]("n_words") == 5 && b.getAs[Long]("word_chars") == 23)
+    assert(b.getAs[Long]("n_lines") == 3 && b.getAs[Long]("n_bullet_lines") == 2)
+    assert(b.getAs[Long]("n_ellipsis_lines") == 1 && b.getAs[Long]("n_symbols") == 1)
+    assert(!b.getAs[Boolean]("r_ellipsis"), "1 of 3 lines ellipsis-ended > 30%")
+    assert(b.getAs[Boolean]("r_bullet"), "2 of 3 bullet lines is under 90%")
+    assert(!b.getAs[Boolean]("pass"))
+    val e = out(3L)
+    assert(e.getAs[Long]("n_words") == 1 && e.getAs[Long]("word_chars") == 0)
+    assert(!e.getAs[Boolean]("r_mean_len") && !e.getAs[Boolean]("pass"))
+    val s4 = out(4L)
+    assert(s4.getAs[Long]("n_symbols") == 7)
+    assert(!s4.getAs[Boolean]("r_symbol_ratio"))
+  }
+
   test("diversity metrics flag repetitive text") {
     import graft.functions.Diversity
     val df = Seq(
