@@ -1645,6 +1645,15 @@ object SparkEntry {
       graft.functions.GopherRules.evaluate(Tables(s, dir).documents,
         "doc_id", "text")),
 
+    // 26t. C4 cleaning rules (Raffel et al. 2020 §2.2): line-level keep
+    // predicate (terminal punctuation + >=5 words + no javascript) and
+    // page-level gates (>=3 sentences, no curly brace, no lorem ipsum) —
+    // the line-granular sibling of q115's document-level battery. One
+    // map-side pass of list lambdas, zero shuffles.
+    "q116_c4_filters" -> ((s, dir) =>
+      graft.functions.C4Filters.evaluate(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -3569,6 +3578,41 @@ object SparkEntry {
         |    AND n_alpha_words * 5 >= n_words * 4
         |    AND n_stop_hits >= 2 AS pass
         |FROM m""".stripMargin,
+    // q116: the oracle replays the line predicate and page gates with
+    // list lambdas; regexp_replace carries the 'g' flag (DuckDB is
+    // first-match-only by default where Spark replaces all), and the
+    // empty-kept-list sums COALESCE to 0 (DuckDB list_sum([]) is NULL,
+    // Spark's aggregate zero is 0)
+    "q116_c4_filters" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS ln
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ln) AS BIGINT) AS n_lines,
+        |    list_filter(ln, l -> regexp_matches(l, '[.!?"][ \t]*$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    CAST(len(list_filter(ln, l -> contains(lower(l), 'javascript')))
+        |      AS BIGINT) AS n_js_lines,
+        |    contains(text, '{') AS has_curly,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem
+        |  FROM d
+        |), c AS (
+        |  SELECT doc_id, n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |    n_js_lines,
+        |    CAST(COALESCE(list_sum(list_transform(kept, l -> len(l))), 0)
+        |      AS BIGINT) AS kept_chars,
+        |    CAST(COALESCE(list_sum(list_transform(kept,
+        |      l -> len(l) - len(regexp_replace(l, '[.!?]', '', 'g')))), 0)
+        |      AS BIGINT) AS n_sentences,
+        |    has_curly, has_lorem
+        |  FROM m
+        |)
+        |SELECT *, n_sentences >= 3 AND NOT has_curly AND NOT has_lorem
+        |  AS keep
+        |FROM c""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

@@ -422,6 +422,54 @@ object GopherRules {
   }
 }
 
+/** The C4 cleaning rules (Raffel et al. 2020 §2.2 — the public line-level
+  * filter battery behind the C4 corpus, the line-granular sibling of
+  * [[GopherRules]]'s document-level battery): keep only lines that end in
+  * terminal punctuation AND have ≥ 5 words AND don't mention javascript;
+  * drop whole pages with < 3 sentences, a curly brace, or the
+  * "lorem ipsum" placeholder.
+  *
+  * One map-side pass of codegen'd list lambdas (every lambda touches only
+  * its bound variable — the [[Perplexity.bigrams]] re-evaluation lesson);
+  * per-line counters are emitted alongside the page verdict so the kept
+  * text can be rebuilt or re-thresholded without a second scan.
+  */
+object C4Filters {
+
+  private val TerminalLine = "[.!?\"][ \t]*$"
+
+  def evaluate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val keptPred = (l: Column) =>
+      l.rlike(TerminalLine) &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        !contains(lower(l), lit("javascript"))
+    val kept = filter(lines, keptPred)
+    val nJs = size(filter(lines, l =>
+      contains(lower(l), lit("javascript")))).cast("long")
+    // sentence evidence: terminal-punctuation marks inside KEPT lines
+    val nSentences = aggregate(
+      transform(kept, l =>
+        length(l) - length(regexp_replace(l, "[.!?]", ""))),
+      lit(0L), (acc, x) => acc + x)
+    val keptChars = aggregate(transform(kept, l => length(l)),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nJs.as("n_js_lines"),
+      keptChars.as("kept_chars"),
+      nSentences.as("n_sentences"),
+      contains(t, lit("{")).as("has_curly"),
+      contains(lower(t), lit("lorem ipsum")).as("has_lorem"))
+      .withColumn("keep",
+        col("n_sentences") >= 3 && !col("has_curly") && !col("has_lorem"))
+  }
+}
+
 object TermScores {
 
   /** Top-k distinguishing terms per document, scored by tf/df (term

@@ -399,6 +399,35 @@ class EtlSpec extends SparkSpec {
     assert(!s4.getAs[Boolean]("r_symbol_ratio"))
   }
 
+  test("C4 filter battery: line predicate and page gates, hand-checked") {
+    import graft.functions.C4Filters
+    val docs = Seq(
+      // 3 kept lines (terminal punct + >=5 words), 7 sentence marks
+      (1L, "This is a good first sentence.\nAnd here is another one!\nIs this a third question? Yes... it is.\nshort line.\nno terminal punct here at all"),
+      // javascript line dropped even though otherwise keepable
+      (2L, "Please enable JavaScript to view this page.\nA normal line that stays right here."),
+      // page gates: curly brace and lorem ipsum
+      (3L, "function f() { return 1; } is code.\nSecond sentence goes right here now.\nThird sentence goes right here now."),
+      (4L, "Lorem Ipsum dolor sit amet, consectetur adipiscing elit.\nSecond sentence goes right here now.\nThird sentence goes right here now."),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = C4Filters.evaluate(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Long]("n_lines") == 5 && a.getAs[Long]("n_kept_lines") == 3)
+    assert(a.getAs[Long]("n_sentences") == 7,
+      s"got ${a.getAs[Long]("n_sentences")}")
+    assert(a.getAs[Boolean]("keep"))
+    val b = out(2L)
+    assert(b.getAs[Long]("n_js_lines") == 1 && b.getAs[Long]("n_kept_lines") == 1)
+    assert(!b.getAs[Boolean]("keep"), "one kept sentence is under 3")
+    assert(out(3L).getAs[Boolean]("has_curly") && !out(3L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Boolean]("has_lorem") && !out(4L).getAs[Boolean]("keep"))
+    val e = out(5L)
+    assert(e.getAs[Long]("n_lines") == 1 && e.getAs[Long]("n_kept_lines") == 0 &&
+      e.getAs[Long]("kept_chars") == 0 && !e.getAs[Boolean]("keep"))
+  }
+
   test("diversity metrics flag repetitive text") {
     import graft.functions.Diversity
     val df = Seq(
