@@ -1654,6 +1654,31 @@ object SparkEntry {
       graft.functions.C4Filters.evaluate(Tables(s, dir).documents,
         "doc_id", "text")),
 
+    // 26u. Temperature-based multilingual mixing (the p^alpha sampling
+    // convention of XLM-R/mBERT/Gopher, alpha = 0.7): up-weights tail
+    // languages relative to their raw share without drowning the head —
+    // the standard fix for "English is 90% of the crawl". The smoothed
+    // mass quantizes to DECIMAL(18,9) BEFORE normalization (absorbing
+    // pow() ulp differences, the q58/q114 discipline), and the final
+    // per-million weight is integer arithmetic over the quantized masses
+    // — engine-exact. Two one-row broadcast totals; the only shuffle is
+    // the per-language count's partial-agg merge.
+    "q117_temperature_mix" -> ((s, dir) => {
+      val per = Tables(s, dir).documents
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum(col("n_docs")).as("n_total"))
+      val q = per.crossJoin(broadcast(tot))
+        .withColumn("q_x1e9",
+          floor(pow(col("n_docs").cast("double") /
+              col("n_total").cast("double"), lit(0.7))
+            .cast(DecimalType(18, 9)) * 1000000000L).cast("long"))
+      val qt = q.agg(sum(col("q_x1e9")).as("q_total"))
+      q.crossJoin(broadcast(qt))
+        .select(col("lang"), col("n_docs"), col("q_x1e9"),
+          floor(col("q_x1e9") * 1000000L /
+            (col("q_total").cast("double"))).cast("long").as("w_ppm"))
+    }),
+
     // 36. top-k distinguishing terms per doc (tf/df rational scoring, so
     // the ranking is engine-exact — see TermScores.topTerms)
     "q36_top_terms" -> ((s, dir) =>
@@ -3613,6 +3638,27 @@ object SparkEntry {
         |SELECT *, n_sentences >= 3 AND NOT has_curly AND NOT has_lorem
         |  AS keep
         |FROM c""".stripMargin,
+    // q117: pow() ulp differences are absorbed by the DECIMAL(18,9)
+    // quantization of the smoothed mass; the normalization is then
+    // integer-over-double floor arithmetic on the quantized longs, so
+    // both engines compute identical weights
+    "q117_temperature_mix" ->
+      """WITH by_lang AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT SUM(n_docs) AS n_total FROM by_lang
+        |), q AS (
+        |  SELECT lang, n_docs,
+        |    CAST(floor(CAST(pow(n_docs / (n_total * 1.0), 0.7)
+        |      AS DECIMAL(18,9)) * 1000000000) AS BIGINT) AS q_x1e9
+        |  FROM by_lang CROSS JOIN tot
+        |), qt AS (
+        |  SELECT SUM(q_x1e9) AS q_total FROM q
+        |)
+        |SELECT lang, n_docs, q_x1e9,
+        |  CAST(floor(q_x1e9 * 1000000 / (q_total * 1.0)) AS BIGINT)
+        |    AS w_ppm
+        |FROM q CROSS JOIN qt""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

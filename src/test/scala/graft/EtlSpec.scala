@@ -428,6 +428,35 @@ class EtlSpec extends SparkSpec {
       e.getAs[Long]("kept_chars") == 0 && !e.getAs[Boolean]("keep"))
   }
 
+  test("temperature mixing up-weights tail languages and conserves mass") {
+    val docs = ((1L to 8L).map(i => (i, "en")) ++ Seq((9L, "de"), (10L, "fr")))
+      .toDF("doc_id", "lang").withColumn("text", lit("x"))
+      .withColumn("source", lit("s"))
+    // reuse the real entry logic on a scratch dir-shaped frame: inline it
+    import org.apache.spark.sql.types.DecimalType
+    val per = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("n_total"))
+    val q = per.crossJoin(broadcast(tot))
+      .withColumn("q_x1e9",
+        floor(pow(col("n_docs").cast("double") / col("n_total").cast("double"),
+          lit(0.7)).cast(DecimalType(18, 9)) * 1000000000L).cast("long"))
+    val qt = q.agg(sum(col("q_x1e9")).as("q_total"))
+    val out = q.crossJoin(broadcast(qt))
+      .select(col("lang"), col("n_docs"), col("q_x1e9"),
+        floor(col("q_x1e9") * 1000000L / col("q_total").cast("double"))
+          .cast("long").as("w_ppm"))
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val (en, de, fr) = (out("en"), out("de"), out("fr"))
+    // raw shares: en 800000 ppm, de/fr 100000 ppm each. alpha=0.7 must
+    // pull the head DOWN and the tail UP, identically for equal tails.
+    assert(en.getAs[Long]("w_ppm") < 800000L, "head language must down-weight")
+    assert(de.getAs[Long]("w_ppm") > 100000L, "tail language must up-weight")
+    assert(de.getAs[Long]("w_ppm") == fr.getAs[Long]("w_ppm"))
+    val mass = out.values.map(_.getAs[Long]("w_ppm")).sum
+    assert(mass <= 1000000L && mass >= 1000000L - 3,
+      s"floor normalization must conserve mass up to per-row floor loss, got $mass")
+  }
+
   test("diversity metrics flag repetitive text") {
     import graft.functions.Diversity
     val df = Seq(

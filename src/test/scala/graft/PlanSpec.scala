@@ -108,6 +108,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "token⋈LM fell back to a shuffle join")
   }
 
+  test("bigram LM: context counts ride a broadcast and the tokenization is lambda-bound") {
+    val p = plan("q114_bigram_lm")
+    // the c1/vocab lookups must be map-side (explicit broadcast hint) so
+    // the corpus bigram stream shuffles only for the c2 join
+    assert(p.contains("BroadcastHashJoin"),
+      "context-count side not broadcast:\n" + p.take(1200))
+    // O(tokens^2) tripwire: element_at applied straight to the split
+    // result inside a lambda re-runs the regex per bigram index
+    assert(!p.contains("element_at(split("),
+      "bigram builder re-evaluates the tokenization per index")
+  }
+
+  test("shingle builders bind the token array before the index loop") {
+    // O(tokens^2) tripwire (r12): slice() applied straight to the split
+    // result inside transform's lambda re-tokenizes once per shingle;
+    // shingles must bind the array to a lambda variable first.
+    for (q <- Seq("q17_minhash_pairs", "q19_ngram_jaccard", "q68_dup_ngrams")) {
+      val p = plan(q)
+      assert(!p.contains("slice(split("),
+        s"$q re-tokenizes per shingle index:\n" + p.take(1200))
+    }
+  }
+
   test("zero-fill outer join broadcasts the aggregated (buildable) side") {
     // A left-outer join can only build right; the broadcast hint must sit on
     // the aggregated side or Spark discards it and shuffle-joins (r2 verdict).
