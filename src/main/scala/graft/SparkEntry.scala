@@ -1663,6 +1663,15 @@ object SparkEntry {
     // per-million weight is integer arithmetic over the quantized masses
     // — engine-exact. Two one-row broadcast totals; the only shuffle is
     // the per-language count's partial-agg merge.
+    // 26v. Duplicated-content page signal (RefinedWeb §3.3): fraction of
+    // a page's characters living in paragraphs shared by >=2 distinct
+    // docs, with a 30% keep threshold — the page-level SCORING use of the
+    // q79 evidence (q79 rewrites text; this gates pages). Census shuffles
+    // (xxhash64, length), never text; one doc-keyed agg ends it.
+    "q118_dup_paragraphs" -> ((s, dir) =>
+      LineDedup.dupParagraphStats(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     "q117_temperature_mix" -> ((s, dir) => {
       val per = Tables(s, dir).documents
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -3659,6 +3668,36 @@ object SparkEntry {
         |  CAST(floor(q_x1e9 * 1000000 / (q_total * 1.0)) AS BIGINT)
         |    AS w_ppm
         |FROM q CROSS JOIN qt""".stripMargin,
+    // q118: the oracle replays the census on the paragraph STRING (the
+    // Spark side shuffles (xxhash64, length) instead of text — identical
+    // up to the documented 2^-64 collision risk shared with q16/q79)
+    "q118_dup_paragraphs" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\n{2,}')) AS para
+        |  FROM documents
+        |), dup AS (
+        |  SELECT para FROM (
+        |    SELECT para, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY 1
+        |  ) WHERE nd >= 2
+        |), g AS (
+        |  SELECT p.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |    CAST(SUM(CASE WHEN dup.para IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup_paras,
+        |    CAST(SUM(len(p.para)) AS BIGINT) AS total_chars,
+        |    CAST(SUM(CASE WHEN dup.para IS NOT NULL THEN len(p.para)
+        |      ELSE 0 END) AS BIGINT) AS dup_chars
+        |  FROM p LEFT JOIN dup USING (para)
+        |  GROUP BY p.doc_id
+        |), f AS (
+        |  SELECT *,
+        |    CASE WHEN total_chars > 0
+        |      THEN CAST(floor(dup_chars * 10000 / (total_chars * 1.0))
+        |        AS BIGINT)
+        |      ELSE 0 END AS dup_bp
+        |  FROM g
+        |)
+        |SELECT *, dup_bp <= 3000 AS keep FROM f""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

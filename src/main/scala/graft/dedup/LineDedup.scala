@@ -56,4 +56,47 @@ object LineDedup {
             x => x.getField("line"))).as("kept_text"))
       .select("doc_id", "n_lines", "n_removed", "kept_text")
   }
+
+  /** RefinedWeb-style duplicated-content page signal (Penedo et al. 2023
+    * §3.3's "fraction of duplicated content"): the fraction of a page's
+    * characters that live in paragraphs occurring in ≥ `minDocs` distinct
+    * documents, plus a keep verdict at `maxDupBp` basis points. Unlike
+    * [[stripBoilerplate]] (which rewrites the text), this SCORES pages for
+    * a filter decision — the page-level use of the same evidence.
+    *
+    * Same scale shape as [[stripBoilerplate]]: the duplicate census
+    * shuffles (xxhash64(paragraph), length) — never the text — and joins
+    * back on the same narrow key; one doc-keyed aggregation ends it.
+    * Output: (doc_id, n_paras, n_dup_paras, total_chars, dup_chars,
+    * dup_bp, keep).
+    */
+  def dupParagraphStats(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2L, maxDupBp: Long = 3000L): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n{2,}")).as("para"))
+      .withColumn("_h", xxhash64(col("para")))
+      .withColumn("_len", length(col("para")))
+    val dup = paras
+      .select("_h", "_len", "doc_id").distinct()
+      .groupBy("_h", "_len").agg(count(lit(1)).as("_ndocs"))
+      .where(col("_ndocs") >= minDocs)
+      .select(col("_h"), col("_len"), lit(true).as("_dup"))
+    paras
+      .join(dup, Seq("_h", "_len"), "left")
+      .withColumn("_dup", coalesce(col("_dup"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(col("_len").cast("long")).as("total_chars"),
+        sum(when(col("_dup"), col("_len").cast("long")).otherwise(0L))
+          .as("dup_chars"))
+      .withColumn("dup_bp",
+        when(col("total_chars") > 0,
+          floor(col("dup_chars") * 10000L /
+            col("total_chars").cast("double")).cast("long"))
+          .otherwise(0L))
+      .withColumn("keep", col("dup_bp") <= maxDupBp)
+  }
 }

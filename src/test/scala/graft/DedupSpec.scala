@@ -262,4 +262,24 @@ class DedupSpec extends SparkSpec {
       maxBucket = 100)
     assert(capped.count() == 0L)
   }
+
+  test("dup-paragraph fraction scores shared paragraphs and gates at 30%") {
+    val docs = Seq(
+      (1L, "shared para\n\nunique A text here"),   // 11 + 18 chars
+      (2L, "shared para\n\nunique B different!"),  // 11 + 19 chars
+      (3L, "totally unique only here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = LineDedup.dupParagraphStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Long]("n_paras") == 2 && a.getAs[Long]("n_dup_paras") == 1)
+    assert(a.getAs[Long]("total_chars") == 29 && a.getAs[Long]("dup_chars") == 11)
+    assert(a.getAs[Long]("dup_bp") == 3793, s"11*10000/29 floors to 3793")
+    assert(!a.getAs[Boolean]("keep"), "37.9% duplicated content must gate out")
+    assert(out(3L).getAs[Long]("n_dup_paras") == 0 && out(3L).getAs[Boolean]("keep"))
+    val e = out(4L)
+    assert(e.getAs[Long]("total_chars") == 0 && e.getAs[Long]("dup_bp") == 0 &&
+      e.getAs[Boolean]("keep"), "empty doc must not divide by zero")
+  }
 }
