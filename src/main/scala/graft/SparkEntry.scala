@@ -136,6 +136,42 @@ object SparkEntry {
       .otherwise(concat(lit("/files/"), gid.cast("string"), lit(".tmp")))
   }
 
+  /** q119's URL fixture: seven variants keyed by doc_id%7, each
+    * exercising one dimension of the UrlFilter battery — clean, a lone
+    * soft word (scores 40, below the 60 threshold: weighted scoring is
+    * not substring banning), two soft words (70 ≥ 60 → filtered), a
+    * strict word embedded INSIDE a longer token (substring mode catches
+    * what word matching can't), a digit-heavy host whose verdict flips
+    * on gid's digit count, a blocklisted host, and a 5-dot-deep host.
+    * The oracle rebuilds these URLs by the same arithmetic and re-derives
+    * every counter with DuckDB string/list functions — a genuine replay,
+    * not a decision table.
+    */
+  private def plantedFilterUrl(id: Column): Column = {
+    val gid = id % 50
+    val h = (gid % 10).cast("string")
+    val tgt = gid.cast("string")
+    when(id % 7 === 0, concat(
+        lit("http://site"), h, lit(".example/news/"), tgt))
+      .when(id % 7 === 1, concat(
+        lit("http://site"), h, lit(".example/casino/"), tgt))
+      .when(id % 7 === 2, concat(
+        lit("http://site"), h, lit(".example/casino/poker/"), tgt))
+      .when(id % 7 === 3, concat(
+        lit("http://site"), h, lit(".example/a/p"), tgt, lit("xxx4")))
+      .when(id % 7 === 4, concat(
+        lit("http://h"), tgt, lit("x"), tgt, lit(".biz/news/"), tgt))
+      .when(id % 7 === 5, concat(
+        lit("http://blocked"), h, lit(".example/news/"), tgt))
+      .otherwise(concat(
+        lit("http://a.b.c.d.site"), h, lit(".example/news/"), tgt))
+  }
+
+  private def blocklistDim(s: SparkSession): DataFrame =
+    s.range(10).select(
+      concat(lit("blocked"), col("id").cast("string"), lit(".example"))
+        .as("host"))
+
   // Crawl-delay lines ride the existing groups (graftbot's on even
   // hosts, the * group's on odd) — the q105 gate ignores them, q113
   // reads them; sitemap discovery lines are appended host-specific in
@@ -1671,6 +1707,20 @@ object SparkEntry {
     "q118_dup_paragraphs" -> ((s, dir) =>
       LineDedup.dupParagraphStats(Tables(s, dir).documents,
         "doc_id", "text")),
+
+    // 26w. URL quality filter (RefinedWeb §3.1.2): judge pages by URL
+    // alone — blocklist dim (broadcast hash join), severity-weighted
+    // soft/strict bad-word score (soft = whole-token map lookup, strict
+    // = substring containment), digit-host and subdomain-depth bounds in
+    // integer cross-multiplication. One map-side codegen pass + one
+    // broadcast join, zero wide shuffles; the oracle re-derives every
+    // counter from the reconstructed URL with DuckDB string/list
+    // functions.
+    "q119_url_filter" -> ((s, dir) =>
+      graft.functions.UrlFilter.evaluate(
+        Tables(s, dir).documents
+          .select(col("doc_id"), plantedFilterUrl(col("doc_id")).as("url")),
+        "doc_id", "url", blocklistDim(s))),
 
     "q117_temperature_mix" -> ((s, dir) => {
       val per = Tables(s, dir).documents
@@ -3698,6 +3748,64 @@ object SparkEntry {
         |  FROM g
         |)
         |SELECT *, dup_bp <= 3000 AS keep FROM f""".stripMargin,
+    // q119: the oracle rebuilds the planted URLs by the same doc_id
+    // arithmetic, then re-derives host/digits/dots/score with DuckDB
+    // string and list functions and replays the blocklist as a LEFT
+    // JOIN against a range()-built dim — a genuine replay of the
+    // battery, not a decision table
+    "q119_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 7 AS INTEGER)
+        |      WHEN 0 THEN 'http://site' || ((doc_id % 50) % 10)
+        |        || '.example/news/' || (doc_id % 50)
+        |      WHEN 1 THEN 'http://site' || ((doc_id % 50) % 10)
+        |        || '.example/casino/' || (doc_id % 50)
+        |      WHEN 2 THEN 'http://site' || ((doc_id % 50) % 10)
+        |        || '.example/casino/poker/' || (doc_id % 50)
+        |      WHEN 3 THEN 'http://site' || ((doc_id % 50) % 10)
+        |        || '.example/a/p' || (doc_id % 50) || 'xxx4'
+        |      WHEN 4 THEN 'http://h' || (doc_id % 50) || 'x'
+        |        || (doc_id % 50) || '.biz/news/' || (doc_id % 50)
+        |      WHEN 5 THEN 'http://blocked' || ((doc_id % 50) % 10)
+        |        || '.example/news/' || (doc_id % 50)
+        |      ELSE 'http://a.b.c.d.site' || ((doc_id % 50) % 10)
+        |        || '.example/news/' || (doc_id % 50)
+        |    END AS url
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, lower(url) AS lurl,
+        |    regexp_extract(lower(url),
+        |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+        |  FROM u
+        |), g AS (
+        |  SELECT doc_id, host,
+        |    length(host) AS host_len,
+        |    length(regexp_replace(host, '[^0-9]', '', 'g'))
+        |      AS n_host_digits,
+        |    length(host) - length(replace(host, '.', '')) AS n_host_dots,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |        string_split_regex(lurl, '[^a-z0-9]+'),
+        |        t -> CASE t WHEN 'casino' THEN 40 WHEN 'poker' THEN 30
+        |                    WHEN 'pills' THEN 50 ELSE 0 END)), 0)
+        |      + (CASE WHEN contains(lurl, 'xxx') THEN 100 ELSE 0 END)
+        |      + (CASE WHEN contains(lurl, 'porn') THEN 100 ELSE 0 END)
+        |      AS BIGINT) AS badword_score
+        |  FROM f
+        |), b AS (
+        |  SELECT 'blocked' || i || '.example' AS bhost FROM range(10) t(i)
+        |)
+        |SELECT g.doc_id, g.host, g.host_len, g.n_host_digits,
+        |  g.n_host_dots, g.badword_score,
+        |  (b.bhost IS NOT NULL) AS blocked_domain,
+        |  (b.bhost IS NULL) AS r_blocklist,
+        |  g.badword_score < 60 AS r_badwords,
+        |  g.n_host_digits * 10 < g.host_len * 3 AS r_digit_host,
+        |  g.n_host_dots <= 4 AS r_depth,
+        |  (b.bhost IS NULL) AND g.badword_score < 60
+        |    AND g.n_host_digits * 10 < g.host_len * 3
+        |    AND g.n_host_dots <= 4 AS url_ok
+        |FROM g LEFT JOIN b ON g.host = b.bhost""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

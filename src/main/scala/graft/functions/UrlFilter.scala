@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-based document filtering — the RefinedWeb §3.1.2 posture (Penedo et
+  * al. 2023, public), the first gate a web corpus applies because it needs
+  * no page bytes at all: judge the document by its URL.
+  *
+  * Three independent signals, composed into one verdict:
+  *
+  *  1. '''Domain blocklist''' — a curated banned-host dim (the public
+  *     UT1-style aggregated lists run to ~4.6M domains). Joined as a DIM,
+  *     not folded into the expression tree: a 4.6M-row list is data, and
+  *     the join is a broadcast hash join while the list fits the broadcast
+  *     budget (~100 MB of hosts does). `broadcastBlocklist = false` drops
+  *     the hint for larger lists and lets AQE pick the exchange — the
+  *     frontier side shuffles on `host`, which co-locates with the q107
+  *     per-host rollup if both run.
+  *  2. '''Weighted bad-word score''' — a small severity-weighted vocabulary
+  *     in two match modes, mirroring the public soft/strict split: STRICT
+  *     words count on substring containment anywhere in the URL (spam
+  *     hosts embed them inside longer tokens exactly to dodge word
+  *     matching), SOFT words only as whole `[a-z0-9]+` tokens (so
+  *     "scunthorpe" never trips a soft "porn"-class entry). The score is
+  *     an integer sum; the keep rule is `score < threshold`. Soft lookup
+  *     is a literal-map `element_at` inside one `aggregate` lambda over
+  *     the token split (the lambda touches only its bound variable — the
+  *     O(n²) re-evaluation lesson); strict terms are a fixed `contains`
+  *     chain. Vocabularies beyond a few thousand entries should move to
+  *     the dim-join pattern of signal 1 instead of the expression tree.
+  *  3. '''Host-shape heuristics''' — integer cross-multiplied bounds, no
+  *     float thresholds for engines to disagree on: digit-heavy hosts
+  *     (10·digits < 3·len, the DGA/SEO-spam shape) and subdomain depth
+  *     (dots ≤ 4).
+  *
+  * Everything except the blocklist join is one map-side whole-stage-codegen
+  * pass; counters are emitted alongside the verdicts so a re-threshold
+  * needs no re-scan. Reference analog: the explicit allow/deny posture of
+  * the robots gate (helpers.py:22 fetches what this module decides to
+  * fetch at all).
+  */
+object UrlFilter {
+
+  /** Default severity weights (public-flavored miniature of the UT1
+    * adult/gambling/pharma categories; real deployments load their own).
+    */
+  val DefaultSoft: Seq[(String, Int)] =
+    Seq("casino" -> 40, "poker" -> 30, "pills" -> 50)
+  val DefaultStrict: Seq[(String, Int)] = Seq("xxx" -> 100, "porn" -> 100)
+  val DefaultThreshold = 60
+  val MaxHostDots = 4
+
+  /** Lowercased host of a URL: the authority up to the first `:` `/` `?`
+    * `#`. Userinfo is not stripped (crawl frontiers don't carry it); the
+    * DuckDB oracle replays this exact regex.
+    */
+  def hostOf(url: Column): Column =
+    regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Per-URL verdict battery. `blockDim` must expose a `host` column of
+    * banned hosts (exact-host match; suffix/parent-domain matching is a
+    * dim-preparation step — expand the list, don't complicate the join).
+    */
+  def evaluate(docs: DataFrame, idCol: String, urlCol: String,
+      blockDim: DataFrame,
+      soft: Seq[(String, Int)] = DefaultSoft,
+      strict: Seq[(String, Int)] = DefaultStrict,
+      scoreThreshold: Int = DefaultThreshold,
+      broadcastBlocklist: Boolean = true): DataFrame = {
+    val lurl = lower(col(urlCol))
+    val host = hostOf(col(urlCol))
+    val tokens = split(lurl, "[^a-z0-9]+")
+    val softMap = map(soft.flatMap { case (w, v) =>
+      Seq(lit(w), lit(v.toLong)) }: _*)
+    val softScore = aggregate(tokens, lit(0L),
+      (acc, t) => acc + coalesce(element_at(softMap, t), lit(0L)))
+    val strictScore = strict.map { case (w, v) =>
+      when(contains(lurl, lit(w)), lit(v.toLong)).otherwise(0L)
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+    val nDigits =
+      length(regexp_replace(host, "[^0-9]", "")).cast("long")
+    val nDots =
+      (length(host) - length(translate(host, ".", ""))).cast("long")
+
+    val scored = docs.select(
+      col(idCol).as("doc_id"),
+      host.as("host"),
+      length(host).cast("long").as("host_len"),
+      nDigits.as("n_host_digits"),
+      nDots.as("n_host_dots"),
+      (softScore + strictScore).as("badword_score"))
+
+    val dim0 = blockDim.select(col("host"), lit(true).as("on_blocklist"))
+    val dim = if (broadcastBlocklist) broadcast(dim0) else dim0
+    scored.join(dim, Seq("host"), "left")
+      .select(col("doc_id"), col("host"), col("host_len"),
+        col("n_host_digits"), col("n_host_dots"), col("badword_score"),
+        coalesce(col("on_blocklist"), lit(false)).as("blocked_domain"))
+      .withColumn("r_blocklist", !col("blocked_domain"))
+      .withColumn("r_badwords", col("badword_score") < scoreThreshold.toLong)
+      .withColumn("r_digit_host",
+        col("n_host_digits") * 10L < col("host_len") * 3L)
+      .withColumn("r_depth", col("n_host_dots") <= MaxHostDots.toLong)
+      .withColumn("url_ok",
+        col("r_blocklist") && col("r_badwords") &&
+        col("r_digit_host") && col("r_depth"))
+  }
+}
