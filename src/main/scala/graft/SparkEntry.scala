@@ -1722,6 +1722,24 @@ object SparkEntry {
           .select(col("doc_id"), plantedFilterUrl(col("doc_id")).as("url")),
         "doc_id", "url", blocklistDim(s))),
 
+    // 26x. Trained quality classifier (GPT-3/LLaMA/CCNet reference-vs-
+    // crawl gate): fit multinomial NB on a curated reference class (the
+    // hash-deterministic half of the English docs) vs a disjoint random-
+    // crawl class (the other hash half, all languages), then score the
+    // WHOLE corpus. Training is one counting shuffle; the Heaps-bounded
+    // (term, cpos, cneg) model broadcasts so the corpus stream joins
+    // map-side. DECIMAL(18,9) per-token quantization keeps scores
+    // engine-exact; the oracle refits the same counts and replays the
+    // decision function.
+    "q120_nb_quality" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val b = Sampling.bucket(col("doc_id"))
+      graft.functions.QualityClassifier.nbScore(
+        docs.where(col("lang") === "en" && b < 5000),
+        docs.where(b >= 5000),
+        docs, "doc_id", "text")
+    }),
+
     "q117_temperature_mix" -> ((s, dir) => {
       val per = Tables(s, dir).documents
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -3806,6 +3824,52 @@ object SparkEntry {
         |    AND g.n_host_digits * 10 < g.host_len * 3
         |    AND g.n_host_dots <= 4 AS url_ok
         |FROM g LEFT JOIN b ON g.host = b.bhost""".stripMargin,
+    // q120: the oracle refits the same add-one NB counts on the same
+    // hash-defined class split and replays the decision function; the
+    // DECIMAL(18,9) per-class-likelihood quantization (BEFORE the
+    // subtraction and the document sum) absorbs engine ln() ulp
+    // differences exactly as q114's does
+    "q120_nb_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS l
+        |  FROM documents
+        |), pos AS (
+        |  SELECT * FROM d
+        |  WHERE lang = 'en' AND (hash(doc_id) >> 16) % 10000 < 5000
+        |), neg AS (
+        |  SELECT * FROM d WHERE (hash(doc_id) >> 16) % 10000 >= 5000
+        |), tr AS (
+        |  SELECT unnest(l) AS term, 1 AS y FROM pos
+        |  UNION ALL
+        |  SELECT unnest(l) AS term, 0 AS y FROM neg
+        |), c AS (
+        |  SELECT term, SUM(y) AS cpos, SUM(1 - y) AS cneg
+        |  FROM tr GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg, COUNT(*) AS v,
+        |    CAST(ln((SELECT COUNT(*) FROM pos)
+        |      / ((SELECT COUNT(*) FROM neg) * 1.0)) AS DECIMAL(18,9))
+        |      AS prior_q
+        |  FROM c
+        |), sb AS (
+        |  SELECT doc_id, unnest(l) AS term FROM d
+        |), sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CAST(ln((COALESCE(cpos, 0) + 1)
+        |          / ((npos + v) * 1.0)) AS DECIMAL(18,9))
+        |      - CAST(ln((COALESCE(cneg, 0) + 1)
+        |          / ((nneg + v) * 1.0)) AS DECIMAL(18,9))) AS sum_w,
+        |    MAX(prior_q) AS prior_q
+        |  FROM sb LEFT JOIN c USING (term) CROSS JOIN t
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((prior_q + sum_w) * 1000) AS BIGINT) AS logit_x1000,
+        |  CAST(floor(sum_w * 1000 / n_tokens) AS BIGINT)
+        |    AS avg_logodds_x1000,
+        |  CAST(floor((prior_q + sum_w) * 1000) AS BIGINT) >= 0 AS nb_keep
+        |FROM sc""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant
