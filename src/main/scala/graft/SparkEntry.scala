@@ -1740,6 +1740,17 @@ object SparkEntry {
         docs, "doc_id", "text")
     }),
 
+    // 26y. UniMax budget allocation (Chung et al. 2023): distribute 90%
+    // of the corpus token budget as uniformly as possible across
+    // languages, capped at 1 epoch per language — tail languages run
+    // whole, the head splits the remainder evenly. Closed-form waterfill
+    // in cross-multiplied integer arithmetic over the bounded language
+    // dim; the corpus is touched once (map-side token count + one
+    // groupBy). Allocations sum to the budget exactly.
+    "q121_unimax" -> ((s, dir) =>
+      UniMax.allocate(Tables(s, dir).documents, "lang", "text",
+        budgetBp = 9000, epochCap = 1)),
+
     "q117_temperature_mix" -> ((s, dir) => {
       val per = Tables(s, dir).documents
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -3870,6 +3881,52 @@ object SparkEntry {
         |    AS avg_logodds_x1000,
         |  CAST(floor((prior_q + sum_w) * 1000) AS BIGINT) >= 0 AS nb_keep
         |FROM sc""".stripMargin,
+    // q121: the oracle replays the closed-form waterfill — ranked
+    // prefix sums locate the capped boundary in the same
+    // cross-multiplied integer arithmetic, '//' and '%' agree with
+    // Spark's div/% on the non-negative operands
+    "q121_unimax" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT SUM(n_tokens) AS t, COUNT(*) AS nlang FROM per
+        |), r AS (
+        |  SELECT lang, n_tokens, n_tokens * 1 AS cap_tokens, nlang,
+        |    CAST((t * 9000) // 10000 AS BIGINT) AS budget,
+        |    ROW_NUMBER() OVER (ORDER BY n_tokens * 1, lang) AS k,
+        |    CAST(COALESCE(SUM(n_tokens * 1) OVER (
+        |      ORDER BY n_tokens * 1, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cap_prefix
+        |  FROM per CROSS JOIN tot
+        |), rc AS (
+        |  SELECT *, cap_tokens * (nlang - k + 1) < budget - cap_prefix
+        |    AS capped
+        |  FROM r
+        |), b AS (
+        |  SELECT COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END), 0)
+        |      AS n_capped,
+        |    CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens
+        |      ELSE 0 END), 0) AS BIGINT) AS p_capped
+        |  FROM rc
+        |)
+        |SELECT lang, n_tokens, cap_tokens, capped,
+        |  CAST(CASE WHEN capped THEN cap_tokens
+        |    ELSE ((budget - p_capped) // (nlang - n_capped))
+        |      + (CASE WHEN k - n_capped <=
+        |          ((budget - p_capped) % (nlang - n_capped))
+        |         THEN 1 ELSE 0 END)
+        |  END AS BIGINT) AS alloc_tokens,
+        |  CAST((CASE WHEN capped THEN cap_tokens
+        |    ELSE ((budget - p_capped) // (nlang - n_capped))
+        |      + (CASE WHEN k - n_capped <=
+        |          ((budget - p_capped) % (nlang - n_capped))
+        |         THEN 1 ELSE 0 END)
+        |  END * 1000) // n_tokens AS BIGINT) AS epochs_x1000
+        |FROM rc CROSS JOIN b""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

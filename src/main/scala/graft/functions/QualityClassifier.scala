@@ -41,6 +41,12 @@ import org.apache.spark.sql.types.DecimalType
   * corpus is the per-document sum. A reference corpus is curated and
   * bounded by construction (CCNet trains on Wikipedia), so the broadcast
   * is safe at any crawl scale — the crawl side only ever streams.
+  * `broadcastModel = false` is the q58-pattern escape hatch for a
+  * pathological train vocabulary (the 100× probe's marker-inflated
+  * corpus grows V linearly — 31 → 2.05M distinct terms — and the
+  * broadcast hash build dominated the last decade): the token⋈model
+  * join then shuffles on `term` and Zipf-hot keys ride AQE's skew
+  * split.
   */
 object QualityClassifier {
 
@@ -53,7 +59,8 @@ object QualityClassifier {
     * (same posture as the q114 bigram scorer).
     */
   def nbScore(pos: DataFrame, neg: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
     def toks(df: DataFrame): DataFrame =
       df.select(explode(F.tokensLower(col(textCol))).as("term"))
 
@@ -74,7 +81,8 @@ object QualityClassifier {
     val corpus = docs.select(col(idCol).as("doc_id"),
       explode(F.tokensLower(col(textCol))).as("term"))
     corpus
-      .join(broadcast(counts), Seq("term"), "left")
+      .join(if (broadcastModel) broadcast(counts) else counts,
+        Seq("term"), "left")
       .crossJoin(totals) // one-row model totals + prior
       .withColumn("w",
         log((coalesce(col("cpos"), lit(0L)) + 1).cast("double") /

@@ -457,6 +457,55 @@ class EtlSpec extends SparkSpec {
       s"floor normalization must conserve mass up to per-row floor loss, got $mass")
   }
 
+  test("unimax waterfill: tails run the cap, the head splits the rest") {
+    // corpora: a 2, b 3, c 20 tokens (single docs, whitespace tokens);
+    // budget = (25*8000) div 10000 = 20, cap = 1 epoch. Waterfill: a
+    // capped? 2*3=6 < 20 yes; b: 3*2=6 < 18 yes; c: 20*1=20 < 15 no ->
+    // c gets all 15. Sum of allocations == budget exactly.
+    val docs = Seq(
+      ("a", "t t"), ("b", "t t t"),
+      ("c", (1 to 20).map(_ => "t").mkString(" "))).toDF("lang", "text")
+    val out = UniMax.allocate(docs, "lang", "text", budgetBp = 8000,
+        epochCap = 1)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out("a").getAs[Boolean]("capped") &&
+      out("a").getAs[Long]("alloc_tokens") == 2L &&
+      out("a").getAs[Long]("epochs_x1000") == 1000L)
+    assert(out("b").getAs[Long]("alloc_tokens") == 3L)
+    assert(!out("c").getAs[Boolean]("capped") &&
+      out("c").getAs[Long]("alloc_tokens") == 15L &&
+      out("c").getAs[Long]("epochs_x1000") == 750L)
+    assert(out.values.map(_.getAs[Long]("alloc_tokens")).sum == 20L)
+  }
+
+  test("unimax remainder goes to the smallest uncapped languages") {
+    // equal corpora of 10, budget = (30*9000) div 10000 = 27: nobody
+    // capped (10*3=30 >= 27), share 9, rem 0 -> 9 each. With budget 29
+    // ((30*9667) div 10000): share 9 rem 2 -> the two rank-first
+    // languages get 10, the last 9; still sums to budget.
+    val ten = (1 to 10).map(_ => "t").mkString(" ")
+    val docs = Seq(("a", ten), ("b", ten), ("c", ten)).toDF("lang", "text")
+    val even = UniMax.allocate(docs, "lang", "text", 9000, 1)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(even == Map("a" -> 9L, "b" -> 9L, "c" -> 9L))
+    val odd = UniMax.allocate(docs, "lang", "text", 9667, 1)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(odd == Map("a" -> 10L, "b" -> 10L, "c" -> 9L))
+    assert(odd.values.sum == 29L)
+  }
+
+  test("unimax all-capped: epoch caps bind and leftover budget is unspent") {
+    // two 5-token corpora, epochCap 2, budget = 10*3 = 30 > 2*10: every
+    // language runs exactly its cap and 10 tokens stay unallocated
+    val five = (1 to 5).map(_ => "t").mkString(" ")
+    val docs = Seq(("a", five), ("b", five)).toDF("lang", "text")
+    val out = UniMax.allocate(docs, "lang", "text", 30000, 2)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out.values.forall(_.getAs[Boolean]("capped")))
+    assert(out.values.forall(_.getAs[Long]("alloc_tokens") == 10L))
+    assert(out.values.forall(_.getAs[Long]("epochs_x1000") == 2000L))
+  }
+
   test("diversity metrics flag repetitive text") {
     import graft.functions.Diversity
     val df = Seq(
