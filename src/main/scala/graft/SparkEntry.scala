@@ -147,6 +147,12 @@ object SparkEntry {
     * every counter with DuckDB string/list functions — a genuine replay,
     * not a decision table.
     */
+  // the fixed BPE merge table shared by q47b (encode oracle) and q122
+  // (fertility audit): six ranked rules whose outputs never feed an
+  // earlier rank, so the SQL replay's rank-order rewriting is exact
+  private val fixedBpeMerges = Seq("a" -> "g", "s" -> "c", "a" -> "n",
+    "l" -> "e", "b" -> "le", "r" -> "o")
+
   private def plantedFilterUrl(id: Column): Column = {
     val gid = id % 50
     val h = (gid % 10).cast("string")
@@ -2060,12 +2066,18 @@ object SparkEntry {
     // no rule's output ever feeds an EARLIER rank — which is what makes
     // the oracle's rank-order separator-string rewrite equivalent to
     // the kernel's greedy lowest-rank-first loop.
-    "q47b_bpe_encode_fixed" -> ((s, dir) => {
-      val merges = Seq("a" -> "g", "s" -> "c", "a" -> "n", "l" -> "e",
-        "b" -> "le", "r" -> "o")
+    "q47b_bpe_encode_fixed" -> ((s, dir) =>
       Tables(s, dir).documents.select(col("doc_id"),
-        Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
-    }),
+        Bpe.tokenCount(col("text"), fixedBpeMerges).as("n_bpe_tokens"))),
+
+    // 26z. Tokenizer fertility equity audit (Rust et al. 2021): BPE
+    // tokens-per-word and bytes-per-token under the q47b fixed merge
+    // table, per language — the multilingual-vocabulary fairness signal.
+    // One map-side kernel pass, one bounded-dim groupBy; ratios are
+    // integer floor-scaled over group totals, divided once at the end.
+    "q122_bpe_fertility" -> ((s, dir) =>
+      Bpe.fertilityByGroup(Tables(s, dir).documents, "lang", "text",
+        fixedBpeMerges)),
 
     // 45. benchmark decontamination: per held-out doc, the fraction of its
     // 5-gram shingles found anywhere in the corpus (bench fixture = 40
@@ -3927,6 +3939,54 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END)
         |  END * 1000) // n_tokens AS BIGINT) AS epochs_x1000
         |FROM rc CROSS JOIN b""".stripMargin,
+    // q122: the oracle replays the q47b separator-string BPE encode per
+    // document, then re-aggregates words (non-empty whitespace tokens),
+    // UTF-8 bytes (strlen) and BPE tokens per language; both ratios
+    // divide once over group totals with '//', matching Spark's div on
+    // the non-negative sums
+    "q122_bpe_fertility" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS wd
+        |  FROM documents
+        |), s0 AS (
+        |  SELECT doc_id, '|' || regexp_replace(wd, '(.)', '\1|', 'g') AS s
+        |  FROM w WHERE wd <> ''
+        |), m0 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|a|g|', '|ag|'), '|a|g|', '|ag|'), '|a|g|', '|ag|') AS s FROM s0
+        |), m1 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|s|c|', '|sc|'), '|s|c|', '|sc|'), '|s|c|', '|sc|') AS s FROM m0
+        |), m2 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|a|n|', '|an|'), '|a|n|', '|an|'), '|a|n|', '|an|') AS s FROM m1
+        |), m3 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|l|e|', '|le|'), '|l|e|', '|le|'), '|l|e|', '|le|') AS s FROM m2
+        |), m4 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|b|le|', '|ble|'), '|b|le|', '|ble|'), '|b|le|', '|ble|') AS s FROM m3
+        |), m5 AS (SELECT doc_id, replace(replace(replace(s,
+        |    '|r|o|', '|ro|'), '|r|o|', '|ro|'), '|r|o|', '|ro|') AS s FROM m4
+        |), n AS (
+        |  SELECT doc_id,
+        |    SUM(length(s) - length(replace(s, '|', '')) - 1) AS nb
+        |  FROM m5 GROUP BY doc_id
+        |), d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '\s+'), x -> x <> '')) AS BIGINT) AS nw,
+        |    CAST(strlen(text) AS BIGINT) AS ny
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CAST(SUM(COALESCE(nb, 0)) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(ny) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN SUM(nw) > 0
+        |    THEN (SUM(COALESCE(nb, 0)) * 1000) // SUM(nw)
+        |  END AS BIGINT) AS fertility_x1000,
+        |  CAST(CASE WHEN SUM(COALESCE(nb, 0)) > 0
+        |    THEN (SUM(ny) * 1000) // SUM(COALESCE(nb, 0))
+        |  END AS BIGINT) AS bytes_per_bpe_x1000
+        |FROM d LEFT JOIN n USING (doc_id)
+        |GROUP BY lang""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

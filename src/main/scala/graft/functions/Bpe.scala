@@ -105,6 +105,41 @@ object Bpe {
       .as[(String, String)].collect().toSeq
   }
 
+  /** Per-group tokenizer fertility report (Rust et al. 2021, "How Good is
+    * Your Tokenizer?", public): tokens-per-word and bytes-per-token of a
+    * FIXED merge table, aggregated per language (or any group column) —
+    * the standard multilingual-tokenizer equity audit. A language whose
+    * fertility is far above the corpus mean pays more sequence length for
+    * the same content, the signal that drives vocabulary rebalancing
+    * (and budget corrections for q121-style allocation, which counts
+    * whitespace words, not BPE tokens).
+    *
+    * Words are the NON-EMPTY whitespace tokens (an empty document has 0
+    * words, not 1); bytes are UTF-8 octets. All ratios are integer
+    * floor-scaled ×1000 over GROUP TOTALS — one division per group at
+    * the very end, so the numbers are engine-exact with no per-doc float
+    * averaging. Scale shape: one map-side codegen pass (the BPE kernel
+    * is a StaticInvoke; the merge table ships as a literal), one
+    * groupBy over the bounded language dim.
+    */
+  def fertilityByGroup(docs: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = F.tokensLower(col(textCol))
+    docs
+      .select(col(groupCol),
+        size(filter(toks, t => t =!= "")).cast("long").as("w"),
+        tokenCount(col(textCol), merges).as("b"),
+        octet_length(col(textCol)).cast("long").as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("b")).as("n_bpe_tokens"), sum(col("y")).as("n_bytes"))
+      .withColumn("fertility_x1000",
+        when(col("n_words") > 0L, expr("(n_bpe_tokens * 1000) div n_words")))
+      .withColumn("bytes_per_bpe_x1000",
+        when(col("n_bpe_tokens") > 0L,
+          expr("(n_bytes * 1000) div n_bpe_tokens")))
+  }
+
   /** BPE token count of a text column under a trained merge table. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -75,4 +75,32 @@ class BpeSpec extends SparkSpec {
       UTF8String.fromString(Bpe.mergesToSpec(merges)))
     assert(one._2 == local)
   }
+
+  test("fertility report: group-total ratios, empty docs, UTF-8 bytes") {
+    import spark.implicits._
+    // merges a|g: "bag" -> |b|ag| = 2 tokens. x: 2 words, 4 bpe tokens,
+    // 7 bytes -> fertility 2000, bytes/bpe 1750. y: empty doc -> zero
+    // counters and NULL ratios (no division). z: "héllo", no merge
+    // applies -> 5 tokens, 6 UTF-8 bytes -> 5000 and 1200.
+    val docs = Seq(("x", "bag bag"), ("y", ""), ("z", "héllo"))
+      .toDF("lang", "text")
+    val out = Bpe.fertilityByGroup(docs, "lang", "text", Seq("a" -> "g"))
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val x = out("x")
+    assert(x.getAs[Long]("n_words") == 2L &&
+      x.getAs[Long]("n_bpe_tokens") == 4L && x.getAs[Long]("n_bytes") == 7L)
+    assert(x.getAs[Long]("fertility_x1000") == 2000L &&
+      x.getAs[Long]("bytes_per_bpe_x1000") == 1750L)
+    val y = out("y")
+    assert(y.getAs[Long]("n_docs") == 1L && y.getAs[Long]("n_words") == 0L &&
+      y.getAs[Long]("n_bpe_tokens") == 0L)
+    assert(y.isNullAt(y.fieldIndex("fertility_x1000")) &&
+      y.isNullAt(y.fieldIndex("bytes_per_bpe_x1000")),
+      "zero-token groups must yield NULL ratios, not divide")
+    val z = out("z")
+    assert(z.getAs[Long]("n_bpe_tokens") == 5L &&
+      z.getAs[Long]("n_bytes") == 6L)
+    assert(z.getAs[Long]("fertility_x1000") == 5000L &&
+      z.getAs[Long]("bytes_per_bpe_x1000") == 1200L)
+  }
 }
