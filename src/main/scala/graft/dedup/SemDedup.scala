@@ -105,10 +105,17 @@ object SemDedup {
   private def assign(corpus: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     // BOUNDED collect: cents is the k-row codebook the old path already
-    // materialized into a broadcast relation
-    val centLit: Seq[(Long, Seq[Float])] = cents.collect().toSeq
+    // materialized into a broadcast relation. Select by NAME first — a
+    // caller-supplied frame in (c_vec, cid) order must not silently read
+    // the wrong columns — and refuse an empty codebook outright: an empty
+    // literal would make array_max NULL and propagate NULL cells into
+    // every downstream join instead of failing here (ADVICE r12).
+    val centLit: Seq[(Long, Seq[Float])] = cents
+      .select(col("cid").cast("long"), col("c_vec")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq: Seq[Float]))
       .sortBy(_._1)
+    require(centLit.nonEmpty,
+      "SemDedup: empty centroid set — assignment has no codebook")
     val scored = transform(typedLit(centLit), c =>
       struct(F.cosine(col("n_vec"), c.getField("_2")).as("cos"),
         c.getField("_1").as("cid")))
@@ -180,6 +187,8 @@ object SemDedup {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq: Seq[Float]))
       .filter(s => liveScells.contains(s._1))
       .sortBy(_._1)
+    require(supLit.nonEmpty,
+      "SemDedup: empty centroid set — probed assignment has no super-cells")
     val scored = transform(typedLit(supLit), s =>
       struct(F.cosine(col("n_vec"), s.getField("_2")).as("cos"),
         s.getField("_1").as("scid")))
@@ -204,17 +213,36 @@ object SemDedup {
     */
   def dedup(corpus: DataFrame, k: Int, iters: Int, eps: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      probe: Int = 0): DataFrame =
+      probe: Int = 0, maxCell: Int = 4096): DataFrame =
     dedupWith(corpus, centroids(corpus, k, iters, idCol, vecCol, probe),
-      eps, idCol, vecCol, probe)
+      eps, idCol, vecCol, probe, maxCell)
 
   /** [[dedup]] against caller-supplied centroids — the entry point for a
     * pre-trained or externally-chosen codebook (and for testing the drop
     * policy in isolation from centroid training).
+    *
+    * WARNING — fixed codebooks do not scale for free: the within-cell
+    * pair stage costs Σ|cell|², so SemDeDup's contract is that k tracks
+    * N (mean cell size stays constant). A user re-applying yesterday's
+    * k centroids to a 10× corpus would otherwise pay a silent n²/k
+    * blowup (measured 18.5× wall for the last 10× of data at the r12
+    * 100× probe). `maxCell` is the guard: any cell whose occupancy
+    * exceeds it is deterministically hash-sub-split into
+    * ⌈|cell|/maxCell⌉ sub-cells BEFORE the pair join, capping the pair
+    * stage at ~|cell|·maxCell per oversized cell (linear in the cell,
+    * not quadratic). The documented trade is recall, not correctness:
+    * duplicate pairs that straddle a sub-split of an OVERSIZED cell are
+    * not compared — the same approximation class as SemDeDup's own
+    * cross-cluster blindness, and strictly better than the un-guarded
+    * alternative (a spilled, disk-filling quadratic join). Cells at or
+    * under `maxCell` are exact and byte-identical to the un-guarded
+    * path (Round7Spec gates both directions). Raise `maxCell` only with
+    * a matching k ∝ N codebook.
     */
   def dedupWith(corpus: DataFrame, cents: DataFrame, eps: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      probe: Int = 0): DataFrame = {
+      probe: Int = 0, maxCell: Int = 4096): DataFrame = {
+    require(maxCell > 0, s"SemDedup: maxCell must be positive, got $maxCell")
     // the assignment frame feeds THREE consumers below (both sides of
     // the within-cell self-join and the final flag join); checkpoint it
     // so the assignment sub-DAG — a shuffle over the full corpus —
@@ -224,11 +252,24 @@ object SemDedup {
     // a dead n-row copy per invocation)
     val assigned = assignBest(corpus, cents, idCol, vecCol, probe)
       .localCheckpoint(true)
-    val x = assigned.select(col("cell"), col("nid").as("xid"),
+    // Occupancy guard (see the dedupWith scaladoc): cell sizes are one
+    // map-side-combined count whose output is bounded by the codebook
+    // (≤ k rows — broadcastable by the same bound the codebook literal
+    // ships under). Cells within `maxCell` take sub 0 — the exact path,
+    // bit-for-bit; oversized cells hash-split on the vector id, which is
+    // deterministic across partitionings and core counts.
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("_csz"))
+    val subbed = assigned.join(broadcast(sizes), "cell")
+      .withColumn("sub", when(col("_csz") <= maxCell, lit(0L))
+        .otherwise(pmod(F.hash64(col("nid").cast("string")),
+          ceil(col("_csz").cast("double") / maxCell).cast("long"))))
+      .drop("_csz")
+    val x = subbed.select(col("cell"), col("sub"), col("nid").as("xid"),
       col("n_vec").as("x_vec"))
-    val y = assigned.select(col("cell"), col("nid").as("yid"),
+    val y = subbed.select(col("cell"), col("sub"), col("nid").as("yid"),
       col("n_vec").as("y_vec"))
-    val dropped = x.join(y, "cell")
+    val dropped = x.join(y, Seq("cell", "sub"))
       .where(col("yid") < col("xid") &&
         F.cosine(col("x_vec"), col("y_vec")) >= eps)
       .select(col("xid").as("nid")).distinct()

@@ -77,6 +77,72 @@ class Round7Spec extends SparkSpec {
       disposition(probe = 2, k = 4, iters = 2, parts = 5))
   }
 
+  // ---- SemDedup maxCell occupancy guard (r12 `weak`) -----------------------
+
+  /** 12 near-identical vectors that all land in ONE cell under a single
+    * axis centroid — the fixed-codebook-over-a-grown-corpus shape the
+    * guard exists for.
+    */
+  private def hotCell = (1L to 12L).map { i =>
+    val v = Array.fill(8)(0f); v(0) = 1f; v(4) = 0.0001f * i; (i, v)
+  }.toDF("vec_id", "embedding")
+
+  private def oneAxisCent =
+    Seq((0L, { val v = Array.fill(8)(0f); v(0) = 1f; v }))
+      .toDF("cid", "c_vec")
+
+  private def keptSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.where(col("is_kept")).select(col("vec_id")).as[Long].collect().toSet
+
+  test("SemDedup: maxCell at/above the cell size is the exact path, byte-identical") {
+    def rows(maxCell: Int) =
+      SemDedup.dedupWith(hotCell, oneAxisCent, eps = 0.95, maxCell = maxCell)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // default (4096) and a just-fits cap (12) both compare every pair:
+    // only the globally smallest id survives, and the dispositions match
+    // bit-for-bit
+    assert(rows(4096) == rows(12))
+    assert(keptSet(SemDedup.dedupWith(hotCell, oneAxisCent, eps = 0.95)) ==
+      Set(1L))
+  }
+
+  test("SemDedup: maxCell sub-split bounds the pair stage — drops only shrink, never invent") {
+    val exact = keptSet(SemDedup.dedupWith(hotCell, oneAxisCent, eps = 0.95))
+    val guarded = keptSet(SemDedup.dedupWith(hotCell, oneAxisCent,
+      eps = 0.95, maxCell = 4))
+    // sub-splitting removes comparisons, so the guarded kept set can only
+    // GROW relative to exact (no invented drops) …
+    assert(exact.subsetOf(guarded))
+    // … each non-empty sub-cell keeps exactly its smallest id, so at most
+    // ⌈12/4⌉ = 3 survivors of a cell of all-duplicates …
+    assert(guarded.size <= 3, s"guarded kept $guarded")
+    // … and the globally smallest id is the smallest of its sub-cell too
+    assert(guarded.contains(1L))
+  }
+
+  test("SemDedup: guarded disposition is deterministic across partitionings") {
+    def run(parts: Int) =
+      SemDedup.dedupWith(hotCell.repartition(parts), oneAxisCent,
+          eps = 0.95, maxCell = 4)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(run(2) == run(7))
+  }
+
+  test("SemDedup: caller column order is irrelevant; empty codebook fails loudly") {
+    // (c_vec, cid) order must read the same codebook as (cid, c_vec)
+    val swapped = oneAxisCent.select(col("c_vec"), col("cid"))
+    assert(keptSet(SemDedup.dedupWith(hotCell, swapped, eps = 0.95)) ==
+      keptSet(SemDedup.dedupWith(hotCell, oneAxisCent, eps = 0.95)))
+    // empty centroid frames fail at plan build, not as silent NULL cells
+    val empty = oneAxisCent.where(col("cid") < 0)
+    intercept[IllegalArgumentException] {
+      SemDedup.dedupWith(hotCell, empty, eps = 0.95)
+    }
+    intercept[IllegalArgumentException] {
+      SemDedup.dedupWith(hotCell, empty, eps = 0.95, probe = 1)
+    }
+  }
+
   // ---- MediaHeader: GIF / BMP kernels -------------------------------------
 
   private def hx(s: String): Array[Byte] =
