@@ -136,16 +136,19 @@ object SparkEntry {
       .otherwise(concat(lit("/files/"), gid.cast("string"), lit(".tmp")))
   }
 
-  /** q119's URL fixture: seven variants keyed by doc_id%7, each
+  /** q119's URL fixture: nine variants keyed by doc_id%9, each
     * exercising one dimension of the UrlFilter battery — clean, a lone
     * soft word (scores 40, below the 60 threshold: weighted scoring is
     * not substring banning), two soft words (70 ≥ 60 → filtered), a
     * strict word embedded INSIDE a longer token (substring mode catches
     * what word matching can't), a digit-heavy host whose verdict flips
-    * on gid's digit count, a blocklisted host, and a 5-dot-deep host.
-    * The oracle rebuilds these URLs by the same arithmetic and re-derives
-    * every counter with DuckDB string/list functions — a genuine replay,
-    * not a decision table.
+    * on gid's digit count, a blocklisted host, a 5-dot-deep host, a
+    * SUBDOMAIN of a blocklisted host (parent-suffix matching bans it
+    * without list pre-expansion), and a schemeless URL (rejected by the
+    * explicit r_has_host rule, not mislabeled digit-heavy). The oracle
+    * rebuilds these URLs by the same arithmetic and re-derives every
+    * counter with DuckDB string/list functions — a genuine replay, not a
+    * decision table.
     */
   // the fixed BPE merge table shared by q47b (encode oracle) and q122
   // (fertility audit): six ranked rules whose outputs never feed an
@@ -157,20 +160,24 @@ object SparkEntry {
     val gid = id % 50
     val h = (gid % 10).cast("string")
     val tgt = gid.cast("string")
-    when(id % 7 === 0, concat(
+    when(id % 9 === 0, concat(
         lit("http://site"), h, lit(".example/news/"), tgt))
-      .when(id % 7 === 1, concat(
+      .when(id % 9 === 1, concat(
         lit("http://site"), h, lit(".example/casino/"), tgt))
-      .when(id % 7 === 2, concat(
+      .when(id % 9 === 2, concat(
         lit("http://site"), h, lit(".example/casino/poker/"), tgt))
-      .when(id % 7 === 3, concat(
+      .when(id % 9 === 3, concat(
         lit("http://site"), h, lit(".example/a/p"), tgt, lit("xxx4")))
-      .when(id % 7 === 4, concat(
+      .when(id % 9 === 4, concat(
         lit("http://h"), tgt, lit("x"), tgt, lit(".biz/news/"), tgt))
-      .when(id % 7 === 5, concat(
+      .when(id % 9 === 5, concat(
         lit("http://blocked"), h, lit(".example/news/"), tgt))
-      .otherwise(concat(
+      .when(id % 9 === 6, concat(
         lit("http://a.b.c.d.site"), h, lit(".example/news/"), tgt))
+      .when(id % 9 === 7, concat(
+        lit("http://cdn.blocked"), h, lit(".example/news/"), tgt))
+      .otherwise(concat(
+        lit("www.site"), h, lit(".example/news/"), tgt))
   }
 
   private def blocklistDim(s: SparkSession): DataFrame =
@@ -1715,13 +1722,15 @@ object SparkEntry {
         "doc_id", "text")),
 
     // 26w. URL quality filter (RefinedWeb §3.1.2): judge pages by URL
-    // alone — blocklist dim (broadcast hash join), severity-weighted
-    // soft/strict bad-word score (soft = whole-token map lookup, strict
-    // = substring containment), digit-host and subdomain-depth bounds in
-    // integer cross-multiplication. One map-side codegen pass + one
-    // broadcast join, zero wide shuffles; the oracle re-derives every
-    // counter from the reconstructed URL with DuckDB string/list
-    // functions.
+    // alone — blocklist dim (broadcast hash joins: exact host + the
+    // bounded parent-suffix chain, so `example.com` bans its subdomains
+    // without list pre-expansion), severity-weighted soft/strict
+    // bad-word score (soft = whole-token map lookup, strict = substring
+    // containment), an explicit has-host rule, digit-host and
+    // subdomain-depth bounds in integer cross-multiplication. One
+    // map-side codegen pass + broadcast joins, zero wide shuffles; the
+    // oracle re-derives every counter from the reconstructed URL with
+    // DuckDB string/list functions.
     "q119_url_filter" -> ((s, dir) =>
       graft.functions.UrlFilter.evaluate(
         Tables(s, dir).documents
@@ -3666,6 +3675,7 @@ object SparkEntry {
         |      AS BIGINT) AS n_alpha_words,
         |    CAST((len(text) - len(replace(text, '#', '')))
         |      + (len(text) - len(replace(text, '...', ''))) // 3
+        |      + (len(text) - len(replace(text, '…', '')))
         |      AS BIGINT) AS n_symbols,
         |    CAST(len(ln) AS BIGINT) AS n_lines,
         |    CAST(len(list_filter(ln,
@@ -3791,13 +3801,17 @@ object SparkEntry {
         |SELECT *, dup_bp <= 3000 AS keep FROM f""".stripMargin,
     // q119: the oracle rebuilds the planted URLs by the same doc_id
     // arithmetic, then re-derives host/digits/dots/score with DuckDB
-    // string and list functions and replays the blocklist as a LEFT
-    // JOIN against a range()-built dim — a genuine replay of the
-    // battery, not a decision table
+    // string and list functions and replays the blocklist as LEFT
+    // JOINs against a range()-built dim — exact-host plus the
+    // parent-suffix ban via a label-boundary LIKE ('%.' || bhost; the
+    // Spark side's 5-shortest-suffix window is exhaustive for every
+    // host of ≤ 7 labels, which covers the fixture and anything that
+    // passes r_depth) — a genuine replay of the battery, not a
+    // decision table
     "q119_url_filter" ->
       """WITH u AS (
         |  SELECT doc_id,
-        |    CASE CAST(doc_id % 7 AS INTEGER)
+        |    CASE CAST(doc_id % 9 AS INTEGER)
         |      WHEN 0 THEN 'http://site' || ((doc_id % 50) % 10)
         |        || '.example/news/' || (doc_id % 50)
         |      WHEN 1 THEN 'http://site' || ((doc_id % 50) % 10)
@@ -3810,7 +3824,11 @@ object SparkEntry {
         |        || (doc_id % 50) || '.biz/news/' || (doc_id % 50)
         |      WHEN 5 THEN 'http://blocked' || ((doc_id % 50) % 10)
         |        || '.example/news/' || (doc_id % 50)
-        |      ELSE 'http://a.b.c.d.site' || ((doc_id % 50) % 10)
+        |      WHEN 6 THEN 'http://a.b.c.d.site' || ((doc_id % 50) % 10)
+        |        || '.example/news/' || (doc_id % 50)
+        |      WHEN 7 THEN 'http://cdn.blocked' || ((doc_id % 50) % 10)
+        |        || '.example/news/' || (doc_id % 50)
+        |      ELSE 'www.site' || ((doc_id % 50) % 10)
         |        || '.example/news/' || (doc_id % 50)
         |    END AS url
         |  FROM documents
@@ -3835,18 +3853,27 @@ object SparkEntry {
         |  FROM f
         |), b AS (
         |  SELECT 'blocked' || i || '.example' AS bhost FROM range(10) t(i)
+        |), v AS (
+        |  SELECT g.*,
+        |    EXISTS (SELECT 1 FROM b WHERE g.host = b.bhost)
+        |      AS blocked_domain,
+        |    EXISTS (SELECT 1 FROM b WHERE g.host LIKE '%.' || b.bhost)
+        |      AS blocked_parent
+        |  FROM g
         |)
-        |SELECT g.doc_id, g.host, g.host_len, g.n_host_digits,
-        |  g.n_host_dots, g.badword_score,
-        |  (b.bhost IS NOT NULL) AS blocked_domain,
-        |  (b.bhost IS NULL) AS r_blocklist,
-        |  g.badword_score < 60 AS r_badwords,
-        |  g.n_host_digits * 10 < g.host_len * 3 AS r_digit_host,
-        |  g.n_host_dots <= 4 AS r_depth,
-        |  (b.bhost IS NULL) AND g.badword_score < 60
-        |    AND g.n_host_digits * 10 < g.host_len * 3
-        |    AND g.n_host_dots <= 4 AS url_ok
-        |FROM g LEFT JOIN b ON g.host = b.bhost""".stripMargin,
+        |SELECT doc_id, host, host_len, n_host_digits, n_host_dots,
+        |  badword_score, blocked_domain, blocked_parent,
+        |  host_len > 0 AS r_has_host,
+        |  NOT (blocked_domain OR blocked_parent) AS r_blocklist,
+        |  badword_score < 60 AS r_badwords,
+        |  host_len = 0 OR n_host_digits * 10 < host_len * 3
+        |    AS r_digit_host,
+        |  n_host_dots <= 4 AS r_depth,
+        |  host_len > 0 AND NOT (blocked_domain OR blocked_parent)
+        |    AND badword_score < 60
+        |    AND (host_len = 0 OR n_host_digits * 10 < host_len * 3)
+        |    AND n_host_dots <= 4 AS url_ok
+        |FROM v""".stripMargin,
     // q120: the oracle refits the same add-one NB counts on the same
     // hash-defined class split and replays the decision function; the
     // DECIMAL(18,9) per-class-likelihood quantization (BEFORE the

@@ -73,10 +73,20 @@ object QualityClassifier {
       count(lit(1)).as("v"))
     val docTotals = pos.agg(count(lit(1)).as("nposd"))
       .crossJoin(neg.agg(count(lit(1)).as("nnegd")))
+    // An empty training class makes the prior ±Infinity, which the
+    // Decimal cast silently turns into NULL logits for EVERY scored
+    // document (ADVICE r12) — fail in the plan instead. The guard lives
+    // inside prior_q itself (not a droppable assert column) so column
+    // pruning can never optimize it away.
     val totals = tokTotals.crossJoin(docTotals)
       .withColumn("prior_q",
-        log(col("nposd").cast("double") / col("nnegd").cast("double"))
-          .cast(Dec))
+        when(col("nposd") > 0 && col("nnegd") > 0,
+          log(col("nposd").cast("double") / col("nnegd").cast("double"))
+            .cast(Dec))
+        .otherwise(raise_error(concat(
+          lit("QualityClassifier: both training classes must be non-empty"),
+          lit(" (pos docs="), col("nposd").cast("string"),
+          lit(", neg docs="), col("nnegd").cast("string"), lit(")")))))
 
     val corpus = docs.select(col(idCol).as("doc_id"),
       explode(F.tokensLower(col(textCol))).as("term"))

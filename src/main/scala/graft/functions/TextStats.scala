@@ -390,7 +390,11 @@ object GopherRules {
     val wordChars = aggregate(transform(toks, w => length(w)),
       lit(0L), (acc, x) => acc + x)
     val nAlphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
-    val nSymbols = TextStats.markerCount(t, "#") + TextStats.markerCount(t, "...")
+    // '#', ASCII '...', and the Unicode ellipsis '…' all count as symbols:
+    // the line-end ellipsis rule already treats '…' as an ellipsis, so the
+    // symbol ratio must too, or '…'-heavy pages never trip it (ADVICE r12)
+    val nSymbols = TextStats.markerCount(t, "#") +
+      TextStats.markerCount(t, "...") + TextStats.markerCount(t, "…")
     val nLines = size(lines).cast("long")
     val nBulletLines = size(filter(lines, l =>
       l.rlike("^[ \t]*[-*•]"))).cast("long")

@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   *     UT1-style aggregated lists run to ~4.6M domains). Joined as a DIM,
   *     not folded into the expression tree: a 4.6M-row list is data, and
   *     the join is a broadcast hash join while the list fits the broadcast
-  *     budget (~100 MB of hosts does). `broadcastBlocklist = false` drops
-  *     the hint for larger lists and lets AQE pick the exchange — the
-  *     frontier side shuffles on `host`, which co-locates with the q107
-  *     per-host rollup if both run.
+  *     budget (~100 MB of hosts does). An entry bans the host AND its
+  *     subdomains: the URL side joins its bounded parent-suffix chain
+  *     (≤ [[UrlFilter.MaxSuffixJoins]] proper suffixes, map-side column
+  *     arithmetic) against the same dim, because UT1-class lists mean
+  *     `example.com` as `*.example.com` and pre-expanding subdomains is
+  *     unbounded. `broadcastBlocklist = false` drops the hints for larger
+  *     lists and lets AQE pick the exchange — the frontier side shuffles
+  *     on `host`, which co-locates with the q107 per-host rollup if both
+  *     run.
   *  2. '''Weighted bad-word score''' — a small severity-weighted vocabulary
   *     in two match modes, mirroring the public soft/strict split: STRICT
   *     words count on substring containment anywhere in the URL (spam
@@ -58,9 +63,27 @@ object UrlFilter {
   def hostOf(url: Column): Column =
     regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
 
+  /** How many PROPER parent-suffix joins [[evaluate]] runs. A host with
+    * n labels has n−2 proper suffixes of ≥ 2 labels; 5 covers every
+    * proper suffix of hosts up to 7 labels — and any host deeper than
+    * [[MaxHostDots]]+1 labels already fails `r_depth`. Blocklists ban
+    * short registrable suffixes (`example.com`), which are always the
+    * FIRST entries of the shortest-first window, so the bound only ever
+    * skips ≥ 7-label banned suffixes — a shape real lists don't contain.
+    */
+  val MaxSuffixJoins = 5
+
   /** Per-URL verdict battery. `blockDim` must expose a `host` column of
-    * banned hosts (exact-host match; suffix/parent-domain matching is a
-    * dim-preparation step — expand the list, don't complicate the join).
+    * banned hosts. An entry bans the exact host AND every subdomain of
+    * it (`example.com` bans `a.b.example.com`): each URL's bounded
+    * parent-suffix chain — at most [[MaxSuffixJoins]] proper suffixes of
+    * ≥ 2 labels, shortest (most registrable) first — joins against the
+    * dim as extra broadcast hash joins, so the list never needs
+    * subdomain pre-expansion (you can't enumerate subdomains you haven't
+    * crawled). All blocklist joins are map-side while the dim
+    * broadcasts; `broadcastBlocklist = false` drops the hints for lists
+    * past the broadcast budget (the joins then shuffle on their keys —
+    * for a dim THAT large, prefer pre-bucketing it by host).
     */
   def evaluate(docs: DataFrame, idCol: String, urlCol: String,
       blockDim: DataFrame,
@@ -83,27 +106,50 @@ object UrlFilter {
     val nDots =
       (length(host) - length(translate(host, ".", ""))).cast("long")
 
-    val scored = docs.select(
-      col(idCol).as("doc_id"),
-      host.as("host"),
-      length(host).cast("long").as("host_len"),
-      nDigits.as("n_host_digits"),
-      nDots.as("n_host_dots"),
-      (softScore + strictScore).as("badword_score"))
+    // the i-th SHORTEST proper suffix of the host with ≥ 2 labels
+    // (i=1 → the registrable-looking `example.com` end), NULL when the
+    // host has no i-th proper suffix — NULL keys simply never match
+    val labels = split(host, "\\.")
+    val nLab = size(labels)
+    def sfx(i: Int): Column =
+      when(lit(i) <= nLab - 2,
+        array_join(slice(labels, nLab - i, lit(i + 1)), "."))
 
-    val dim0 = blockDim.select(col("host"), lit(true).as("on_blocklist"))
-    val dim = if (broadcastBlocklist) broadcast(dim0) else dim0
-    scored.join(dim, Seq("host"), "left")
+    val scored = docs.select(
+      (col(idCol).as("doc_id") +:
+       host.as("host") +:
+       length(host).cast("long").as("host_len") +:
+       nDigits.as("n_host_digits") +:
+       nDots.as("n_host_dots") +:
+       (softScore + strictScore).as("badword_score") +:
+       (1 to MaxSuffixJoins).map(i => sfx(i).as(s"_sfx$i"))): _*)
+
+    def dim(as: String): DataFrame = {
+      val d = blockDim.select(col("host").as(as))
+      if (broadcastBlocklist) broadcast(d) else d
+    }
+    val exact = scored.join(dim("_bh0"), col("host") === col("_bh0"), "left")
+    val joined = (1 to MaxSuffixJoins).foldLeft(exact) { (df, i) =>
+      df.join(dim(s"_bh$i"), col(s"_sfx$i") === col(s"_bh$i"), "left")
+    }
+    joined
       .select(col("doc_id"), col("host"), col("host_len"),
         col("n_host_digits"), col("n_host_dots"), col("badword_score"),
-        coalesce(col("on_blocklist"), lit(false)).as("blocked_domain"))
-      .withColumn("r_blocklist", !col("blocked_domain"))
+        col("_bh0").isNotNull.as("blocked_domain"),
+        (1 to MaxSuffixJoins).map(i => col(s"_bh$i").isNotNull)
+          .reduce(_ || _).as("blocked_parent"))
+      .withColumn("r_has_host", col("host_len") > 0L)
+      .withColumn("r_blocklist",
+        !(col("blocked_domain") || col("blocked_parent")))
       .withColumn("r_badwords", col("badword_score") < scoreThreshold.toLong)
-      .withColumn("r_digit_host",
+      // vacuously true for empty hosts: a schemeless URL is rejected by
+      // the explicit r_has_host rule, not mislabeled digit-heavy
+      // (ADVICE r12 — rejection reasons stay attributable)
+      .withColumn("r_digit_host", col("host_len") === 0L ||
         col("n_host_digits") * 10L < col("host_len") * 3L)
       .withColumn("r_depth", col("n_host_dots") <= MaxHostDots.toLong)
       .withColumn("url_ok",
-        col("r_blocklist") && col("r_badwords") &&
+        col("r_has_host") && col("r_blocklist") && col("r_badwords") &&
         col("r_digit_host") && col("r_depth"))
   }
 }

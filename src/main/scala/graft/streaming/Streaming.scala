@@ -228,7 +228,7 @@ object WebIngestStream {
     * rather than mangling through the HTML scanner; a batch-side
     * [[graft.sources.ContentRoute.routed]] pass is where a full
     * pipeline would count them), transcodes (labeled charset strictly,
-    * unlabeled TEXT captures via the WHATWG sniff), extracts visible
+    * charset-less text captures via the WHATWG sniff), extracts visible
     * text for the html route (plain text passes through), gates on the
     * encoding-garbage signals, and dedups on the canonical URL with
     * BOUNDED state
@@ -247,16 +247,19 @@ object WebIngestStream {
     val utf8 = when(cs.isNotNull, WarcTranscode.utf8Text(col("body"), cs))
       .otherwise(WarcTranscode.sniffedText(col("body")))
     val route = ContentRoute.route(col("content_type"))
-    // unlabeled captures: the batch router skips them outright; the
-    // streaming twin keeps the WHATWG sniff for TEXTUAL recovery but
-    // only when the label is absent AND the sniff yields text — typed
-    // non-text payloads (image/*, application/*) never reach a kernel
+    // unlabeled captures DROP here, exactly like the batch router and
+    // ContentRoute.routed: an unknown payload is either secretly html
+    // (extracting without the label is a guess) or secretly plain text
+    // (html-extracting it would tag-strip legitimate '<'), and the r12
+    // streaming twin's html-extract-the-unknowns path mangled the latter
+    // (ADVICE r12). Keeping the skip symmetric also makes the
+    // stream ≡ batch parity specs exact rather than carve-out-laden.
+    // Only the declared-html route runs the HTML scanner.
     captures
-      .where(route.isin(ContentRoute.RouteHtml, ContentRoute.RoutePlain,
-        ContentRoute.RouteUnknown))
+      .where(route.isin(ContentRoute.RouteHtml, ContentRoute.RoutePlain))
       .withColumn("page_text",
-        when(route === ContentRoute.RoutePlain, utf8)
-          .otherwise(HtmlText.extract(utf8)))
+        when(route === ContentRoute.RouteHtml, HtmlText.extract(utf8))
+          .otherwise(utf8))
       .where(col("page_text").isNotNull &&
         TextStats.replacementCount(col("page_text")) +
         TextStats.mojibakeCount(col("page_text")) +

@@ -377,7 +377,8 @@ class EtlSpec extends SparkSpec {
       (1L, good),                        // passes everything
       (2L, "- bullet\n- bullet2\nplain..."),
       (3L, ""),                          // degenerate: 1 empty token
-      (4L, "#### ## # zz")               // symbol-heavy
+      (4L, "#### ## # zz"),              // symbol-heavy
+      (5L, "… zz … zz …")                // Unicode-ellipsis-heavy
     ).toDF("doc_id", "text")
     val out = GopherRules.evaluate(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -397,6 +398,12 @@ class EtlSpec extends SparkSpec {
     val s4 = out(4L)
     assert(s4.getAs[Long]("n_symbols") == 7)
     assert(!s4.getAs[Boolean]("r_symbol_ratio"))
+    // the Unicode ellipsis counts in n_symbols too (the line-end rule
+    // already treats it as an ellipsis): 3 symbols over 5 words trips
+    // the 10·symbols < words ratio exactly like ASCII '...' would
+    val s5 = out(5L)
+    assert(s5.getAs[Long]("n_symbols") == 3)
+    assert(!s5.getAs[Boolean]("r_symbol_ratio"))
   }
 
   test("C4 filter battery: line predicate and page gates, hand-checked") {

@@ -49,6 +49,17 @@ class QualityClassifierSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("logit_x1000") == -288L + 693L)
   }
 
+  test("an empty training class fails loudly, never silent NULL logits") {
+    // an empty neg class would make the prior ln(inf) and the Decimal
+    // cast would NULL every logit; the plan raises instead
+    val ex = intercept[Exception] {
+      score(Seq((1L, "good")), neg = Seq.empty[String])
+    }
+    assert(ex.getMessage.contains("non-empty") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-empty")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("model join is broadcast; scoring keeps one wide shuffle") {
     val docs = (1L to 50L).map(i => (i, s"tok$i good")).toDF("doc_id", "text")
     val plan = QualityClassifier.nbScore(

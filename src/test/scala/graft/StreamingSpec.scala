@@ -292,8 +292,10 @@ class StreamingSpec extends SparkSpec {
   test("streaming web ingest: transcode + extract + gate + canonical dedup") {
     implicit val sql = spark.sqlContext
     // (ts, url, content_type, body): one clean labeled Latin-1 capture,
-    // an unlabeled 1252 capture, a canonical-duplicate refetch (other
-    // spelling, later batch), a mojibake-dirty capture, a relative URL
+    // a charset-less html capture (WHATWG-sniffed), a canonical-duplicate
+    // refetch (other spelling, later batch), a mojibake-dirty capture,
+    // a relative URL, and UNLABELED captures which drop like the batch
+    // router drops them (ADVICE r12 — no html-extraction of unknowns)
     val mem = MemoryStream[(Timestamp, String, String, Array[Byte])]
     val out = WebIngestStream.cleanCaptures(
       mem.toDF().toDF("ts", "url", "content_type", "body"))
@@ -304,31 +306,36 @@ class StreamingSpec extends SparkSpec {
       mem.addData(
         (ts(10, 0), "http://a.example/x", "text/html; charset=iso-8859-1",
           html("café one").getBytes("ISO-8859-1")),
-        (ts(10, 1), "http://b.example/y", null,
-          html("two café").getBytes("ISO-8859-1")), // sniffed 1252
-        (ts(10, 2), "http://c.example/z", null,
+        (ts(10, 1), "http://b.example/y", "text/html",
+          html("two café").getBytes("ISO-8859-1")), // no charset → sniffed 1252
+        (ts(10, 2), "http://c.example/z", "text/html; charset=utf-8",
           html("bad Ã© mojibake").getBytes("UTF-8")), // gated out
-        (ts(10, 3), "/relative/only", null, html("rel").getBytes("UTF-8")))
+        (ts(10, 3), "/relative/only", "text/html; charset=utf-8",
+          html("rel").getBytes("UTF-8")))
       q.processAllAvailable()
       mem.addData( // refetch of a.example/x under another spelling
         (ts(10, 4), "HTTP://A.EXAMPLE:80/p/../x", "text/html; charset=utf-8",
           html("café refetch").getBytes("UTF-8")),
+        // an UNLABELED capture drops at the route, html or not — the
+        // batch router's skip posture, kept symmetric in the stream
         (ts(10, 5), "http://d.example/w", null, html("four").getBytes("UTF-8")),
+        (ts(10, 6), "http://d2.example/p", null,
+          "unlabeled plain <notatag> text".getBytes("UTF-8")),
         // typed non-text payloads route OUT (q111's dispatch in the
         // stream): never mangled through the HTML scanner
-        (ts(10, 6), "http://e.example/img", "image/png",
+        (ts(10, 7), "http://e.example/img", "image/png",
           Array[Byte](0x50, 0x4e, 0x47, 1, 2, 3)),
-        (ts(10, 7), "http://f.example/doc", "application/pdf",
+        (ts(10, 8), "http://f.example/doc", "application/pdf",
           "%PDF-1.4 not prose".getBytes("US-ASCII")),
         // a text/plain capture passes through WITHOUT HTML extraction
-        (ts(10, 8), "http://g.example/t", "text/plain; charset=utf-8",
+        (ts(10, 9), "http://g.example/t", "text/plain; charset=utf-8",
           "plain <notatag> text".getBytes("UTF-8")))
       q.processAllAvailable()
       val got = spark.table("web_stream")
         .select("url_canon", "page_text")
         .as[(String, String)].collect().toMap
       assert(got.keySet == Set("http://a.example/x", "http://b.example/y",
-        "http://d.example/w", "http://g.example/t"),
+        "http://g.example/t"),
         s"wrong survivor set: ${got.keySet}")
       assert(got("http://a.example/x") == "café one", "first fetch must win")
       assert(got("http://b.example/y") == "two café", "1252 sniff failed")

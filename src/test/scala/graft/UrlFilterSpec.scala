@@ -53,11 +53,35 @@ class UrlFilterSpec extends SparkSpec {
     assert(!scored(60).getAs[Boolean]("r_badwords"))
   }
 
-  test("blocklist is exact-host: match blocks, sibling host passes") {
+  test("blocklist bans the exact host AND its subdomains, never siblings") {
     val r = row("http://bad.example/news", block = Seq("bad.example"))
     assert(r.getAs[Boolean]("blocked_domain") && !r.getAs[Boolean]("url_ok"))
+    // a subdomain of a banned host is banned via the parent-suffix chain
     val r2 = row("http://sub.bad.example/news", block = Seq("bad.example"))
-    assert(!r2.getAs[Boolean]("blocked_domain") && r2.getAs[Boolean]("url_ok"))
+    assert(!r2.getAs[Boolean]("blocked_domain") &&
+      r2.getAs[Boolean]("blocked_parent") && !r2.getAs[Boolean]("url_ok"))
+    // deep subdomains stay banned (every proper suffix is in the window)
+    val r3 = row("http://a.b.sub.bad.example/x", block = Seq("bad.example"))
+    assert(r3.getAs[Boolean]("blocked_parent"))
+    // a LONGER host that merely ends in the banned string without a
+    // label boundary is NOT banned: notbad.example vs bad.example
+    val r4 = row("http://notbad.example/news", block = Seq("bad.example"))
+    assert(!r4.getAs[Boolean]("blocked_domain") &&
+      !r4.getAs[Boolean]("blocked_parent") && r4.getAs[Boolean]("url_ok"))
+    // sibling hosts pass; and a banned SUBDOMAIN never bans its parent
+    val r5 = row("http://bad.example/news", block = Seq("sub.bad.example"))
+    assert(!r5.getAs[Boolean]("blocked_domain") &&
+      !r5.getAs[Boolean]("blocked_parent") && r5.getAs[Boolean]("url_ok"))
+  }
+
+  test("schemeless URLs fail the explicit r_has_host rule, nothing else") {
+    val r = row("www.site.example/news/1")
+    assert(r.getAs[String]("host") == "" && r.getAs[Long]("host_len") == 0L)
+    assert(!r.getAs[Boolean]("r_has_host") && !r.getAs[Boolean]("url_ok"))
+    // the digit-host rule is vacuously TRUE for empty hosts — the
+    // rejection reason stays attributable to r_has_host alone
+    assert(r.getAs[Boolean]("r_digit_host"))
+    assert(r.getAs[Boolean]("r_blocklist") && r.getAs[Boolean]("r_depth"))
   }
 
   test("digit-host bound 10*digits < 3*len at the integer boundary") {
