@@ -183,8 +183,10 @@ object Pipeline {
     * parsed records, damage markers excluded), `w1_http_bodies`
     * (responses whose HTTP payload parsed), `w1b_text_routed` (captures
     * whose Content-Type routes to the text chain — [[ContentRoute]]:
-    * html and any text subtype; images/PDF/unlabeled route out here, never through
-    * a text kernel), and `w2_transcoded` (routed bodies that decoded
+    * html, any text subtype, and application/pdf through the bounded
+    * [[graft.sources.PdfText]] extractor; images/unlabeled route out
+    * here, never through a text kernel), and `w2_transcoded` (routed
+    * bodies that decoded
     * under their declared charset, html captures through the q103
     * extractor); the inner funnel's `0_raw` row is then the
     * encoding-clean handoff count.
@@ -215,18 +217,24 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val responses = records.where(col("warc_type") === "response" &&
       col("body").isNotNull)
-    // media-type dispatch (ContentRoute, q111): only html/plain captures
-    // enter the text chain — html through the q103 extractor, plain as
-    // the transcoded body; image/binary/unknown payloads route OUT here,
-    // counted by the w1b stage, and never touch a text kernel
+    // media-type dispatch (ContentRoute, q111): only html/plain/pdf
+    // captures enter the text chain — html through the q103 extractor,
+    // plain as the transcoded body, pdf through the bounded-subset
+    // PdfText extractor (q123 — out-of-subset PDFs yield NULL text and
+    // drop at the isNotNull gate, countable as w1b minus w2);
+    // image/binary/unknown payloads route OUT here, counted by the w1b
+    // stage, and never touch a text kernel
     val routeCol = ContentRoute.route(col("content_type"))
     val textual = responses.where(
-      routeCol.isin(ContentRoute.RouteHtml, ContentRoute.RoutePlain))
+      routeCol.isin(ContentRoute.RouteHtml, ContentRoute.RoutePlain,
+        ContentRoute.RoutePdf))
     val cs = WarcTranscode.charsetOf(col("content_type"))
     val decoded = WarcTranscode.utf8Text(col("body"), cs)
     val transcoded = textual
       .select(docId.cast("long").as("doc_id"),
         when(routeCol === ContentRoute.RouteHtml, HtmlText.extract(decoded))
+          .when(routeCol === ContentRoute.RoutePdf,
+            element_at(graft.functions.F.pdfExtract(col("body")), 1))
           .otherwise(decoded).as("text"))
       .where(col("text").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -458,7 +458,10 @@ object SparkEntry {
     *    a non-ASCII suffix (transcode inside the route);
     *  - 2: `image/bmp` — a real BMP header whose dims are id arithmetic
     *    (the q83 kernel reads metadata; bytes never touch a text path);
-    *  - 3: `application/pdf` — binary payload, counted skip;
+    *  - 3: `application/pdf` — routed to the PdfText extractor; the
+    *    payload is a bare `%PDF-` marker with no objects, so the route
+    *    answers with an attributable `no_text`, never mangled prose
+    *    (q123 oracles the REAL extraction over full planted PDFs);
     *  - 4: NO Content-Type header at all — unknown, counted skip.
     * Partition 0's archive is per-record-gzip'd like the q97 fixture.
     */
@@ -1635,7 +1638,8 @@ object SparkEntry {
           regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
             .cast("long").as("doc_id"),
           col("media_type"), col("route"),
-          col("text").as("page_text"), col("img_format"),
+          col("text").as("page_text"), col("pdf_reason"),
+          col("img_format"),
           col("img_w").cast("long").as("img_w"),
           col("img_h").cast("long").as("img_h"))
     }),
@@ -1668,6 +1672,51 @@ object SparkEntry {
           .as("delay_bot"),
         RobotsTxt.crawlDelay(col("robots"), lit("OtherBot"))
           .as("delay_other"))),
+
+    // 29n. per-host fetch schedule — the composition a crawler actually
+    // consumes (VERDICT r12 #6): the q104 canonical frontier reduced to
+    // its keeper URLs, gated by the q105 robots decision, paced by the
+    // q113 crawl-delay, and annotated with the q112 sitemap surface —
+    // all against ONE broadcast policy dim. Allowed URLs get a
+    // deterministic per-host fetch sequence and a millisecond schedule
+    // offset ((seq−1)·delay — exact integer ms); blocked URLs stay
+    // visible with NULL sequence, so politeness remains auditable.
+    // Plan: keeper groupBy (one hash-reduced shuffle), broadcast join,
+    // then a per-host window — partition-by-host is the SEMANTICS of a
+    // politeness schedule (each host is fetched serially), and a real
+    // frontier shards by host anyway, so the window sort is the q107
+    // per-host rollup's scale shape, not a global sort.
+    "q124_fetch_schedule" -> ((s, dir) => {
+      val id = col("doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host_id"), col("allowed_bot"))
+        .orderBy(col("url_canon"))
+      Tables(s, dir).documents
+        .select(id, (id % 50 % 10).as("host_id"),
+          plantedCrawlPath(id).as("path"))
+        .withColumn("url_canon", UrlNorm.canonicalize(
+          concat(lit("http://site"), col("host_id").cast("string"),
+            lit(".example"), col("path"))))
+        .groupBy(col("host_id"), col("url_canon"), col("path"))
+        .agg(min(id).as("keeper_doc"))
+        .join(broadcast(robotsPolicyDim(s)), "host_id")
+        .select(col("host_id"), col("url_canon"), col("keeper_doc"),
+          RobotsTxt.allowed(col("robots"), lit("graftbot"), col("path"))
+            .as("allowed_bot"),
+          floor(RobotsTxt.crawlDelay(col("robots"), lit("graftbot"))
+            * 1000).cast("long").as("delay_x1000"),
+          size(RobotsTxt.sitemaps(col("robots"))).cast("long")
+            .as("n_sitemaps"))
+        .withColumn("fetch_seq",
+          when(col("allowed_bot"), row_number().over(w)).cast("long"))
+        .withColumn("sched_offset_ms",
+          (col("fetch_seq") - 1L) * col("delay_x1000"))
+        .select(concat(lit("site"), col("host_id").cast("string"),
+            lit(".example")).as("host"),
+          col("url_canon"), col("keeper_doc"), col("allowed_bot"),
+          col("delay_x1000"), col("n_sitemaps"), col("fetch_seq"),
+          col("sched_offset_ms"))
+    }),
 
     // 26r. CCNet-style trained-LM perplexity: fit an add-one bigram LM on
     // the deterministic q41 train split, score the WHOLE corpus against
@@ -2087,6 +2136,26 @@ object SparkEntry {
     "q122_bpe_fertility" -> ((s, dir) =>
       Bpe.fertilityByGroup(Tables(s, dir).documents, "lang", "text",
         fixedBpeMerges)),
+
+    // 26aa. REAL bounded-subset PDF text extraction (ISO 32000-1:
+    // object/stream walk honoring direct /Length, FlateDecode via JDK
+    // zlib, BT/ET + Tj/TJ/quote operators, the full literal-string
+    // escape set) over planted per-doc PDFs whose expected extraction is
+    // pure doc_id arithmetic — the q95/q111 fixture doctrine: the oracle
+    // composes the expected text while Spark genuinely walks the
+    // container it assembled, inflates, and replays string escapes.
+    // Out-of-subset payloads (encrypted, torn, textless) answer with an
+    // attributable reason, never a throw. Map-side kernel end-to-end:
+    // zero shuffles.
+    "q123_pdf_text" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"),
+          F.pdfFixture(col("doc_id"), col("text")).as("blob"))
+      val ex = F.pdfExtract(col("blob"))
+      d.select(col("doc_id"),
+        element_at(ex, 1).as("pdf_text"),
+        element_at(ex, 2).as("pdf_reason"))
+    }),
 
     // 45. benchmark decontamination: per held-out doc, the fraction of its
     // 5-gram shingles found anywhere in the corpus (bench fixture = 40
@@ -3585,10 +3654,11 @@ object SparkEntry {
         |    END AS media_type,
         |  CASE CAST(doc_id % 5 AS INTEGER)
         |    WHEN 0 THEN 'html' WHEN 1 THEN 'plain' WHEN 2 THEN 'image'
-        |    WHEN 3 THEN 'binary' ELSE 'unknown' END AS route,
+        |    WHEN 3 THEN 'pdf' ELSE 'unknown' END AS route,
         |  CASE CAST(doc_id % 5 AS INTEGER)
         |    WHEN 0 THEN 'Doc ' || doc_id || chr(10) || text
         |    WHEN 1 THEN text || ' café' END AS page_text,
+        |  CASE WHEN doc_id % 5 = 3 THEN 'no_text' END AS pdf_reason,
         |  CASE WHEN doc_id % 5 = 2 THEN 'bmp' END AS img_format,
         |  CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 1024 END AS img_w,
         |  CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 768 END AS img_h
@@ -3619,6 +3689,49 @@ object SparkEntry {
         |  CASE WHEN host_id % 2 = 1 THEN CAST(10 AS DOUBLE) END
         |    AS delay_other
         |FROM h""".stripMargin,
+    // q124: the oracle rebuilds the keeper frontier from the q104/q105
+    // doc_id arithmetic and replays the planted policies as a decision
+    // table — even hosts (full policy): /private/ blocked with an
+    // /private/ok/ Allow override, /*.tmp$ blocked, delay 2.5s, two
+    // sitemaps; odd hosts (no-override policy): graftbot's group only
+    // disallows /private/ (which covers /private/ok/ — no override),
+    // advertises no delay and no sitemaps. The fetch sequence replays
+    // the same per-(host, allowed) window.
+    "q124_fetch_schedule" ->
+      """WITH f AS (
+        |  SELECT doc_id, (doc_id % 50) % 10 AS host_id,
+        |    CAST(doc_id % 4 AS INTEGER) AS vid,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN '/a/' || (doc_id % 50)
+        |      WHEN 1 THEN '/private/' || (doc_id % 50)
+        |      WHEN 2 THEN '/private/ok/' || (doc_id % 50)
+        |      ELSE '/files/' || (doc_id % 50) || '.tmp' END AS path
+        |  FROM documents
+        |), k AS (
+        |  SELECT host_id, vid,
+        |    'http://site' || host_id || '.example' || path AS url_canon,
+        |    MIN(doc_id) AS keeper_doc
+        |  FROM f GROUP BY 1, 2, path
+        |), v AS (
+        |  SELECT host_id, url_canon, keeper_doc,
+        |    CASE WHEN host_id % 2 = 0 THEN vid IN (0, 2)
+        |         ELSE vid IN (0, 3) END AS allowed_bot,
+        |    CASE WHEN host_id % 2 = 0 THEN CAST(2500 AS BIGINT) END
+        |      AS delay_x1000,
+        |    CAST(CASE WHEN host_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+        |      AS n_sitemaps
+        |  FROM k
+        |), s AS (
+        |  SELECT *,
+        |    CASE WHEN allowed_bot THEN CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY host_id, allowed_bot ORDER BY url_canon)
+        |      AS BIGINT) END AS fetch_seq
+        |  FROM v
+        |)
+        |SELECT 'site' || host_id || '.example' AS host, url_canon,
+        |  keeper_doc, allowed_bot, delay_x1000, n_sitemaps, fetch_seq,
+        |  (fetch_seq - 1) * delay_x1000 AS sched_offset_ms
+        |FROM s""".stripMargin,
     // q114: the oracle refits the same add-one bigram LM on the same
     // hash-defined train split (q41's membership arithmetic) and replays
     // the scoring; the DECIMAL(18,9) per-bigram quantization absorbs
@@ -4014,6 +4127,22 @@ object SparkEntry {
         |  END AS BIGINT) AS bytes_per_bpe_x1000
         |FROM d LEFT JOIN n USING (doc_id)
         |GROUP BY lang""".stripMargin,
+    // q123: the oracle composes each variant's expected extraction from
+    // doc_id arithmetic + the doc text (the planted string rides the
+    // literal-escape round trip, so extraction returns it verbatim);
+    // Spark must genuinely walk the objects, inflate the FlateDecode
+    // stream, and replay the text operators of the container it built
+    "q123_pdf_text" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' uncompressed'
+        |      || chr(10) || text
+        |    WHEN 1 THEN 'Doc ' || doc_id || ' flate' || chr(10) || text
+        |  END AS pdf_text,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'ok' WHEN 1 THEN 'ok' WHEN 2 THEN 'encrypted'
+        |    WHEN 3 THEN 'torn' ELSE 'no_text' END AS pdf_reason
+        |FROM documents""".stripMargin,
     // q104: every planted spelling canonicalizes to the same target
     // string, which the oracle composes directly from doc_id arithmetic;
     // Spark must recover it by genuinely normalizing each variant

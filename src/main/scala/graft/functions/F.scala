@@ -207,6 +207,29 @@ object F {
       ArrayType(LongType, containsNull = false), "stats", Seq(ex(blob)),
       Nil, propagateNull = true, returnNullable = true))
 
+  /** q123 fixture encoder: a deterministic per-doc PDF (uncompressed /
+    * FlateDecode / encrypted / torn / no-text by doc_id arithmetic) whose
+    * expected extraction the oracle recomputes (graft.sources.PdfText
+    * .fixture).
+    */
+  def pdfFixture(docId: Column, text: Column): Column =
+    col(StaticInvoke(classOf[graft.sources.PdfText.type], BinaryType,
+      "fixture", Seq(ex(docId), ex(text)), Nil, propagateNull = false,
+      returnNullable = false))
+
+  /** REAL bounded-subset PDF text extraction (object/stream walk,
+    * FlateDecode via JDK zlib, BT/ET text operators with the full literal
+    * string escape set — graft.sources.PdfText, ISO 32000-1 subset):
+    * array [text, reason] where reason ∈ ok / not_pdf / encrypted / torn
+    * / stream_too_large / no_text and text is non-NULL only on ok.
+    * StaticInvoke — inside whole-stage codegen, never a UDF; corrupt
+    * bytes produce reasons, never a throw.
+    */
+  def pdfExtract(blob: Column): Column =
+    col(StaticInvoke(classOf[graft.sources.PdfText.type],
+      ArrayType(StringType, containsNull = true), "extract", Seq(ex(blob)),
+      Nil, propagateNull = true, returnNullable = false))
+
   /** q96 fixture encoder: a complete single-record ESRI `.shp` file for one
     * fixture polygon (graft.sources.ShpCodec.makeShp — vertices are the
     * q60/q85 star-polygon arithmetic the oracle recomputes).

@@ -377,48 +377,72 @@ object GopherRules {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
   val MinStopHits = 2
 
+  private final case class Stats(nWords: Column, wordChars: Column,
+      nAlphaWords: Column, nSymbols: Column, nLines: Column,
+      nBulletLines: Column, nEllipsisLines: Column, nStopHits: Column) {
+    def rWordCount: Column = nWords >= 50 && nWords <= 100000
+    def rMeanLen: Column = wordChars >= nWords * 3 && wordChars <= nWords * 10
+    def rSymbolRatio: Column = nSymbols * 10 < nWords
+    def rBullet: Column = nBulletLines * 10 <= nLines * 9
+    def rEllipsis: Column = nEllipsisLines * 10 <= nLines * 3
+    def rAlpha: Column = nAlphaWords * 5 >= nWords * 4
+    def rStopWords: Column = nStopHits >= MinStopHits
+    def passAll: Column = rWordCount && rMeanLen && rSymbolRatio &&
+      rBullet && rEllipsis && rAlpha && rStopWords
+  }
+
+  private def stats(t: Column): Stats = {
+    val toks = F.tokensLower(t)
+    val lines = split(t, "\n")
+    // '#', ASCII '...', and the Unicode ellipsis '…' all count as symbols:
+    // the line-end ellipsis rule already treats '…' as an ellipsis, so the
+    // symbol ratio must too, or '…'-heavy pages never trip it (ADVICE r12)
+    Stats(
+      nWords = size(toks).cast("long"),
+      wordChars = aggregate(transform(toks, w => length(w)),
+        lit(0L), (acc, x) => acc + x),
+      nAlphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long"),
+      nSymbols = TextStats.markerCount(t, "#") +
+        TextStats.markerCount(t, "...") + TextStats.markerCount(t, "…"),
+      nLines = size(lines).cast("long"),
+      nBulletLines = size(filter(lines, l =>
+        l.rlike("^[ \t]*[-*•]"))).cast("long"),
+      nEllipsisLines = size(filter(lines, l =>
+        l.rlike("(\\.\\.\\.|…)[ \t]*$"))).cast("long"),
+      nStopHits = StopWords.map(w =>
+        when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _))
+  }
+
+  /** The composite Gopher verdict as one COLUMN over a text expression —
+    * the surface the streaming twin gates with, so stream ≡ batch
+    * verdicts are the same expression tree by construction.
+    */
+  def pass(t: Column): Column = stats(t).passAll
+
   /** Per-document rule verdicts plus the composite `pass`. Counters the
     * rules divide are also emitted so a downstream re-threshold needs no
     * re-scan (the published bounds are corpus-tuned, not sacred).
     */
   def evaluate(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val t = col(textCol)
-    val toks = F.tokensLower(t)
-    val lines = split(t, "\n")
-    val nWords = size(toks).cast("long")
-    val wordChars = aggregate(transform(toks, w => length(w)),
-      lit(0L), (acc, x) => acc + x)
-    val nAlphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
-    // '#', ASCII '...', and the Unicode ellipsis '…' all count as symbols:
-    // the line-end ellipsis rule already treats '…' as an ellipsis, so the
-    // symbol ratio must too, or '…'-heavy pages never trip it (ADVICE r12)
-    val nSymbols = TextStats.markerCount(t, "#") +
-      TextStats.markerCount(t, "...") + TextStats.markerCount(t, "…")
-    val nLines = size(lines).cast("long")
-    val nBulletLines = size(filter(lines, l =>
-      l.rlike("^[ \t]*[-*•]"))).cast("long")
-    val nEllipsisLines = size(filter(lines, l =>
-      l.rlike("(\\.\\.\\.|…)[ \t]*$"))).cast("long")
-    val nStopHits = StopWords.map(w =>
-      when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _)
+    val s = stats(col(textCol))
     docs.select(
       col(idCol).as("doc_id"),
-      nWords.as("n_words"),
-      wordChars.as("word_chars"),
-      nAlphaWords.as("n_alpha_words"),
-      nSymbols.as("n_symbols"),
-      nLines.as("n_lines"),
-      nBulletLines.as("n_bullet_lines"),
-      nEllipsisLines.as("n_ellipsis_lines"),
-      nStopHits.as("n_stop_hits"),
-      (nWords >= 50 && nWords <= 100000).as("r_word_count"),
-      (wordChars >= nWords * 3 && wordChars <= nWords * 10).as("r_mean_len"),
-      (nSymbols * 10 < nWords).as("r_symbol_ratio"),
-      (nBulletLines * 10 <= nLines * 9).as("r_bullet"),
-      (nEllipsisLines * 10 <= nLines * 3).as("r_ellipsis"),
-      (nAlphaWords * 5 >= nWords * 4).as("r_alpha"),
-      (nStopHits >= MinStopHits).as("r_stop_words"))
+      s.nWords.as("n_words"),
+      s.wordChars.as("word_chars"),
+      s.nAlphaWords.as("n_alpha_words"),
+      s.nSymbols.as("n_symbols"),
+      s.nLines.as("n_lines"),
+      s.nBulletLines.as("n_bullet_lines"),
+      s.nEllipsisLines.as("n_ellipsis_lines"),
+      s.nStopHits.as("n_stop_hits"),
+      s.rWordCount.as("r_word_count"),
+      s.rMeanLen.as("r_mean_len"),
+      s.rSymbolRatio.as("r_symbol_ratio"),
+      s.rBullet.as("r_bullet"),
+      s.rEllipsis.as("r_ellipsis"),
+      s.rAlpha.as("r_alpha"),
+      s.rStopWords.as("r_stop_words"))
       .withColumn("pass",
         col("r_word_count") && col("r_mean_len") && col("r_symbol_ratio") &&
         col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
@@ -442,22 +466,35 @@ object C4Filters {
 
   private val TerminalLine = "[.!?\"][ \t]*$"
 
+  private def keptLines(t: Column): Column =
+    filter(split(t, "\n"), l =>
+      l.rlike(TerminalLine) &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        !contains(lower(l), lit("javascript")))
+
+  // sentence evidence: terminal-punctuation marks inside KEPT lines
+  private def sentenceCount(kept: Column): Column =
+    aggregate(
+      transform(kept, l =>
+        length(l) - length(regexp_replace(l, "[.!?]", ""))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The composite C4 page verdict as one COLUMN over a text expression —
+    * the surface the streaming twin gates with, so stream ≡ batch
+    * verdicts are the same expression tree by construction.
+    */
+  def keep(t: Column): Column =
+    sentenceCount(keptLines(t)) >= 3 &&
+      !contains(t, lit("{")) && !contains(lower(t), lit("lorem ipsum"))
+
   def evaluate(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")
-    val keptPred = (l: Column) =>
-      l.rlike(TerminalLine) &&
-        size(split(trim(l), "\\s+")) >= 5 &&
-        !contains(lower(l), lit("javascript"))
-    val kept = filter(lines, keptPred)
+    val kept = keptLines(t)
     val nJs = size(filter(lines, l =>
       contains(lower(l), lit("javascript")))).cast("long")
-    // sentence evidence: terminal-punctuation marks inside KEPT lines
-    val nSentences = aggregate(
-      transform(kept, l =>
-        length(l) - length(regexp_replace(l, "[.!?]", ""))),
-      lit(0L), (acc, x) => acc + x)
+    val nSentences = sentenceCount(kept)
     val keptChars = aggregate(transform(kept, l => length(l)),
       lit(0L), (acc, x) => acc + x)
     docs.select(

@@ -90,9 +90,26 @@ object UrlFilter {
       soft: Seq[(String, Int)] = DefaultSoft,
       strict: Seq[(String, Int)] = DefaultStrict,
       scoreThreshold: Int = DefaultThreshold,
+      broadcastBlocklist: Boolean = true): DataFrame =
+    annotate(docs.select(col(idCol).as("doc_id"), col(urlCol)), urlCol,
+      blockDim, soft, strict, scoreThreshold, broadcastBlocklist)
+      .drop(urlCol)
+
+  /** [[evaluate]]'s column-preserving sibling: appends the counter and
+    * verdict columns (`host`, `host_len`, `n_host_digits`,
+    * `n_host_dots`, `badword_score`, `blocked_domain`, `blocked_parent`,
+    * the `r_*` rules, `url_ok`) to `docs` WITHOUT projecting anything
+    * away — the surface a streaming twin (or any pipeline stage that
+    * must keep its own columns) gates with, so stream ≡ batch verdicts
+    * are the same expression tree by construction. `docs` must not
+    * already carry those column names.
+    */
+  def annotate(docs: DataFrame, urlCol: String, blockDim: DataFrame,
+      soft: Seq[(String, Int)] = DefaultSoft,
+      strict: Seq[(String, Int)] = DefaultStrict,
+      scoreThreshold: Int = DefaultThreshold,
       broadcastBlocklist: Boolean = true): DataFrame = {
     val lurl = lower(col(urlCol))
-    val host = hostOf(col(urlCol))
     val tokens = split(lurl, "[^a-z0-9]+")
     val softMap = map(soft.flatMap { case (w, v) =>
       Seq(lit(w), lit(v.toLong)) }: _*)
@@ -101,28 +118,27 @@ object UrlFilter {
     val strictScore = strict.map { case (w, v) =>
       when(contains(lurl, lit(w)), lit(v.toLong)).otherwise(0L)
     }.reduceOption(_ + _).getOrElse(lit(0L))
-    val nDigits =
-      length(regexp_replace(host, "[^0-9]", "")).cast("long")
-    val nDots =
-      (length(host) - length(translate(host, ".", ""))).cast("long")
 
     // the i-th SHORTEST proper suffix of the host with ≥ 2 labels
     // (i=1 → the registrable-looking `example.com` end), NULL when the
     // host has no i-th proper suffix — NULL keys simply never match
-    val labels = split(host, "\\.")
+    val labels = split(col("host"), "\\.")
     val nLab = size(labels)
     def sfx(i: Int): Column =
       when(lit(i) <= nLab - 2,
         array_join(slice(labels, nLab - i, lit(i + 1)), "."))
 
-    val scored = docs.select(
-      (col(idCol).as("doc_id") +:
-       host.as("host") +:
-       length(host).cast("long").as("host_len") +:
-       nDigits.as("n_host_digits") +:
-       nDots.as("n_host_dots") +:
-       (softScore + strictScore).as("badword_score") +:
-       (1 to MaxSuffixJoins).map(i => sfx(i).as(s"_sfx$i"))): _*)
+    val scored = (1 to MaxSuffixJoins).foldLeft(
+      docs
+        .withColumn("host", hostOf(col(urlCol)))
+        .withColumn("host_len", length(col("host")).cast("long"))
+        .withColumn("n_host_digits",
+          length(regexp_replace(col("host"), "[^0-9]", "")).cast("long"))
+        .withColumn("n_host_dots",
+          (length(col("host")) - length(translate(col("host"), ".", "")))
+            .cast("long"))
+        .withColumn("badword_score", softScore + strictScore)
+    ) { (df, i) => df.withColumn(s"_sfx$i", sfx(i)) }
 
     def dim(as: String): DataFrame = {
       val d = blockDim.select(col("host").as(as))
@@ -133,11 +149,12 @@ object UrlFilter {
       df.join(dim(s"_bh$i"), col(s"_sfx$i") === col(s"_bh$i"), "left")
     }
     joined
-      .select(col("doc_id"), col("host"), col("host_len"),
-        col("n_host_digits"), col("n_host_dots"), col("badword_score"),
-        col("_bh0").isNotNull.as("blocked_domain"),
+      .withColumn("blocked_domain", col("_bh0").isNotNull)
+      .withColumn("blocked_parent",
         (1 to MaxSuffixJoins).map(i => col(s"_bh$i").isNotNull)
-          .reduce(_ || _).as("blocked_parent"))
+          .reduce(_ || _))
+      .drop("_bh0" +: (1 to MaxSuffixJoins)
+        .flatMap(i => Seq(s"_sfx$i", s"_bh$i")): _*)
       .withColumn("r_has_host", col("host_len") > 0L)
       .withColumn("r_blocklist",
         !(col("blocked_domain") || col("blocked_parent")))

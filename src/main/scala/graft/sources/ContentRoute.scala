@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *  - any image subtype → `image`: container-header metadata
   *    ([[graft.multimodal.MediaHeader]] via the q83 kernels) — bytes
   *    never touch a text path;
-  *  - any other non-empty type (`application/pdf`, …) → `binary`:
-  *    counted skip, payload untouched;
+  *  - `application/pdf` → `pdf`: bounded-subset text extraction
+  *    ([[PdfText]] — object/stream walk, FlateDecode, BT/ET operators);
+  *    out-of-subset payloads carry an attributable `pdf_reason`, never
+  *    mangled prose;
+  *  - any other non-empty type → `binary`: counted skip, payload
+  *    untouched;
   *  - absent/empty Content-Type → `unknown`: counted skip (guessing a
   *    type for unlabeled bytes is how prose gets mangled).
   *
@@ -40,6 +44,7 @@ object ContentRoute {
   val RouteHtml = "html"
   val RoutePlain = "plain"
   val RouteImage = "image"
+  val RoutePdf = "pdf"
   val RouteBinary = "binary"
   val RouteUnknown = "unknown"
 
@@ -57,29 +62,36 @@ object ContentRoute {
         lit(RouteHtml))
       .when(mt.startsWith("text/"), lit(RoutePlain))
       .when(mt.startsWith("image/"), lit(RouteImage))
+      .when(mt === "application/pdf", lit(RoutePdf))
       .otherwise(lit(RouteBinary))
   }
 
   /** Dispatch a response frame (`bodyCol` binary, `ctCol` Content-Type)
     * into per-type outputs: adds `media_type`, `route`, `text` (html →
-    * extracted visible text, plain → transcoded body, else NULL — NULL
-    * also when the strict transcode rejects the bytes), and
-    * `img_format`/`img_w`/`img_h` (image route only; corrupt headers →
-    * NULL per the q83 contract). Every input row survives — routing
-    * classifies, the caller decides what to keep, so skips stay
-    * COUNTABLE.
+    * extracted visible text, plain → transcoded body, pdf → bounded
+    * -subset extraction, else NULL — NULL also when the strict transcode
+    * rejects the bytes or the PDF is out of subset), `pdf_reason` (pdf
+    * route only — ok / not_pdf / encrypted / torn / stream_too_large /
+    * no_text), and `img_format`/`img_w`/`img_h` (image route only;
+    * corrupt headers → NULL per the q83 contract). Every input row
+    * survives — routing classifies, the caller decides what to keep, so
+    * skips stay COUNTABLE.
     */
   def routed(responses: DataFrame, bodyCol: String = "body",
       ctCol: String = "content_type"): DataFrame = {
     val rt = col("route")
     val decoded =
       WarcTranscode.utf8Text(col(bodyCol), WarcTranscode.charsetOf(col(ctCol)))
+    val pdf = F.pdfExtract(col(bodyCol))
     responses
       .withColumn("media_type", mediaType(col(ctCol)))
       .withColumn("route", route(col(ctCol)))
       .withColumn("text",
         when(rt === RouteHtml, HtmlText.extract(decoded))
-          .when(rt === RoutePlain, decoded))
+          .when(rt === RoutePlain, decoded)
+          .when(rt === RoutePdf, element_at(pdf, 1)))
+      .withColumn("pdf_reason",
+        when(rt === RoutePdf, element_at(pdf, 2)))
       .withColumn("img_format",
         when(rt === RouteImage, F.imageFormat(col(bodyCol))))
       .withColumn("img_w",

@@ -237,11 +237,27 @@ object WebIngestStream {
     * crawl frontier's refetch window, not an unbounded seen-set).
     * Every kernel is map-side, so the only stateful operator is the
     * dedup — the streaming plan is scan → project → filter → dedup.
+    *
+    * `qualityGates = true` additionally gates each capture on the batch
+    * quality batteries — the Gopher document rules ([[graft.functions
+    * .GopherRules.pass]], q115) and the C4 page verdict
+    * ([[graft.functions.C4Filters.keep]], q116) over the extracted text,
+    * plus the URL filter battery ([[graft.functions.UrlFilter.annotate]],
+    * q119) over the canonical URL when `urlBlockDim` supplies a
+    * blocklist dim. All three are the SAME column expressions the batch
+    * entries evaluate, so stream ≡ batch verdicts by construction
+    * (StreamingSpec asserts it on a shared slice); the only non-map-side
+    * addition is the blocklist's broadcast hash joins, which
+    * stream-static joins run per micro-batch.
     */
   def cleanCaptures(captures: org.apache.spark.sql.DataFrame,
-      watermark: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+      watermark: String = "1 hour",
+      qualityGates: Boolean = false,
+      urlBlockDim: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    import graft.functions.{HtmlText, TextStats, UrlNorm}
+    import graft.functions.{C4Filters, GopherRules, HtmlText, TextStats,
+      UrlFilter, UrlNorm}
     import graft.sources.{ContentRoute, WarcTranscode}
     val cs = WarcTranscode.charsetOf(col("content_type"))
     val utf8 = when(cs.isNotNull, WarcTranscode.utf8Text(col("body"), cs))
@@ -266,6 +282,15 @@ object WebIngestStream {
         TextStats.controlCharCount(col("page_text")) === 0)
       .withColumn("url_canon", UrlNorm.canonicalize(col("url")))
       .where(col("url_canon").isNotNull)
+      .transform { df =>
+        if (!qualityGates) df
+        else {
+          val g = df.where(GopherRules.pass(col("page_text")) &&
+            C4Filters.keep(col("page_text")))
+          urlBlockDim.fold(g)(dim =>
+            UrlFilter.annotate(g, "url_canon", dim).where(col("url_ok")))
+        }
+      }
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("url_canon")
       .select(col("ts"), col("url_canon"), col("page_text"))

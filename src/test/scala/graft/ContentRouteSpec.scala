@@ -15,7 +15,7 @@ class ContentRouteSpec extends SparkSpec {
     spark.range(1).select(ContentRoute.route(lit(ct)).as("r"))
       .collect()(0).getString(0)
 
-  test("dispatch table: html/plain/image/binary/unknown") {
+  test("dispatch table: html/plain/image/pdf/binary/unknown") {
     assert(routeOf("text/html") == "html")
     assert(routeOf("text/html; charset=utf-8") == "html")
     assert(routeOf("application/xhtml+xml") == "html")
@@ -24,7 +24,7 @@ class ContentRouteSpec extends SparkSpec {
     assert(routeOf("text/csv; header=present") == "plain")
     assert(routeOf("image/png") == "image")
     assert(routeOf("image/bmp") == "image")
-    assert(routeOf("application/pdf") == "binary")
+    assert(routeOf("application/pdf") == "pdf")
     assert(routeOf("application/json") == "binary")
     assert(routeOf("video/mp4") == "binary")
     assert(routeOf("") == "unknown")
@@ -60,24 +60,32 @@ class ContentRouteSpec extends SparkSpec {
       (4L, "application/pdf", "%PDF-1.4".getBytes("US-ASCII")),
       (5L, null.asInstanceOf[String], Array[Byte](1, 2, 3)),
       // mislabeled prose: declared charset rejects the bytes → text NULL
-      (6L, "text/plain; charset=utf-8", Array[Byte](-1, -2, 65)))
+      (6L, "text/plain; charset=utf-8", Array[Byte](-1, -2, 65)),
+      // a REAL planted PDF (variant 0: uncompressed Tj): the route runs
+      // the q123 extractor, not a skip
+      (7L, "application/pdf", graft.sources.PdfText.fixture(10L,
+        org.apache.spark.unsafe.types.UTF8String.fromString("hi"))))
       .toDF("doc_id", "content_type", "body")
     val out = ContentRoute.routed(rows)
-      .select("doc_id", "route", "text", "img_format", "img_w", "img_h")
+      .select("doc_id", "route", "text", "img_format", "img_w", "img_h",
+        "pdf_reason")
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getString(2),
           if (r.isNullAt(3)) null else r.getString(3),
           if (r.isNullAt(4)) -1 else r.getInt(4),
-          if (r.isNullAt(5)) -1 else r.getInt(5))).toMap
-    assert(out(1L) == (("html", "Hello & welcome", null, -1, -1)))
-    assert(out(2L) == (("plain", "café", null, -1, -1)))
-    assert(out(3L) == (("image", null, "bmp", 7, 5)))
-    assert(out(4L) == (("binary", null, null, -1, -1)))
-    assert(out(5L) == (("unknown", null, null, -1, -1)))
-    assert(out(6L) == (("plain", null, null, -1, -1)),
+          if (r.isNullAt(5)) -1 else r.getInt(5),
+          if (r.isNullAt(6)) null else r.getString(6))).toMap
+    assert(out(1L) == (("html", "Hello & welcome", null, -1, -1, null)))
+    assert(out(2L) == (("plain", "café", null, -1, -1, null)))
+    assert(out(3L) == (("image", null, "bmp", 7, 5, null)))
+    assert(out(4L) == (("pdf", null, null, -1, -1, "no_text")),
+      "an object-less PDF marker must answer no_text, not mangled prose")
+    assert(out(5L) == (("unknown", null, null, -1, -1, null)))
+    assert(out(6L) == (("plain", null, null, -1, -1, null)),
       "strict transcode must reject mislabeled bytes, not mangle them")
+    assert(out(7L) == (("pdf", "Doc 10 uncompressed\nhi", null, -1, -1, "ok")))
     // every input row survives: routing classifies, callers filter
-    assert(out.size == 6)
+    assert(out.size == 7)
   }
 
   test("routing composes with the WARC reader's absent-header NULL") {

@@ -99,8 +99,10 @@ class PipelineSpec extends SparkSpec {
       cap(4, t.getBytes("UTF-8"), "text/plain; charset=x-nope") ++
       cap(5, (t + " \u0007bel").getBytes("UTF-8"),
         "text/plain; charset=utf-8") ++
-      // a PDF capture: must route OUT at w1b, never mangle through a
-      // text kernel (q111's ContentRoute inside the funnel)
+      // a PDF capture: routes INTO the text chain (q123's extractor
+      // inside the funnel), but an object-less marker yields NULL text
+      // and drops before w2 — counted, never mangled through a text
+      // kernel
       cap(7, "%PDF-1.4 not prose".getBytes("US-ASCII"),
         "application/pdf") ++
       cap(6, t.getBytes("UTF-8"), "text/plain").dropRight(30) // torn
@@ -114,9 +116,10 @@ class PipelineSpec extends SparkSpec {
     val funnel = prep.funnel.as[(String, Long)].collect().toMap
     assert(funnel("w0_records") == 6L, s"torn record must not count: $funnel")
     assert(funnel("w1_http_bodies") == 6L)
-    assert(funnel("w1b_text_routed") == 5L,
-      s"the PDF capture must route out: $funnel")
-    assert(funnel("w2_transcoded") == 4L, s"unknown charset must drop: $funnel")
+    assert(funnel("w1b_text_routed") == 6L,
+      s"the PDF capture must route into the text chain: $funnel")
+    assert(funnel("w2_transcoded") == 4L,
+      s"unknown charset and textless PDF must drop: $funnel")
     assert(funnel("0_raw") == 3L, s"BEL capture must drop at the gate: $funnel")
     // docs 1/2/3 proceed: all-distinct exact, 1-2-3 mutually near-dup at
     // bigram J >= 50 (tail edits only) → one keeper

@@ -343,4 +343,49 @@ class StreamingSpec extends SparkSpec {
         "text/plain must pass through without HTML extraction")
     } finally q.stop()
   }
+
+  test("streaming quality gates match the batch batteries on the same slice") {
+    import graft.functions.{C4Filters, GopherRules, UrlFilter, UrlNorm}
+    implicit val sql = spark.sqlContext
+    // one line that satisfies every Gopher bound when repeated (length,
+    // stop words, alpha ratio) AND is a C4 keepable sentence line
+    val line = "the be to of and that have with all good things " +
+      "come to pages that keep their prose plain and honest here."
+    val good = Seq.fill(3)(line).mkString("\n")          // 3 sentences
+    val gopherFail = "short text."                       // < 50 words
+    val c4Fail = (line.replace(".", "") + " ") * 3       // no sentence ends
+    val slice = Seq(
+      ("http://ok.example/a", good),        // survives
+      ("http://ok.example/b", gopherFail),  // Gopher word count
+      ("http://ok.example/c", c4Fail),      // C4 sentence gate
+      ("http://sub.bad.example/d", good),   // subdomain of banned host
+      ("http://notbad.example/e", good))    // sibling: no label boundary
+    val dim = Seq("bad.example").toDF("host")
+
+    // batch verdicts over the same slice, same expression trees
+    val batchKept = UrlFilter.annotate(
+      slice.toDF("url", "text")
+        .where(GopherRules.pass(col("text")) && C4Filters.keep(col("text")))
+        .withColumn("url_canon", UrlNorm.canonicalize(col("url"))),
+      "url_canon", dim).where(col("url_ok"))
+      .select("url_canon").as[String].collect().toSet
+
+    val mem = MemoryStream[(Timestamp, String, String, Array[Byte])]
+    val out = WebIngestStream.cleanCaptures(
+      mem.toDF().toDF("ts", "url", "content_type", "body"),
+      qualityGates = true, urlBlockDim = Some(dim))
+    val q = out.writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(slice.zipWithIndex.map { case ((u, t), i) =>
+        (ts(10, i), u, "text/plain; charset=utf-8", t.getBytes("UTF-8"))
+      }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quality_stream")
+        .select("url_canon").as[String].collect().toSet
+      assert(streamed == batchKept, s"stream $streamed vs batch $batchKept")
+      assert(streamed == Set("http://ok.example/a", "http://notbad.example/e"),
+        s"wrong survivor set: $streamed")
+    } finally q.stop()
+  }
 }
