@@ -131,6 +131,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("URL filter: exact + parent-suffix blocklist joins all broadcast, zero wide shuffles") {
+    val p = plan("q119_url_filter")
+    // 1 exact-host + MaxSuffixJoins parent-suffix joins, every one a
+    // broadcast hash join against the same dim — the corpus side must
+    // never shuffle for a blocklist probe
+    assert("BroadcastHashJoin".r.findAllIn(p).size ==
+      1 + graft.functions.UrlFilter.MaxSuffixJoins,
+      "blocklist joins not all broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "a blocklist join fell back to a shuffle join")
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext,
+      "q119 must be map-side + broadcasts only:\n" + p.take(1500))
+  }
+
+  test("fetch schedule: broadcast policy dim, bounded shuffles, one window sort") {
+    val p = plan("q124_fetch_schedule")
+    assert(p.contains("BroadcastHashJoin"),
+      "policy dim not broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "policy join fell back to a shuffle join")
+    // keeper groupBy + the per-host window re-key — nothing else wide
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "q124 shuffles more than keeper-groupBy + window re-key:\n" +
+        p.take(1500))
+  }
+
   test("zero-fill outer join broadcasts the aggregated (buildable) side") {
     // A left-outer join can only build right; the broadcast hint must sit on
     // the aggregated side or Spark discards it and shuffle-joins (r2 verdict).
