@@ -223,8 +223,10 @@ object WebIngestStream {
   /** Streaming twin of the web-ingest layer (q100/q108 → q111 routing →
     * q103 → q99 → q104 composed): captures arrive as a stream of
     * (ts, url, content_type, body) rows; each micro-batch ROUTES on the
-    * declared media type first (q111's dispatch — only html and text
-    * subtypes continue; image/binary/unlabeled captures drop here
+    * declared media type first (q111's dispatch — html, text subtypes,
+    * and application/pdf continue, the last through the bounded-subset
+    * PdfText extractor exactly like the batch funnel's text chain;
+    * image/binary/unlabeled captures drop here
     * rather than mangling through the HTML scanner; a batch-side
     * [[graft.sources.ContentRoute.routed]] pass is where a full
     * pipeline would count them), transcodes (labeled charset strictly,
@@ -270,11 +272,18 @@ object WebIngestStream {
     // streaming twin's html-extract-the-unknowns path mangled the latter
     // (ADVICE r12). Keeping the skip symmetric also makes the
     // stream ≡ batch parity specs exact rather than carve-out-laden.
-    // Only the declared-html route runs the HTML scanner.
+    // Only the declared-html route runs the HTML scanner; pdf captures
+    // run the bounded-subset extractor over the RAW bytes (q123 —
+    // transcoding a binary container would corrupt it), with
+    // out-of-subset PDFs yielding NULL text and dropping at the same
+    // gate the batch funnel uses.
     captures
-      .where(route.isin(ContentRoute.RouteHtml, ContentRoute.RoutePlain))
+      .where(route.isin(ContentRoute.RouteHtml, ContentRoute.RoutePlain,
+        ContentRoute.RoutePdf))
       .withColumn("page_text",
         when(route === ContentRoute.RouteHtml, HtmlText.extract(utf8))
+          .when(route === ContentRoute.RoutePdf,
+            element_at(graft.functions.F.pdfExtract(col("body")), 1))
           .otherwise(utf8))
       .where(col("page_text").isNotNull &&
         TextStats.replacementCount(col("page_text")) +

@@ -325,8 +325,17 @@ class StreamingSpec extends SparkSpec {
         // stream): never mangled through the HTML scanner
         (ts(10, 7), "http://e.example/img", "image/png",
           Array[Byte](0x50, 0x4e, 0x47, 1, 2, 3)),
+        // an out-of-subset PDF (no text objects) extracts to NULL and
+        // drops at the same gate the batch funnel uses...
         (ts(10, 8), "http://f.example/doc", "application/pdf",
           "%PDF-1.4 not prose".getBytes("US-ASCII")),
+        // ...while an in-subset PDF yields its extracted text (q123
+        // symmetry: the stream runs the same bounded-subset extractor
+        // over the RAW bytes, never the transcoder)
+        (ts(10, 10), "http://h.example/doc2", "application/pdf",
+          graft.sources.PdfText.fixture(1L,
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString("pdf prose survives"))),
         // a text/plain capture passes through WITHOUT HTML extraction
         (ts(10, 9), "http://g.example/t", "text/plain; charset=utf-8",
           "plain <notatag> text".getBytes("UTF-8")))
@@ -335,12 +344,14 @@ class StreamingSpec extends SparkSpec {
         .select("url_canon", "page_text")
         .as[(String, String)].collect().toMap
       assert(got.keySet == Set("http://a.example/x", "http://b.example/y",
-        "http://g.example/t"),
+        "http://g.example/t", "http://h.example/doc2"),
         s"wrong survivor set: ${got.keySet}")
       assert(got("http://a.example/x") == "café one", "first fetch must win")
       assert(got("http://b.example/y") == "two café", "1252 sniff failed")
       assert(got("http://g.example/t") == "plain <notatag> text",
         "text/plain must pass through without HTML extraction")
+      assert(got("http://h.example/doc2") == "Doc 1 flate\npdf prose survives",
+        "pdf route must extract via PdfText, matching the batch funnel")
     } finally q.stop()
   }
 
