@@ -1718,6 +1718,45 @@ object SparkEntry {
           col("sched_offset_ms"))
     }),
 
+    // 29o. robots-meta page directives + rel=nofollow link gating — the
+    // page-level leg of the politeness stack (q105 gates the FETCH, this
+    // gates what the fetched page may be USED for: corpus inclusion and
+    // frontier expansion). Planted meta variants cover attribute-order
+    // reversal, case folding, the none alias, an explicit allow, a
+    // missing tag, and a non-robots decoy name; anchors alternate a
+    // rel=nofollow marker against a rel=noopener distractor. Spark
+    // genuinely parses the tags (RobotsMeta's order/case-robust scan);
+    // the oracle replays the plant arithmetic. Map-side, zero shuffles.
+    "q125_robots_meta" -> ((s, dir) => {
+      import graft.functions.RobotsMeta
+      val id = col("doc_id")
+      val meta =
+        when(id % 7 === 0,
+          lit("<meta content=\"noindex, nofollow\" name=\"robots\">"))
+        .when(id % 7 === 1, lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX\">"))
+        .when(id % 7 === 2, lit("<meta name=\"robots\" content=\"nofollow\">"))
+        .when(id % 7 === 3, lit("<meta name=\"robots\" content=\"none\">"))
+        .when(id % 7 === 4,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .when(id % 7 === 5, lit(""))
+        .otherwise(lit("<meta name=\"googlebot\" content=\"noindex\">"))
+      val links = concat(
+        lit("<a href=\"http://l"), (id % 11).cast("string"),
+        lit(".example/a\">one</a>"),
+        when(id % 3 === 1,
+          lit(" <a rel=\"nofollow\" href=\"/x\">two</a>"))
+          .otherwise(lit(" <a href=\"/y\" rel=\"noopener\">two</a>")))
+      val html = concat(
+        lit("<html><head><meta name=\"viewport\" content=\"width=1\">"),
+        meta, lit("</head><body><p>"), col("text"), lit("</p>"), links,
+        lit("</body></html>"))
+      Tables(s, dir).documents.select(id,
+        RobotsMeta.noindex(html).as("noindex"),
+        RobotsMeta.nofollow(html).as("nofollow"),
+        size(RobotsMeta.anchorTags(html)).cast("long").as("n_links"),
+        RobotsMeta.followableLinks(html).as("n_follow_links"))
+    }),
+
     // 26r. CCNet-style trained-LM perplexity: fit an add-one bigram LM on
     // the deterministic q41 train split, score the WHOLE corpus against
     // it — model and corpus decoupled (q58's self-LM can't say "looks
@@ -3732,6 +3771,22 @@ object SparkEntry {
         |  keeper_doc, allowed_bot, delay_x1000, n_sitemaps, fetch_seq,
         |  (fetch_seq - 1) * delay_x1000 AS sched_offset_ms
         |FROM s""".stripMargin,
+    // q125: the oracle replays the plant arithmetic — noindex for the
+    // noindex/NOINDEX/none variants (0,1,3 mod 7), nofollow for
+    // nofollow/none (0,2,3); the googlebot decoy (6) and the viewport
+    // meta never count. Always 2 anchors; followable = 0 when the PAGE
+    // says nofollow, else minus the rel=nofollow-marked link (id%3=1) —
+    // the rel=noopener distractor never subtracts. Spark must genuinely
+    // parse attribute-order-reversed and case-folded tags to agree.
+    "q125_robots_meta" ->
+      """SELECT doc_id,
+        |  doc_id % 7 IN (0, 1, 3) AS noindex,
+        |  doc_id % 7 IN (0, 2, 3) AS nofollow,
+        |  CAST(2 AS BIGINT) AS n_links,
+        |  CAST(CASE WHEN doc_id % 7 IN (0, 2, 3) THEN 0
+        |            WHEN doc_id % 3 = 1 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS n_follow_links
+        |FROM documents""".stripMargin,
     // q114: the oracle refits the same add-one bigram LM on the same
     // hash-defined train split (q41's membership arithmetic) and replays
     // the scoring; the DECIMAL(18,9) per-bigram quantization absorbs

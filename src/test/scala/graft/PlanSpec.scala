@@ -145,6 +145,14 @@ class PlanSpec extends SparkSpec {
       "q119 must be map-side + broadcasts only:\n" + p.take(1500))
   }
 
+  test("robots-meta directives stay one map-side pass") {
+    val p = plan("q125_robots_meta")
+      .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
+    assert(!p.contains("Exchange"),
+      "q125 must be shuffle-free:\n" + p.take(1200))
+    assert(!p.contains("Join"), "q125 must not join:\n" + p.take(1200))
+  }
+
   test("fetch schedule: broadcast policy dim, bounded shuffles, one window sort") {
     val p = plan("q124_fetch_schedule")
     assert(p.contains("BroadcastHashJoin"),
