@@ -1757,6 +1757,23 @@ object SparkEntry {
         RobotsMeta.followableLinks(html).as("n_follow_links"))
     }),
 
+    // 26ab. DSIR importance-resampling data selection (Xie et al. 2023):
+    // hashed unigram+bigram bucket LMs fit on the q120 reference split
+    // (target = the hash-deterministic curated-English half) vs the
+    // disjoint crawl half, every document scored by the quantized
+    // importance log-ratio, top-quarter selected by length-normalized
+    // score with a deterministic (score, doc_id) rank — no global row
+    // sort (the q64 offsets shape over the bounded score domain), the
+    // ≤1024-row model always broadcast, kernel-side wraparound hashing.
+    "q126_dsir_select" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val b = Sampling.bucket(col("doc_id"))
+      graft.functions.Dsir.select(
+        docs.where(col("lang") === "en" && b < 5000),
+        docs.where(b >= 5000),
+        docs, "doc_id", "text")
+    }),
+
     // 26r. CCNet-style trained-LM perplexity: fit an add-one bigram LM on
     // the deterministic q41 train split, score the WHOLE corpus against
     // it — model and corpus decoupled (q58's self-LM can't say "looks
@@ -3787,6 +3804,69 @@ object SparkEntry {
         |            WHEN doc_id % 3 = 1 THEN 1 ELSE 2 END AS BIGINT)
         |    AS n_follow_links
         |FROM documents""".stripMargin,
+    // q126: the oracle refits both hashed-bucket LMs on the same
+    // hash-defined split and replays the scoring — per-token FNV hashes
+    // from the shared fnv CTE, the bigram combine as wrapping HUGEINT
+    // arithmetic re-signed into DuckDB's hash(BIGINT) (bit-identical to
+    // Hashing.murmur64, negatives included), buckets as low-bits mod
+    // 1024 (power-of-two ⇒ signed/unsigned agreement), DECIMAL(18,9)
+    // per-bucket quantization before the subtraction and document sum.
+    "q126_dsir_select" ->
+      s"""$duckHash64Tokens,
+         |feats AS (
+         |  SELECT doc_id, CAST(th % 1024 AS INTEGER) AS b FROM fnv
+         |  UNION ALL
+         |  SELECT a.doc_id,
+         |    CAST(hash(CAST(${toSigned64(s"((a.th*31 + b.th) % $m64)")}
+         |      AS BIGINT)) % 1024 AS INTEGER)
+         |  FROM fnv a JOIN fnv b ON a.doc_id = b.doc_id AND b.ti = a.ti + 1
+         |), cls AS (
+         |  SELECT doc_id, lang, (hash(doc_id) >> 16) % 10000 AS bkt
+         |  FROM documents
+         |), pc AS (
+         |  SELECT b, COUNT(*) AS cp FROM feats JOIN cls USING (doc_id)
+         |  WHERE lang = 'en' AND bkt < 5000 GROUP BY 1
+         |), qc AS (
+         |  SELECT b, COUNT(*) AS cq FROM feats JOIN cls USING (doc_id)
+         |  WHERE bkt >= 5000 GROUP BY 1
+         |), model AS (
+         |  SELECT COALESCE(pc.b, qc.b) AS b, COALESCE(cp, 0) AS cp,
+         |    COALESCE(cq, 0) AS cq
+         |  FROM pc FULL JOIN qc ON pc.b = qc.b
+         |), tot AS (
+         |  SELECT COALESCE(SUM(cp), 0) AS np, COALESCE(SUM(cq), 0) AS nq
+         |  FROM model
+         |), wt AS (
+         |  SELECT b,
+         |    CAST(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + 1024 AS DOUBLE))
+         |      AS DECIMAL(18,9))
+         |    - CAST(ln(CAST(cq + 1 AS DOUBLE) / CAST(nq + 1024 AS DOUBLE))
+         |      AS DECIMAL(18,9)) AS w
+         |  FROM model CROSS JOIN tot
+         |), w0 AS (
+         |  SELECT CAST(ln(CAST(1 AS DOUBLE) / CAST(np + 1024 AS DOUBLE))
+         |      AS DECIMAL(18,9))
+         |    - CAST(ln(CAST(1 AS DOUBLE) / CAST(nq + 1024 AS DOUBLE))
+         |      AS DECIMAL(18,9)) AS w0
+         |  FROM tot
+         |), sc AS (
+         |  SELECT doc_id, COUNT(*) AS n_feats,
+         |    SUM(COALESCE(w, w0)) AS sum_w
+         |  FROM feats LEFT JOIN wt USING (b) CROSS JOIN w0 GROUP BY 1
+         |), avgd AS (
+         |  SELECT doc_id, n_feats,
+         |    CAST(floor(sum_w * 1000) AS BIGINT) AS logratio_x1000,
+         |    CAST(floor(sum_w * 1000 / n_feats) AS BIGINT) AS avg_x1000
+         |  FROM sc
+         |), rk AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY avg_x1000 DESC,
+         |      doc_id) AS BIGINT) AS dsir_rank,
+         |    COUNT(*) OVER () AS total
+         |  FROM avgd
+         |)
+         |SELECT doc_id, n_feats, logratio_x1000, avg_x1000, dsir_rank,
+         |  dsir_rank * 1000 <= total * 250 AS selected
+         |FROM rk""".stripMargin,
     // q114: the oracle refits the same add-one bigram LM on the same
     // hash-defined train split (q41's membership arithmetic) and replays
     // the scoring; the DECIMAL(18,9) per-bigram quantization absorbs

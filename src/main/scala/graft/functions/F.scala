@@ -75,6 +75,14 @@ object F {
     invoke(ArrayType(LongType, containsNull = false), "bandBuckets",
       Seq(ex(sig), Literal(bands)))
 
+  /** DSIR hashed unigram+bigram feature buckets (array<int>, each in
+    * [0, buckets)) of a token array — [[Hashing.dsirBuckets]]; `buckets`
+    * must be a power of two.
+    */
+  def dsirBuckets(tokenArr: Column, buckets: Int): Column =
+    invoke(ArrayType(IntegerType, containsNull = false), "dsirBuckets",
+      Seq(ex(tokenArr), Literal(buckets)))
+
   /** 64-bit SimHash of a token array. */
   def simhash64(tokenArr: Column): Column =
     invoke(LongType, "simhash64", Seq(ex(tokenArr)))

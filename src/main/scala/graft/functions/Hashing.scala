@@ -148,6 +148,37 @@ object Hashing {
     spread(a) | (spread(b) << 1)
   }
 
+  /** DSIR hashed n-gram feature buckets (Xie et al. 2023 §2.1's feature
+    * hashing): for tokens t_1..t_n, emit n unigram buckets followed by
+    * n−1 bigram buckets, each in [0, buckets). Unigram bucket = low bits
+    * of [[hash64]](token); bigram bucket = low bits of
+    * [[murmur64]](h_i·31 + h_{i+1}) over the two token hashes (wrapping
+    * signed arithmetic — a kernel, not a plan expression, exactly so
+    * ANSI overflow semantics never apply). `buckets` MUST be a power of
+    * two: low-bit masking is what makes the signed JVM value and the
+    * unsigned external replay agree on the bucket without an unsigned
+    * modulo on either side.
+    */
+  def dsirBuckets(tokens: ArrayData, buckets: Int): ArrayData = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"dsirBuckets: buckets must be a power of two, got $buckets")
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Int])
+    val mask = (buckets - 1).toLong
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hash64(tokens.getUTF8String(i), 0L); i += 1 }
+    val out = new Array[Int](2 * n - 1)
+    i = 0
+    while (i < n) { out(i) = (hs(i) & mask).toInt; i += 1 }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = (murmur64(hs(i) * 31L + hs(i + 1)) & mask).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The classic xorshift-multiply 64-bit integer finalizer (a public
     * construction from the murmur/splitmix family; also what DuckDB uses
     * for `hash(BIGINT)`, which makes hash-deterministic sampling exactly

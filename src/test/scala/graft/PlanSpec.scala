@@ -153,6 +153,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "q125 must not join:\n" + p.take(1200))
   }
 
+  test("DSIR: bounded model broadcasts, corpus never shuffle-joins") {
+    val p = plan("q126_dsir_select")
+    // the ≤1024-row (bucket, w) model and the rank offsets must ride
+    // broadcasts; the scored corpus's only wide shuffles are its own
+    // groupBys — a SortMergeJoin would mean the corpus shuffled for a
+    // bounded dim
+    assert(p.contains("BroadcastHashJoin"),
+      "model/offsets not broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "a bounded-dim join fell back to a shuffle join:\n" + p.take(1500))
+  }
+
   test("fetch schedule: broadcast policy dim, bounded shuffles, one window sort") {
     val p = plan("q124_fetch_schedule")
     assert(p.contains("BroadcastHashJoin"),
