@@ -1774,6 +1774,23 @@ object SparkEntry {
         docs, "doc_id", "text")
     }),
 
+    // 26ac. KMV/theta corpus-overlap sketch (Bar-Yossef 2002 / the
+    // theta-sketch set algebra): distinct 3-gram estimates for two
+    // corpus halves plus their union/overlap, sketch vs exact side by
+    // side — the audit for the operator a 100 TB deployment runs
+    // sketch-only (estimating cross-corpus contamination without q45's
+    // full co-shuffle). Grams hash by per-token fold so the oracle
+    // replays them with integer arithmetic; one distinct-hash shuffle,
+    // TakeOrdered k-min cut, all sketch algebra on ≤2k-row frames.
+    "q127_kmv_overlap" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val b = Sampling.bucket(col("doc_id"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df.select(
+        explode(F.kgramHashes(F.tokensLower(col("text")), 3)).as("h"))
+      graft.functions.Kmv.overlapReport(
+        grams(docs.where(b < 5000)), grams(docs.where(b >= 5000)), "h")
+    }),
+
     // 26r. CCNet-style trained-LM perplexity: fit an add-one bigram LM on
     // the deterministic q41 train split, score the WHOLE corpus against
     // it — model and corpus decoupled (q58's self-LM can't say "looks
@@ -3867,6 +3884,85 @@ object SparkEntry {
          |SELECT doc_id, n_feats, logratio_x1000, avg_x1000, dsir_rank,
          |  dsir_rank * 1000 <= total * 250 AS selected
          |FROM rk""".stripMargin,
+    // q127: full sketch replay — 3-gram hashes from the per-token fnv
+    // relation (wrapping base-31 fold re-signed into hash(BIGINT), the
+    // q126 bigram construction one order higher; short docs emit one
+    // fold over all tokens), k-min sketches by ORDER BY/LIMIT, θ = 2^64
+    // for an unfull sketch, and the estimator as HUGEINT floor division
+    // — the Spark side's mod-subtract decimal divide equals `//` exactly.
+    "q127_kmv_overlap" -> {
+      val comb = "(CASE WHEN nt >= 3 THEN ((((th*31 + t2) % " + m64 +
+        ") * 31 + t3) % " + m64 + ") WHEN nt = 2 THEN ((th*31 + t2) % " +
+        m64 + ") ELSE th END)"
+      s"""$duckHash64Tokens,
+         |g AS (
+         |  SELECT doc_id, ti, th,
+         |    lead(th, 1) OVER (PARTITION BY doc_id ORDER BY ti) AS t2,
+         |    lead(th, 2) OVER (PARTITION BY doc_id ORDER BY ti) AS t3,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS nt
+         |  FROM fnv
+         |), kg AS (
+         |  SELECT doc_id,
+         |    hash(CAST(${toSigned64(comb)} AS BIGINT)) AS u
+         |  FROM g
+         |  WHERE (nt >= 3 AND ti <= nt - 2) OR (nt < 3 AND ti = 1)
+         |), cls AS (
+         |  SELECT doc_id, (hash(doc_id) >> 16) % 10000 AS bkt
+         |  FROM documents
+         |), mg AS (
+         |  SELECT u, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+         |    SELECT kg.u, CASE WHEN bkt < 5000 THEN 1 ELSE 0 END AS ina,
+         |      CASE WHEN bkt >= 5000 THEN 1 ELSE 0 END AS inb
+         |    FROM kg JOIN cls USING (doc_id)) GROUP BY 1
+         |), exacts AS (
+         |  SELECT SUM(ina) AS ea, SUM(inb) AS eb, COUNT(*) AS eu,
+         |    SUM(ina * inb) AS ei
+         |  FROM mg
+         |), ska AS (SELECT u FROM mg WHERE ina = 1 ORDER BY u LIMIT 512),
+         |skb AS (SELECT u FROM mg WHERE inb = 1 ORDER BY u LIMIT 512),
+         |ta AS (
+         |  SELECT COUNT(*) AS ca, CASE WHEN COUNT(*) < 512
+         |    THEN CAST($m64 AS HUGEINT)
+         |    ELSE CAST(MAX(u) AS HUGEINT) END AS tha
+         |  FROM ska
+         |), tb AS (
+         |  SELECT COUNT(*) AS cb, CASE WHEN COUNT(*) < 512
+         |    THEN CAST($m64 AS HUGEINT)
+         |    ELSE CAST(MAX(u) AS HUGEINT) END AS thb
+         |  FROM skb
+         |), th AS (
+         |  SELECT ca, cb, tha, thb, least(tha, thb) AS thu
+         |  FROM ta CROSS JOIN tb
+         |), mrg AS (
+         |  SELECT u, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+         |    SELECT u, 1 AS ina, 0 AS inb FROM ska
+         |    UNION ALL SELECT u, 0, 1 FROM skb) GROUP BY 1
+         |), ui AS (
+         |  SELECT COUNT(*) AS ru, COALESCE(SUM(ina * inb), 0) AS ri
+         |  FROM mrg CROSS JOIN th WHERE CAST(u AS HUGEINT) < thu
+         |), est AS (
+         |  SELECT 'a' AS scope, CAST((CASE WHEN ca < 512 THEN ca
+         |    ELSE 511 END * CAST($m64 AS HUGEINT)) // tha
+         |    AS DECIMAL(38,0)) AS kmv_estimate FROM th
+         |  UNION ALL
+         |  SELECT 'b', CAST((CASE WHEN cb < 512 THEN cb ELSE 511 END
+         |    * CAST($m64 AS HUGEINT)) // thb AS DECIMAL(38,0)) FROM th
+         |  UNION ALL
+         |  SELECT 'union', CAST((ru * CAST($m64 AS HUGEINT)) // thu
+         |    AS DECIMAL(38,0)) FROM ui CROSS JOIN th
+         |  UNION ALL
+         |  SELECT 'overlap', CAST((ri * CAST($m64 AS HUGEINT)) // thu
+         |    AS DECIMAL(38,0)) FROM ui CROSS JOIN th
+         |), exrows AS (
+         |  SELECT 'a' AS scope, CAST(ea AS BIGINT) AS exact_distinct
+         |  FROM exacts
+         |  UNION ALL SELECT 'b', CAST(eb AS BIGINT) FROM exacts
+         |  UNION ALL SELECT 'union', CAST(eu AS BIGINT) FROM exacts
+         |  UNION ALL SELECT 'overlap', CAST(ei AS BIGINT) FROM exacts
+         |)
+         |SELECT est.scope, kmv_estimate, exact_distinct
+         |FROM est JOIN exrows USING (scope)""".stripMargin
+    },
     // q114: the oracle refits the same add-one bigram LM on the same
     // hash-defined train split (q41's membership arithmetic) and replays
     // the scoring; the DECIMAL(18,9) per-bigram quantization absorbs

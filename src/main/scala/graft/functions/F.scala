@@ -83,6 +83,14 @@ object F {
     invoke(ArrayType(IntegerType, containsNull = false), "dsirBuckets",
       Seq(ex(tokenArr), Literal(buckets)))
 
+  /** Token k-gram hashes (array<long>) by per-token hash folding —
+    * [[Hashing.kgramHashes]]; replayable externally from a per-token
+    * hash relation with integer arithmetic alone.
+    */
+  def kgramHashes(tokenArr: Column, k: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "kgramHashes",
+      Seq(ex(tokenArr), Literal(k)))
+
   /** 64-bit SimHash of a token array. */
   def simhash64(tokenArr: Column): Column =
     invoke(LongType, "simhash64", Seq(ex(tokenArr)))

@@ -179,6 +179,36 @@ object Hashing {
     new GenericArrayData(out)
   }
 
+  /** Token k-gram hashes by per-token hash combination: gram i hashes to
+    * [[murmur64]] of the base-31 wrap-around fold of [[hash64]](t_i) ..
+    * hash64(t_{i+k-1}) — n−k+1 grams, or ONE gram over all tokens for a
+    * shorter-than-k document ([[F.shingles]]' short-doc posture). The
+    * fold replaces string re-concatenation so an external engine can
+    * replay grams from its per-TOKEN hash relation with integer
+    * arithmetic alone (wrapping multiply-add mod 2^64, then the
+    * murmur64 finalizer = DuckDB's hash(BIGINT)).
+    */
+  def kgramHashes(tokens: ArrayData, k: Int): ArrayData = {
+    require(k > 0, s"kgramHashes: k must be positive, got $k")
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hash64(tokens.getUTF8String(i), 0L); i += 1 }
+    val m = math.max(n - k + 1, 1)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var c = hs(i)
+      var j = i + 1
+      val end = math.min(i + k, n)
+      while (j < end) { c = c * 31L + hs(j); j += 1 }
+      out(i) = murmur64(c)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The classic xorshift-multiply 64-bit integer finalizer (a public
     * construction from the murmur/splitmix family; also what DuckDB uses
     * for `hash(BIGINT)`, which makes hash-deterministic sampling exactly

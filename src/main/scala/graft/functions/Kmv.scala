@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** KMV / theta distinct-count sketches (Bar-Yossef et al. 2002; the
+  * theta-sketch set-operation formulation of Dasgupta et al. 2016 — both
+  * public): keep only the k smallest UNSIGNED hash values of a set; the
+  * kth smallest θ estimates the set's density, so
+  * distinct ≈ r·2⁶⁴/θ with r the retained values below θ. Union and
+  * intersection sketches compose by θ = min(θ_a, θ_b) over the merged
+  * value sets — which is what makes this the scale story for corpus
+  * overlap: estimating how many distinct shingles two 100 TB corpora
+  * share costs two sketch scans and a 2k-row merge, where the exact
+  * answer (the q45 decontamination join) costs a full co-shuffle of
+  * both corpora.
+  *
+  * Determinism: everything is integer arithmetic on hash values — no
+  * RNG, no floating estimate. The unsigned order of signed JVM hashes
+  * rides an exact DECIMAL(38,0) value map (h<0 → h+2⁶⁴), and the
+  * estimator's floor division is computed as (r·2⁶⁴ − mod)/θ so the
+  * plan never rounds a near-integer decimal quotient — an external
+  * engine's integer `//` reproduces every digit.
+  *
+  * Scale shape: the only corpus-wide work is ONE distinct-hash shuffle
+  * (shared by the sketch and the exact audit columns); the k-smallest
+  * cut is a TakeOrdered (per-partition top-k, no global exchange), and
+  * all sketch algebra runs on ≤2k-row frames joined by one-row
+  * broadcasts. At production scale the exact columns are the part you
+  * drop (they are the thing the sketch replaces); they are emitted here
+  * so the estimate is auditable row-by-row against the truth.
+  */
+object Kmv {
+
+  private val Dec38 = DecimalType(38, 0)
+  private val M64 = new java.math.BigDecimal("18446744073709551616") // 2^64
+
+  /** Unsigned value of a signed 64-bit hash as DECIMAL(38,0). */
+  def unsigned(h: Column): Column =
+    when(h < 0, lit(M64) + h).otherwise(h).cast(Dec38)
+
+  /** Exact floor(r·2⁶⁴/θ) on decimals: subtract the modulus before the
+    * divide so the quotient is an exact integer (decimal division's
+    * scale-6 rounding then cannot move it).
+    */
+  private def floorDivScaled(r: Column, theta: Column): Column = {
+    val rm = r.cast(Dec38) * lit(M64).cast(Dec38)
+    ((rm - pmod(rm, theta)) / theta).cast(Dec38)
+  }
+
+  /** Distinct-hash sides with membership flags — ONE shuffle shared by
+    * sketches and exact counts. Input frames carry `hashCol`; output:
+    * (u DECIMAL(38,0), ina, inb).
+    */
+  private def mergedDistinct(a: DataFrame, b: DataFrame,
+      hashCol: String): DataFrame = {
+    val ta = a.select(unsigned(col(hashCol)).as("u"),
+      lit(1L).as("ina"), lit(0L).as("inb"))
+    val tb = b.select(unsigned(col(hashCol)).as("u"),
+      lit(0L).as("ina"), lit(1L).as("inb"))
+    ta.unionByName(tb).groupBy(col("u"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+  }
+
+  /** Sketch-vs-exact overlap report over two hash-valued corpora: rows
+    * (scope ∈ a|b|union|overlap, kmv_estimate DECIMAL(38,0),
+    * exact_distinct BIGINT).
+    */
+  def overlapReport(a: DataFrame, b: DataFrame, hashCol: String,
+      k: Int = 512): DataFrame = {
+    require(k > 1, s"Kmv: k must be > 1, got $k")
+    val mg = mergedDistinct(a, b, hashCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exacts = mg.agg(
+      sum(col("ina")).as("ea"), sum(col("inb")).as("eb"),
+      count(lit(1)).as("eu"), sum(col("ina") * col("inb")).as("ei"))
+
+    // TakeOrdered: per-partition top-k then a k-row merge — no global
+    // sort exchange; the persisted mg frame feeds every branch
+    def sketch(flag: String): DataFrame =
+      mg.where(col(flag) === 1L).select(col("u")).orderBy(col("u"))
+        .limit(k)
+    val skA = sketch("ina")
+    val skB = sketch("inb")
+    def thetaOf(sk: DataFrame, cnt: String, th: String): DataFrame =
+      sk.agg(count(lit(1)).as(cnt), max(col("u")).as("mx"))
+        .select(col(cnt),
+          when(col(cnt) < k, lit(M64).cast(Dec38))
+            .otherwise(col("mx")).as(th))
+    val aggA = thetaOf(skA, "ca", "tha")
+    val aggB = thetaOf(skB, "cb", "thb")
+    val thetas = aggA.crossJoin(aggB)
+      .select(col("ca"), col("cb"), col("tha"), col("thb"),
+        least(col("tha"), col("thb")).as("thu"))
+
+    // per-corpus estimates: r = values strictly below θ (k−1 when the
+    // sketch is full, everything when it is not)
+    val estA = thetas.select(lit("a").as("scope"),
+      floorDivScaled(when(col("ca") < k, col("ca")).otherwise(lit(k - 1)),
+        col("tha")).as("kmv_estimate"))
+    val estB = thetas.select(lit("b").as("scope"),
+      floorDivScaled(when(col("cb") < k, col("cb")).otherwise(lit(k - 1)),
+        col("thb")).as("kmv_estimate"))
+    // theta union/intersection: merged value sets cut at θ_u
+    val merged = skA.select(col("u"), lit(1L).as("ina"),
+        lit(0L).as("inb"))
+      .unionByName(skB.select(col("u"), lit(0L).as("ina"),
+        lit(1L).as("inb")))
+      .groupBy(col("u"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+      .crossJoin(broadcast(thetas.select(col("thu"))))
+      .where(col("u") < col("thu"))
+    val estUI = merged.groupBy(col("thu"))
+      .agg(count(lit(1)).as("ru"),
+        sum(col("ina") * col("inb")).as("ri"))
+      .select(col("thu"), col("ru"), coalesce(col("ri"), lit(0L)).as("ri"))
+    val estU = estUI.select(lit("union").as("scope"),
+      floorDivScaled(col("ru"), col("thu")).as("kmv_estimate"))
+    val estI = estUI.select(lit("overlap").as("scope"),
+      floorDivScaled(col("ri"), col("thu")).as("kmv_estimate"))
+
+    val ests = estA.unionByName(estB).unionByName(estU).unionByName(estI)
+    val ex = exacts.select(
+      explode(map(
+        lit("a"), col("ea"), lit("b"), col("eb"),
+        lit("union"), col("eu"), lit("overlap"), col("ei")))
+        .as(Seq("scope", "exact_distinct")))
+      .select(col("scope"), col("exact_distinct").cast("long")
+        .as("exact_distinct"))
+    ests.join(broadcast(ex), Seq("scope"))
+      .select(col("scope"), col("kmv_estimate"), col("exact_distinct"))
+  }
+}

@@ -165,6 +165,16 @@ class PlanSpec extends SparkSpec {
       "a bounded-dim join fell back to a shuffle join:\n" + p.take(1500))
   }
 
+  test("KMV sketch cuts via TakeOrdered, never a global sort exchange") {
+    val p = plan("q127_kmv_overlap")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k-min cut must be per-partition top-k:\n" + p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "sketch cut planned a global sort:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "a bounded sketch frame shuffle-joined:\n" + p.take(1500))
+  }
+
   test("fetch schedule: broadcast policy dim, bounded shuffles, one window sort") {
     val p = plan("q124_fetch_schedule")
     assert(p.contains("BroadcastHashJoin"),
