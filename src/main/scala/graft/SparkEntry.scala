@@ -1791,6 +1791,25 @@ object SparkEntry {
         grams(docs.where(b < 5000)), grams(docs.where(b >= 5000)), "h")
     }),
 
+    // 29p. adaptive recrawl scheduling (Cho & Garcia-Molina 2003): the
+    // planted fetch history gives each of 20 URLs a volatility class —
+    // never-changing, every-fetch, every-2nd, every-12th — and the
+    // bias-corrected Poisson estimator λ̂ = −ln((n−X+½)/(n+½)) buckets
+    // them back apart (all four buckets exercised at sf0.01). One
+    // per-URL lag window + one groupBy; the DECIMAL(18,9)-quantized ln
+    // replays exactly.
+    "q128_recrawl_rate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val seqc = floor(id / 20).cast("long")
+      val v = (id % 20) % 4
+      val hist = Tables(s, dir).documents.select(
+        (id % 20).as("url_id"), seqc.as("seq"),
+        when(v === 0, lit(0L)).when(v === 1, seqc)
+          .when(v === 2, floor(seqc / 2).cast("long"))
+          .otherwise(floor(seqc / 12).cast("long")).as("ch"))
+      Recrawl.changeRate(hist, "url_id", "seq", "ch")
+    }),
+
     // 26r. CCNet-style trained-LM perplexity: fit an add-one bigram LM on
     // the deterministic q41 train split, score the WHOLE corpus against
     // it — model and corpus decoupled (q58's self-LM can't say "looks
@@ -3963,6 +3982,42 @@ object SparkEntry {
          |SELECT est.scope, kmv_estimate, exact_distinct
          |FROM est JOIN exrows USING (scope)""".stripMargin
     },
+    // q128: the oracle replants the same fetch history from doc_id
+    // arithmetic and replays the estimator — lag-window change flags,
+    // the doubled-integer ratio, ln quantized to DECIMAL(18,9) before
+    // the ×1e6 floor, and the same bucket thresholds.
+    "q128_recrawl_rate" ->
+      """WITH h AS (
+        |  SELECT doc_id % 20 AS url_id, doc_id // 20 AS seq,
+        |    CASE (doc_id % 20) % 4 WHEN 0 THEN 0
+        |      WHEN 1 THEN doc_id // 20
+        |      WHEN 2 THEN (doc_id // 20) // 2
+        |      ELSE (doc_id // 20) // 12 END AS ch
+        |  FROM documents
+        |), fl AS (
+        |  SELECT url_id,
+        |    CASE WHEN lag(ch) OVER w IS NULL THEN 0
+        |      WHEN ch <> lag(ch) OVER w THEN 1 ELSE 0 END AS changed
+        |  FROM h WINDOW w AS (PARTITION BY url_id ORDER BY seq)
+        |), agg AS (
+        |  SELECT url_id, COUNT(*) AS n_fetches, SUM(changed) AS n_changes
+        |  FROM fl GROUP BY 1
+        |), lam AS (
+        |  SELECT url_id, CAST(n_fetches AS BIGINT) AS n_fetches,
+        |    CAST(n_changes AS BIGINT) AS n_changes,
+        |    CASE WHEN n_fetches > 1 THEN CAST(floor(
+        |      CAST(ln(CAST(2*(n_fetches-1-n_changes)+1 AS DOUBLE)
+        |        / CAST(2*(n_fetches-1)+1 AS DOUBLE)) AS DECIMAL(18,9))
+        |      * -1000000) AS BIGINT) END AS lambda_x1e6
+        |  FROM agg
+        |)
+        |SELECT url_id, n_fetches, n_changes, lambda_x1e6,
+        |  CASE WHEN n_fetches = 1 THEN 'unknown'
+        |       WHEN lambda_x1e6 >= 700000 THEN 'hot'
+        |       WHEN lambda_x1e6 >= 100000 THEN 'warm'
+        |       WHEN lambda_x1e6 > 0 THEN 'cool'
+        |       ELSE 'cold' END AS revisit_bucket
+        |FROM lam""".stripMargin,
     // q114: the oracle refits the same add-one bigram LM on the same
     // hash-defined train split (q41's membership arithmetic) and replays
     // the scoring; the DECIMAL(18,9) per-bigram quantization absorbs
