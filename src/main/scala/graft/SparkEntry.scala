@@ -1810,6 +1810,24 @@ object SparkEntry {
       Recrawl.changeRate(hist, "url_id", "seq", "ch")
     }),
 
+    // 27e. WAV/RIFF audio header decode — the audio leg of the
+    // multimodal metadata path: a genuine chunk walk (fmt fields, data
+    // size, odd-chunk pad alignment) over containers the fixture
+    // assembles from doc_id arithmetic; torn / non-RIFF / non-WAVE
+    // variants answer NULL, never a throw. Map-side kernel, zero
+    // shuffles (the q83/q95 pattern, audio instead of pixels).
+    "q129_wav_headers" -> ((s, dir) => {
+      val id = col("doc_id")
+      val m = F.wavMeta(F.wavFixture(id))
+      Tables(s, dir).documents.select(id,
+        element_at(m, 1).as("audio_format"),
+        element_at(m, 2).as("channels"),
+        element_at(m, 3).as("sample_rate"),
+        element_at(m, 4).as("bits_per_sample"),
+        element_at(m, 5).as("n_frames"),
+        element_at(m, 6).as("duration_ms"))
+    }),
+
     // 26r. CCNet-style trained-LM perplexity: fit an add-one bigram LM on
     // the deterministic q41 train split, score the WHOLE corpus against
     // it — model and corpus decoupled (q58's self-LM can't say "looks
@@ -4018,6 +4036,31 @@ object SparkEntry {
         |       WHEN lambda_x1e6 > 0 THEN 'cool'
         |       ELSE 'cold' END AS revisit_bucket
         |FROM lam""".stripMargin,
+    // q129: the fixture fields are pure doc_id arithmetic — the oracle
+    // recomputes them; Spark must recover the same numbers by walking
+    // the RIFF container it assembled (incl. the odd-LIST pad byte)
+    "q129_wav_headers" ->
+      """WITH v AS (
+        |  SELECT doc_id, doc_id % 11 AS vv,
+        |    doc_id % 11 NOT IN (7, 9, 10) AS ok
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN ok THEN CAST(CASE WHEN vv = 8 THEN 3 ELSE 1 END
+        |    AS BIGINT) END AS audio_format,
+        |  CASE WHEN ok THEN CAST(1 + doc_id % 2 AS BIGINT) END
+        |    AS channels,
+        |  CASE WHEN ok THEN CAST(8000 + (doc_id % 5) * 2000 AS BIGINT)
+        |    END AS sample_rate,
+        |  CASE WHEN ok THEN CAST(CASE WHEN vv = 8 THEN 32
+        |    WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT) END
+        |    AS bits_per_sample,
+        |  CASE WHEN ok THEN CAST(1 + doc_id % 50 AS BIGINT) END
+        |    AS n_frames,
+        |  CASE WHEN ok THEN CAST((1 + doc_id % 50) * 1000
+        |    // (8000 + (doc_id % 5) * 2000) AS BIGINT) END
+        |    AS duration_ms
+        |FROM v""".stripMargin,
     // q114: the oracle refits the same add-one bigram LM on the same
     // hash-defined train split (q41's membership arithmetic) and replays
     // the scoring; the DECIMAL(18,9) per-bigram quantization absorbs

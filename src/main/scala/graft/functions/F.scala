@@ -223,6 +223,25 @@ object F {
       ArrayType(LongType, containsNull = false), "stats", Seq(ex(blob)),
       Nil, propagateNull = true, returnNullable = true))
 
+  /** q129 fixture encoder: a deterministic per-doc WAV container
+    * (PCM/IEEE-float/torn/non-RIFF/non-WAVE by doc_id arithmetic,
+    * odd-sized LIST chunk for the pad-byte corner) whose header fields
+    * the oracle recomputes ([[graft.multimodal.AudioHeader.makeWav]]).
+    */
+  def wavFixture(docId: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.AudioHeader.type],
+      BinaryType, "makeWav", Seq(ex(docId)), Nil, propagateNull = true,
+      returnNullable = false))
+
+  /** WAV/RIFF header decode: array [audio_format, channels, sample_rate,
+    * bits_per_sample, n_frames, duration_ms] or NULL on
+    * torn/non-WAV bytes ([[graft.multimodal.AudioHeader.wavMeta]]).
+    */
+  def wavMeta(blob: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.AudioHeader.type],
+      ArrayType(LongType, containsNull = false), "wavMeta", Seq(ex(blob)),
+      Nil, propagateNull = true, returnNullable = true))
+
   /** q123 fixture encoder: a deterministic per-doc PDF (uncompressed /
     * FlateDecode / encrypted / torn / no-text by doc_id arithmetic) whose
     * expected extraction the oracle recomputes (graft.sources.PdfText

@@ -1,0 +1,64 @@
+package graft
+
+import graft.multimodal.AudioHeader
+
+/** WAV/RIFF header kernel corners (q129) — the oracle proves the fixture
+  * round trip at corpus scale; these pin the chunk-walk spec corners on
+  * hand-assembled bytes.
+  */
+class AudioHeaderSpec extends SparkSpec {
+
+  private def meta(b: Array[Byte]): Option[Seq[Long]] =
+    Option(AudioHeader.wavMeta(b)).map(_.toLongArray().toSeq)
+
+  private def le16(x: Int) = Array[Byte]((x & 0xff).toByte,
+    ((x >> 8) & 0xff).toByte)
+  private def le32(x: Int) = Array[Byte]((x & 0xff).toByte,
+    ((x >> 8) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+    ((x >> 24) & 0xff).toByte)
+  private def wav(chunks: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
+  private def fmt(code: Int, ch: Int, sr: Int, bits: Int): Array[Byte] =
+    "fmt ".getBytes ++ le32(16) ++ le16(code) ++ le16(ch) ++ le32(sr) ++
+      le32(sr * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+  private def data(n: Int): Array[Byte] =
+    "data".getBytes ++ le32(n) ++ new Array[Byte](n)
+
+  test("fixture variants answer their contract") {
+    // id 0: PCM, 1 ch, 8-bit (0%3=0), 8000 Hz, 1 frame
+    assert(meta(AudioHeader.makeWav(0L))
+      == Some(Seq(1L, 1L, 8000L, 8L, 1L, 0L)))
+    // id 8: IEEE float 32-bit, 1 ch, 14000 Hz (8%5=3), 9 frames
+    assert(meta(AudioHeader.makeWav(8L))
+      == Some(Seq(3L, 1L, 14000L, 32L, 9L, 0L)))
+    // torn (7), junk (9), AVI (10) are NULL
+    assert(meta(AudioHeader.makeWav(7L)).isEmpty)
+    assert(meta(AudioHeader.makeWav(9L)).isEmpty)
+    assert(meta(AudioHeader.makeWav(10L)).isEmpty)
+    // id 13 (13%4=1): the odd-LIST + pad variant still parses
+    assert(meta(AudioHeader.makeWav(13L)).nonEmpty)
+  }
+
+  test("chunk order does not matter: data before fmt parses") {
+    val b = wav(data(4) ++ fmt(1, 2, 44100, 16))
+    assert(meta(b) == Some(Seq(1L, 2L, 44100L, 16L, 1L, 0L)))
+  }
+
+  test("an UNPADDED odd chunk desyncs the walk to NULL, a padded one not") {
+    val odd = "LIST".getBytes ++ le32(5) ++ "INFO!".getBytes
+    val bad = wav(fmt(1, 1, 8000, 8) ++ odd ++ data(8))
+    assert(meta(bad).isEmpty, "missing pad byte must desync, not misparse")
+    val good = wav(fmt(1, 1, 8000, 8) ++ odd ++ Array[Byte](0) ++ data(8))
+    assert(meta(good) == Some(Seq(1L, 1L, 8000L, 8L, 8L, 1L)))
+  }
+
+  test("declared sizes are audited against real bytes") {
+    // data claims 100 bytes but carries 4: torn, not trusted
+    val lying = wav(fmt(1, 1, 8000, 8) ++ "data".getBytes ++ le32(100) ++
+      new Array[Byte](4))
+    assert(meta(lying).isEmpty)
+    // dataSize not a multiple of the frame stride: inconsistent
+    val ragged = wav(fmt(1, 2, 8000, 16) ++ data(5))
+    assert(meta(ragged).isEmpty)
+  }
+}
