@@ -230,9 +230,14 @@ object Pipeline {
         ContentRoute.RoutePdf))
     val cs = WarcTranscode.charsetOf(col("content_type"))
     val decoded = WarcTranscode.utf8Text(col("body"), cs)
+    // robots-meta noindex (q125's page directive): an html page whose
+    // owner opted out of indexing never enters the corpus — NULL text,
+    // dropping at the same gate as torn transcodes, counted w1b − w2
     val transcoded = textual
       .select(docId.cast("long").as("doc_id"),
-        when(routeCol === ContentRoute.RouteHtml, HtmlText.extract(decoded))
+        when(routeCol === ContentRoute.RouteHtml,
+          when(!graft.functions.RobotsMeta.noindex(decoded),
+            HtmlText.extract(decoded)))
           .when(routeCol === ContentRoute.RoutePdf,
             element_at(graft.functions.F.pdfExtract(col("body")), 1))
           .otherwise(decoded).as("text"))

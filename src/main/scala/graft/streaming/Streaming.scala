@@ -281,7 +281,11 @@ object WebIngestStream {
       .where(route.isin(ContentRoute.RouteHtml, ContentRoute.RoutePlain,
         ContentRoute.RoutePdf))
       .withColumn("page_text",
-        when(route === ContentRoute.RouteHtml, HtmlText.extract(utf8))
+        when(route === ContentRoute.RouteHtml,
+          // robots-meta noindex drops here exactly like the batch
+          // funnel: NULL text into the shared gate (q125 parity)
+          when(!graft.functions.RobotsMeta.noindex(utf8),
+            HtmlText.extract(utf8)))
           .when(route === ContentRoute.RoutePdf,
             element_at(graft.functions.F.pdfExtract(col("body")), 1))
           .otherwise(utf8))

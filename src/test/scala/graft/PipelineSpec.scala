@@ -105,6 +105,11 @@ class PipelineSpec extends SparkSpec {
       // kernel
       cap(7, "%PDF-1.4 not prose".getBytes("US-ASCII"),
         "application/pdf") ++
+      // an html page whose robots meta opts out: routes into the text
+      // chain, drops at w2 (q125's noindex gate inside the funnel)
+      cap(8, ("<html><head><meta name=\"robots\" content=\"noindex\">" +
+        s"</head><body><p>$t</p></body></html>").getBytes("UTF-8"),
+        "text/html; charset=utf-8") ++
       cap(6, t.getBytes("UTF-8"), "text/plain").dropRight(30) // torn
     val dir = java.nio.file.Files.createTempDirectory("webfunnel").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"), bytes)
@@ -114,12 +119,12 @@ class PipelineSpec extends SparkSpec {
       bench = Seq.empty[(Long, String)].toDF("bench_id", "text"),
       benchId = "bench_id", benchText = "text")
     val funnel = prep.funnel.as[(String, Long)].collect().toMap
-    assert(funnel("w0_records") == 6L, s"torn record must not count: $funnel")
-    assert(funnel("w1_http_bodies") == 6L)
-    assert(funnel("w1b_text_routed") == 6L,
+    assert(funnel("w0_records") == 7L, s"torn record must not count: $funnel")
+    assert(funnel("w1_http_bodies") == 7L)
+    assert(funnel("w1b_text_routed") == 7L,
       s"the PDF capture must route into the text chain: $funnel")
     assert(funnel("w2_transcoded") == 4L,
-      s"unknown charset and textless PDF must drop: $funnel")
+      s"unknown charset, textless PDF and noindex page must drop: $funnel")
     assert(funnel("0_raw") == 3L, s"BEL capture must drop at the gate: $funnel")
     // docs 1/2/3 proceed: all-distinct exact, 1-2-3 mutually near-dup at
     // bigram J >= 50 (tail edits only) → one keeper

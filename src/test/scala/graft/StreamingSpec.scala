@@ -336,6 +336,12 @@ class StreamingSpec extends SparkSpec {
           graft.sources.PdfText.fixture(1L,
             org.apache.spark.unsafe.types.UTF8String
               .fromString("pdf prose survives"))),
+        // a robots-meta noindex page drops exactly like the batch
+        // funnel drops it (q125 parity in the stream)
+        (ts(10, 11), "http://i.example/optout", "text/html; charset=utf-8",
+          ("<html><head><meta name=\"robots\" content=\"noindex\">" +
+            "</head><body><p>opted out</p></body></html>")
+            .getBytes("UTF-8")),
         // a text/plain capture passes through WITHOUT HTML extraction
         (ts(10, 9), "http://g.example/t", "text/plain; charset=utf-8",
           "plain <notatag> text".getBytes("UTF-8")))
