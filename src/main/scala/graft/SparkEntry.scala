@@ -1810,6 +1810,44 @@ object SparkEntry {
       Recrawl.changeRate(hist, "url_id", "seq", "ch")
     }),
 
+    // 26ad. schema.org JSON-LD metadata extraction: the structured
+    // channel a page carries beside its prose — typed entity, headline,
+    // publish date — planted with attribute-order/case variants, a
+    // malformed-JSON page (block countable, fields NULL), a no-block
+    // page, and a decoy plain <script> carrying fake @type that must
+    // never be read. Spark genuinely scans the tag and evaluates JSON
+    // paths (get_json_object — codegen); the oracle replays the plant
+    // arithmetic. Map-side, zero shuffles.
+    "q130_jsonld" -> ((s, dir) => {
+      import graft.functions.StructuredData
+      val id = col("doc_id")
+      val day = lpad((lit(1) + id % 28).cast("string"), 2, "0")
+      val typ = when(id % 3 === 0, lit("Article"))
+        .when(id % 3 === 1, lit("Product")).otherwise(lit("NewsArticle"))
+      val ld = concat(
+        lit("{\"@context\":\"https://schema.org\",\"@type\":\""), typ,
+        lit("\",\"headline\":\"Item "), id.cast("string"),
+        lit("\",\"datePublished\":\"2024-01-"), day, lit("\"}"))
+      val open = when(id % 2 === 0,
+        lit("<script type=\"application/ld+json\" data-x=\"1\">"))
+        .otherwise(lit("<script async TYPE=\"APPLICATION/LD+JSON\">"))
+      val block = when(id % 6 === 5, lit(""))
+        .when(id % 6 === 4,
+          concat(open, lit("{\"@type\":\"Article\",\"headline\":"),
+            lit("</script>")))
+        .otherwise(concat(open, ld, lit("</script>")))
+      val html = concat(
+        lit("<html><head><script>var a = {\"@type\":\"Fake\"};</script>"),
+        block, lit("</head><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      Tables(s, dir).documents.select(id,
+        StructuredData.jsonLd(html).isNotNull.as("has_jsonld"),
+        StructuredData.ldField(html, "@type").as("schema_type"),
+        StructuredData.ldField(html, "headline").as("headline"),
+        to_date(StructuredData.ldField(html, "datePublished"))
+          .as("date_published"))
+    }),
+
     // 27e. WAV/RIFF audio header decode — the audio leg of the
     // multimodal metadata path: a genuine chunk walk (fmt fields, data
     // size, odd-chunk pad alignment) over containers the fixture
@@ -4036,6 +4074,23 @@ object SparkEntry {
         |       WHEN lambda_x1e6 > 0 THEN 'cool'
         |       ELSE 'cold' END AS revisit_bucket
         |FROM lam""".stripMargin,
+    // q130: the oracle replays the plant — a block exists unless
+    // id%6=5, fields only when the JSON is well-formed (id%6 not in
+    // 4,5); Spark must genuinely match case-folded/reordered script
+    // tags, skip the decoy plain script, and parse the JSON it planted
+    "q130_jsonld" ->
+      """SELECT doc_id,
+        |  doc_id % 6 <> 5 AS has_jsonld,
+        |  CASE WHEN doc_id % 6 NOT IN (4, 5) THEN
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Article'
+        |         WHEN doc_id % 3 = 1 THEN 'Product'
+        |         ELSE 'NewsArticle' END END AS schema_type,
+        |  CASE WHEN doc_id % 6 NOT IN (4, 5)
+        |    THEN 'Item ' || doc_id END AS headline,
+        |  CASE WHEN doc_id % 6 NOT IN (4, 5)
+        |    THEN make_date(2024, 1, CAST(1 + doc_id % 28 AS INTEGER))
+        |    END AS date_published
+        |FROM documents""".stripMargin,
     // q129: the fixture fields are pure doc_id arithmetic — the oracle
     // recomputes them; Spark must recover the same numbers by walking
     // the RIFF container it assembled (incl. the odd-LIST pad byte)
