@@ -1848,6 +1848,54 @@ object SparkEntry {
           .as("date_published"))
     }),
 
+    // 26ae. Unicode script-mix audit — the homoglyph/script-confusion
+    // spam signal (mixed-script text is the classic phishing shape, and
+    // a corpus doc whose script disagrees with its claimed language is
+    // mislabeled): per-script letter counts over literal codepoint-range
+    // classes (identical pattern BYTES on both engines — no \\u escape
+    // dialect to disagree on), deterministic dominant-script argmax in
+    // fixed class order, and an integer cross-multiplied minority
+    // threshold (a second script ≥5% of letters flags mixed — planted
+    // one-word homoglyph tails stay under it). Map-side regexp_count
+    // passes, zero shuffles.
+    "q131_script_mix" -> ((s, dir) => {
+      val id = col("doc_id")
+      val txt = concat(col("text"),
+        when(id % 9 === 2, lit(" Пример текста для проверки"))
+          .when(id % 9 === 3, lit(" 這是一個測試樣本文字"))
+          .when(id % 9 === 4, lit(" δείγμα κειμένου εδώ"))
+          .when(id % 9 === 5, lit(" عينة نص للاختبار"))
+          .when(id % 9 === 6, lit(" Пx")) // tiny homoglyph tail: < 5%
+          .otherwise(lit("")))
+      def cnt(cls: String) =
+        regexp_count(txt, lit(s"[$cls]")).cast("long")
+      val latin = cnt("A-Za-zÀ-ÖØ-öø-ɏ")
+      val cyr = cnt("Ѐ-ӿ")
+      val cjk = cnt("一-鿿ぁ-ヿ")
+      val greek = cnt("Ͱ-Ͽ")
+      val arabic = cnt("؀-ۿ")
+      val letters = regexp_count(txt, lit("\\p{L}")).cast("long")
+      val other = letters - latin - cyr - cjk - greek - arabic
+      val mx = greatest(latin, cyr, cjk, greek, arabic, other)
+      val dominant = when(letters === 0, lit("none"))
+        .when(latin === mx, lit("latin")).when(cyr === mx, lit("cyrillic"))
+        .when(cjk === mx, lit("cjk")).when(greek === mx, lit("greek"))
+        .when(arabic === mx, lit("arabic")).otherwise(lit("other"))
+      Tables(s, dir).documents
+        .select(id, latin.as("n_latin"), cyr.as("n_cyrillic"),
+          cjk.as("n_cjk"), greek.as("n_greek"), arabic.as("n_arabic"),
+          other.as("n_other"), dominant.as("dominant_script"),
+          // a NON-dominant script holding >= 5% of letters
+          (letters > 0 && (
+            (dominant =!= "latin" && latin * 20 >= letters && latin > 0) ||
+            (dominant =!= "cyrillic" && cyr * 20 >= letters && cyr > 0) ||
+            (dominant =!= "cjk" && cjk * 20 >= letters && cjk > 0) ||
+            (dominant =!= "greek" && greek * 20 >= letters && greek > 0) ||
+            (dominant =!= "arabic" && arabic * 20 >= letters && arabic > 0) ||
+            (dominant =!= "other" && other * 20 >= letters && other > 0)))
+            .as("mixed_script"))
+    }),
+
     // 27e. WAV/RIFF audio header decode — the audio leg of the
     // multimodal metadata path: a genuine chunk walk (fmt fields, data
     // size, odd-chunk pad alignment) over containers the fixture
@@ -4074,6 +4122,77 @@ object SparkEntry {
         |       WHEN lambda_x1e6 > 0 THEN 'cool'
         |       ELSE 'cold' END AS revisit_bucket
         |FROM lam""".stripMargin,
+    // q131: both engines genuinely count — the script classes are
+    // literal codepoint ranges (identical pattern bytes, no escape
+    // dialect), counts via match-removal length deltas, then the same
+    // fixed-order argmax and 5% integer threshold
+    "q131_script_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || CASE doc_id % 9
+        |    WHEN 2 THEN ' Пример текста для проверки'
+        |    WHEN 3 THEN ' 這是一個測試樣本文字'
+        |    WHEN 4 THEN ' δείγμα κειμένου εδώ'
+        |    WHEN 5 THEN ' عينة نص للاختبار'
+        |    WHEN 6 THEN ' Пx'
+        |    ELSE '' END AS txt
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    length(txt) - length(regexp_replace(txt,
+        |      '[A-Za-zÀ-ÖØ-öø-ɏ]', '', 'g')) AS n_latin,
+        |    length(txt) - length(regexp_replace(txt, '[Ѐ-ӿ]', '', 'g'))
+        |      AS n_cyrillic,
+        |    length(txt) - length(regexp_replace(txt, '[一-鿿ぁ-ヿ]', '',
+        |      'g')) AS n_cjk,
+        |    length(txt) - length(regexp_replace(txt, '[Ͱ-Ͽ]', '', 'g'))
+        |      AS n_greek,
+        |    length(txt) - length(regexp_replace(txt, '[؀-ۿ]', '', 'g'))
+        |      AS n_arabic,
+        |    length(txt) - length(regexp_replace(txt, '\p{L}', '', 'g'))
+        |      AS letters
+        |  FROM t
+        |), d AS (
+        |  SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_greek, n_arabic,
+        |    letters - n_latin - n_cyrillic - n_cjk - n_greek - n_arabic
+        |      AS n_other, letters
+        |  FROM c
+        |), e AS (
+        |  SELECT *, greatest(n_latin, n_cyrillic, n_cjk, n_greek,
+        |      n_arabic, n_other) AS mx,
+        |    CASE WHEN letters = 0 THEN 'none'
+        |      WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk,
+        |        n_greek, n_arabic, n_other) THEN 'latin'
+        |      WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk,
+        |        n_greek, n_arabic, n_other) THEN 'cyrillic'
+        |      WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk,
+        |        n_greek, n_arabic, n_other) THEN 'cjk'
+        |      WHEN n_greek = greatest(n_latin, n_cyrillic, n_cjk,
+        |        n_greek, n_arabic, n_other) THEN 'greek'
+        |      WHEN n_arabic = greatest(n_latin, n_cyrillic, n_cjk,
+        |        n_greek, n_arabic, n_other) THEN 'arabic'
+        |      ELSE 'other' END AS dominant_script
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+        |  CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+        |  CAST(n_cjk AS BIGINT) AS n_cjk,
+        |  CAST(n_greek AS BIGINT) AS n_greek,
+        |  CAST(n_arabic AS BIGINT) AS n_arabic,
+        |  CAST(n_other AS BIGINT) AS n_other, dominant_script,
+        |  letters > 0 AND (
+        |    (dominant_script <> 'latin' AND n_latin * 20 >= letters
+        |      AND n_latin > 0) OR
+        |    (dominant_script <> 'cyrillic' AND n_cyrillic * 20 >= letters
+        |      AND n_cyrillic > 0) OR
+        |    (dominant_script <> 'cjk' AND n_cjk * 20 >= letters
+        |      AND n_cjk > 0) OR
+        |    (dominant_script <> 'greek' AND n_greek * 20 >= letters
+        |      AND n_greek > 0) OR
+        |    (dominant_script <> 'arabic' AND n_arabic * 20 >= letters
+        |      AND n_arabic > 0) OR
+        |    (dominant_script <> 'other' AND n_other * 20 >= letters
+        |      AND n_other > 0)) AS mixed_script
+        |FROM e""".stripMargin,
     // q130: the oracle replays the plant — a block exists unless
     // id%6=5, fields only when the JSON is well-formed (id%6 not in
     // 4,5); Spark must genuinely match case-folded/reordered script
