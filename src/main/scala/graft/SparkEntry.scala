@@ -1896,6 +1896,29 @@ object SparkEntry {
             .as("mixed_script"))
     }),
 
+    // 26af. NFC normalization audit (UAX #15): canonically-equivalent
+    // but byte-different text (precomposed é vs e + combining acute)
+    // defeats every exact-dedup/fingerprint hash unless the corpus is
+    // normalized first — this measures how much of the corpus is
+    // denormalized, the decision input for the normalization pass.
+    // Planted combining-mark tails (and a precomposed control that must
+    // NOT flag) ride the JDK's UAX#15 kernel; DuckDB's nfc_normalize
+    // implements the same tables, making the audit full-oracle.
+    // Map-side, zero shuffles.
+    "q132_nfc_audit" -> ((s, dir) => {
+      val id = col("doc_id")
+      val txt = concat(col("text"),
+        when(id % 5 === 1, lit(" cafe\u0301")) // e + combining acute
+          .when(id % 5 === 2, lit(" A\u030Angstro\u0308m")) // combining ring + diaeresis
+          .when(id % 5 === 3, lit(" caf\u00E9")) // precomposed: already NFC
+          .otherwise(lit("")))
+      val nfc = F.nfc(txt)
+      Tables(s, dir).documents.select(id,
+        (txt === nfc).as("nfc_equal"),
+        length(txt).cast("long").as("len_raw"),
+        length(nfc).cast("long").as("len_nfc"))
+    }),
+
     // 27e. WAV/RIFF audio header decode — the audio leg of the
     // multimodal metadata path: a genuine chunk walk (fmt fields, data
     // size, odd-chunk pad alignment) over containers the fixture
@@ -4122,6 +4145,23 @@ object SparkEntry {
         |       WHEN lambda_x1e6 > 0 THEN 'cool'
         |       ELSE 'cold' END AS revisit_bucket
         |FROM lam""".stripMargin,
+    // q132: both engines genuinely normalize — DuckDB's nfc_normalize
+    // and the JDK kernel implement the same UAX#15 tables; combining
+    // marks are planted via chr() so no source-encoding mangling can
+    // silently change the fixture
+    "q132_nfc_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || CASE doc_id % 5
+        |    WHEN 1 THEN ' cafe' || chr(769)
+        |    WHEN 2 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |    WHEN 3 THEN ' café'
+        |    ELSE '' END AS txt
+        |  FROM documents
+        |)
+        |SELECT doc_id, txt = nfc_normalize(txt) AS nfc_equal,
+        |  CAST(length(txt) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(txt)) AS BIGINT) AS len_nfc
+        |FROM t""".stripMargin,
     // q131: both engines genuinely count — the script classes are
     // literal codepoint ranges (identical pattern bytes, no escape
     // dialect), counts via match-removal length deltas, then the same

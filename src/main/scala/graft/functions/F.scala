@@ -223,6 +223,13 @@ object F {
       ArrayType(LongType, containsNull = false), "stats", Seq(ex(blob)),
       Nil, propagateNull = true, returnNullable = true))
 
+  /** Unicode NFC canonical form ([[UnicodeNorm.nfc]] — UAX #15): the
+    * normalization every content hash should see first.
+    */
+  def nfc(c: Column): Column =
+    col(StaticInvoke(classOf[UnicodeNorm.type], StringType, "nfc",
+      Seq(ex(c)), Nil, propagateNull = true, returnNullable = true))
+
   /** q129 fixture encoder: a deterministic per-doc WAV container
     * (PCM/IEEE-float/torn/non-RIFF/non-WAVE by doc_id arithmetic,
     * odd-sized LIST chunk for the pad-byte corner) whose header fields
