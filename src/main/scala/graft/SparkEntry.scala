@@ -1919,6 +1919,45 @@ object SparkEntry {
         length(nfc).cast("long").as("len_nfc"))
     }),
 
+    // 26ag. HTML table extraction — tables are the densest structured
+    // text a page carries (the table-to-text corpus slice): per-row
+    // cell recovery from the bounded non-nested subset, th/td
+    // uniformly, inline markup stripped, padding trimmed. The fixture
+    // builds variable-geometry tables (2-4 rows × 2-3 cols, header row
+    // for even ids, bolded cells on an arithmetic stripe, a no-table
+    // page emitting zero rows) entirely in plan expressions; Spark must
+    // genuinely re-parse what it assembled while the oracle generates
+    // the expectation from arithmetic. Map-side scan + posexplode.
+    "q133_table_extract" -> ((s, dir) => {
+      val id = col("doc_id")
+      val nrows = (lit(2) + id % 3).cast("int")
+      val ncols = (lit(2) + id % 2).cast("int")
+      val rowsHtml = array_join(transform(sequence(lit(0), nrows - 1), r => {
+        val cells = array_join(transform(sequence(lit(0), ncols - 1), c => {
+          val body = concat(lit("r"), r.cast("string"), lit("c"),
+            c.cast("string"), lit("-"), id.cast("string"))
+          val deco = when((r + c + id) % 3 === 0,
+            concat(lit("<b>"), body, lit("</b>"))).otherwise(body)
+          when(id % 2 === 0 && r === 0,
+            concat(lit("<th class=\"h\"> "), deco, lit(" </th>")))
+            .otherwise(concat(lit("<td> "), deco, lit(" </td>")))
+        }), "")
+        concat(lit("<tr>"), cells, lit("</tr>"))
+      }), "")
+      val html = when(id % 7 === 6,
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p></body></html>")))
+        .otherwise(concat(lit("<html><body><p>"), col("text"),
+          lit("</p><table class=\"t\">"), rowsHtml,
+          lit("</table></body></html>")))
+      Tables(s, dir).documents
+        .select(id,
+          posexplode(HtmlText.tableRows(html)).as(Seq("row_idx", "row")))
+        .select(id, col("row_idx").cast("long").as("row_idx"),
+          size(HtmlText.rowCells(col("row"))).cast("long").as("n_cells"),
+          array_join(HtmlText.rowCells(col("row")), " | ").as("row_text"))
+    }),
+
     // 27e. WAV/RIFF audio header decode — the audio leg of the
     // multimodal metadata path: a genuine chunk walk (fmt fields, data
     // size, odd-chunk pad alignment) over containers the fixture
@@ -4145,6 +4184,26 @@ object SparkEntry {
         |       WHEN lambda_x1e6 > 0 THEN 'cool'
         |       ELSE 'cold' END AS revisit_bucket
         |FROM lam""".stripMargin,
+    // q133: the oracle generates the expected rows from the plant
+    // arithmetic (row/col geometry, cell naming); Spark must genuinely
+    // re-parse the table markup — th/td uniformity, markup stripping,
+    // trimming — to agree
+    "q133_table_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nr, 2 + doc_id % 2 AS nc
+        |  FROM documents WHERE doc_id % 7 <> 6
+        |), r AS (
+        |  SELECT doc_id, nc,
+        |    unnest(generate_series(0, CAST(nr - 1 AS INTEGER))) AS row_idx
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(row_idx AS BIGINT) AS row_idx,
+        |  CAST(nc AS BIGINT) AS n_cells,
+        |  array_to_string(list_transform(
+        |    generate_series(0, CAST(nc - 1 AS INTEGER)),
+        |    c -> 'r' || row_idx || 'c' || c || '-' || doc_id), ' | ')
+        |    AS row_text
+        |FROM r""".stripMargin,
     // q132: both engines genuinely normalize — DuckDB's nfc_normalize
     // and the JDK kernel implement the same UAX#15 tables; combining
     // marks are planted via chr() so no source-encoding mangling can

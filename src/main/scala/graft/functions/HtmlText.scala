@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{lit, regexp_extract_all,
+  regexp_replace, transform, trim}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -400,4 +401,23 @@ object HtmlText {
       "keptLineCountKernel",
       Seq(ex(html), ex(lit(maxLinkPct)), ex(lit(minChars))), Nil,
       propagateNull = false, returnNullable = false))
+
+  // ---- table extraction (q133) --------------------------------------------
+
+  /** The `<tr>…</tr>` bodies of a page, in order — the row surface of
+    * the bounded table subset (non-nested tables, double-quoted attrs;
+    * a page without tables yields an empty array). Built-in regexps —
+    * codegen, the q106 anchor-scan posture.
+    */
+  def tableRows(html: Column): Column =
+    regexp_extract_all(html, lit("(?is)<tr\\b[^>]*>(.*?)</tr>"), lit(1))
+
+  /** Cell texts of one row body: `<td>`/`<th>` contents with inline
+    * markup stripped and whitespace trimmed.
+    */
+  def rowCells(row: Column): Column =
+    transform(
+      regexp_extract_all(row, lit("(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]>"),
+        lit(1)),
+      c => trim(regexp_replace(c, "<[^>]+>", "")))
 }

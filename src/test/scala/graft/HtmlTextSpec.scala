@@ -147,4 +147,23 @@ class HtmlTextSpec extends SparkSpec {
       HtmlText.keptLineCount(lit(null).cast("string")).as("n")).collect()(0)
     assert(r.getInt(0) == 2 && r.getInt(1) == -1)
   }
+
+  test("table rows/cells: th+td mix, markup strip, trim, no-table empty") {
+    import org.apache.spark.sql.functions.col
+    val page = "<p>intro</p><table>" +
+      "<TR><th class=\"h\"> Name </th><th> N </th></TR>" +
+      "<tr><td><b>alpha</b> one</td><td> 1 </td></tr></table>"
+    val rows = spark.range(1)
+      .select(HtmlText.tableRows(lit(page)).as("r"))
+      .selectExpr("explode(r) as row")
+      .select(HtmlText.rowCells(col("row")).as("c"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(rows.length == 2)
+    assert(rows(0) == Seq("Name", "N"), s"header row: ${rows(0)}")
+    assert(rows(1) == Seq("alpha one", "1"), s"data row: ${rows(1)}")
+    val none = spark.range(1)
+      .select(HtmlText.tableRows(lit("<p>no tables here</p>")).as("r"))
+      .head().getSeq[String](0)
+    assert(none.isEmpty)
+  }
 }
