@@ -1958,6 +1958,187 @@ object SparkEntry {
           array_join(HtmlText.rowCells(col("row")), " | ").as("row_text"))
     }),
 
+    // 26ah. Open Graph / head-metadata extraction (ogp.me + WHATWG
+    // standard metadata names + feed autodiscovery): the page-metadata
+    // channel social/search pipelines read — og:title, description,
+    // rel=canonical (the dedup hint that beats URL heuristics), and the
+    // advertised RSS/Atom feed that seeds q135's feed ingest. Fixture
+    // plants attribute-order and case variants, a malformed og tag with
+    // NO content attribute (present but NULL — the soft contract), a
+    // generator decoy whose CONTENT mentions og:title (the tag-list
+    // scan must never read a key out of another tag's value), and both
+    // feed media types. Spark genuinely scans tags; the oracle replays
+    // the plant arithmetic. Map-side tag-list pass, zero shuffles.
+    "q134_meta_tags" -> ((s, dir) => {
+      import graft.functions.StructuredData
+      val id = col("doc_id")
+      val site = concat(lit("http://site"),
+        ((id % 50) % 10).cast("string"), lit(".example"))
+      val og = when(id % 5 === 4, lit(""))
+        .when(id % 10 === 3, lit("<meta property=\"og:title\">"))
+        .when(id % 2 === 0,
+          concat(lit("<meta property=\"og:title\" content=\"Page "),
+            id.cast("string"), lit("\">")))
+        .otherwise(concat(lit("<META CONTENT=\"Page "), id.cast("string"),
+          lit("\" PROPERTY=\"OG:TITLE\">")))
+      val desc = when(id % 3 =!= 0,
+        concat(lit("<meta name=\"description\" content=\"Desc "),
+          id.cast("string"), lit("\">"))).otherwise(lit(""))
+      val canon = when(id % 4 === 3, lit(""))
+        .when(id % 8 === 1, concat(lit("<LINK REL=\"canonical\" HREF=\""),
+          site, lit("/p/"), id.cast("string"), lit("\">")))
+        .otherwise(concat(lit("<link rel=\"canonical\" href=\""), site,
+          lit("/p/"), id.cast("string"), lit("\">")))
+      val feed = when(id % 4 === 0, concat(
+          lit("<link rel=\"alternate\" type=\"application/rss+xml\"" +
+            " href=\""), site, lit("/feed.xml\">")))
+        .when(id % 4 === 1, concat(
+          lit("<link type=\"application/atom+xml\" href=\""), site,
+          lit("/atom.xml\" rel=\"alternate\">")))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head><meta charset=\"utf-8\">"),
+        og, desc, canon, feed,
+        lit("<meta name=\"generator\" content=\"og:title decoy\">"),
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      val fl = StructuredData.feedLink(html)
+      Tables(s, dir).documents.select(id,
+        StructuredData.metaContent(html, "og:title").as("og_title"),
+        StructuredData.metaContent(html, "description")
+          .as("meta_description"),
+        StructuredData.linkHref(html, "canonical").as("canonical_url"),
+        fl.getField("url").as("feed_url"),
+        fl.getField("fmt").as("feed_type"))
+    }),
+
+    // 29q. RSS/Atom feed parsing (RSS 2.0 / RFC 4287) — the change-feed
+    // side of the discovery loop: where sitemaps enumerate a site
+    // (q110), the feed q134 discovered carries the NEWEST items with
+    // timestamps, the cheapest recrawl signal a crawler gets (feeds
+    // compose with q128's change-rate estimator). Fixture assembles
+    // RSS for even ids / Atom for odd, 2-4 items each, RFC-822 vs
+    // ISO-8601 dates (Spark genuinely parses both calendars), a
+    // missing-pubDate item variant, an attribute-reordered Atom link,
+    // a torn body yielding ZERO rows, and the gzip wire form riding
+    // the q110 sniff+inflate kernel. The oracle regenerates items by
+    // arithmetic. Map-side parse + posexplode, zero shuffles.
+    "q135_feed_parse" -> ((s, dir) => {
+      val id = col("doc_id")
+      val site = concat(lit("http://site"),
+        ((id % 50) % 10).cast("string"), lit(".example"))
+      val n = (lit(2) + id % 3).cast("int")
+      def dd(i: Column) =
+        lpad((lit(1) + (id + i) % 28).cast("string"), 2, "0")
+      val rssItems = array_join(transform(sequence(lit(0), n - 1), i =>
+        concat(lit("<item><title>Post "), id.cast("string"), lit("-"),
+          i.cast("string"), lit("</title><link>"), site, lit("/post/"),
+          id.cast("string"), lit("/"), i.cast("string"), lit("</link>"),
+          when(id % 6 === 4, lit(""))
+            .otherwise(concat(lit("<pubDate>"), dd(i),
+              lit(" Jan 2024 08:00:00 GMT</pubDate>"))),
+          lit("</item>"))), "")
+      val atomEntries = array_join(transform(sequence(lit(0), n - 1), i =>
+        concat(lit("<entry><title>Post "), id.cast("string"), lit("-"),
+          i.cast("string"), lit("</title>"),
+          when(id % 6 === 5,
+            concat(lit("<link rel=\"alternate\" href=\""), site,
+              lit("/post/"), id.cast("string"), lit("/"),
+              i.cast("string"), lit("\"/>")))
+            .otherwise(concat(lit("<link href=\""), site, lit("/post/"),
+              id.cast("string"), lit("/"), i.cast("string"),
+              lit("\"/>"))),
+          lit("<updated>2024-01-"), dd(i),
+          lit("T08:00:00Z</updated></entry>"))), "")
+      val xml = when(id % 9 === 8,
+        lit("<?xml version=\"1.0\"?><rss><channel><item><title>torn"))
+        .when(id % 2 === 0, concat(
+          lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+            "<title>Feed "), id.cast("string"), lit("</title>"),
+          rssItems, lit("</channel></rss>")))
+        .otherwise(concat(
+          lit("<?xml version=\"1.0\"?>" +
+            "<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>Feed "),
+          id.cast("string"), lit("</title>"), atomEntries, lit("</feed>")))
+      val body = when(id % 4 === 2, graft.sources.Sitemap.gzipUtf8(xml))
+        .otherwise(xml.cast("binary"))
+      val fmtCol = when(col("xml").rlike("(?s)<rss\\b"), lit("rss"))
+        .when(col("xml").rlike("(?s)<feed\\b"), lit("atom"))
+      val b = col("b")
+      Tables(s, dir).documents
+        .select(id, graft.sources.Sitemap.bodyText(body).as("xml"))
+        .select(id, fmtCol.as("feed_format"), posexplode(
+          when(fmtCol === "rss", regexp_extract_all(col("xml"),
+            lit("<item>([\\s\\S]*?)</item>"), lit(1)))
+            .when(fmtCol === "atom", regexp_extract_all(col("xml"),
+              lit("<entry>([\\s\\S]*?)</entry>"), lit(1)))
+            .otherwise(array().cast("array<string>")))
+            .as(Seq("item_idx", "b")))
+        .select(id, col("feed_format"),
+          col("item_idx").cast("long").as("item_idx"),
+          nullif(regexp_extract(b, "<title>([^<]*)</title>", 1), lit(""))
+            .as("title"),
+          coalesce(
+            nullif(regexp_extract(b, "<link>([^<]*)</link>", 1), lit("")),
+            nullif(regexp_extract(b,
+              "(?i)<link\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\"", 1),
+              lit(""))).as("url"),
+          coalesce(
+            try_to_timestamp(nullif(regexp_extract(b,
+              "<pubDate>([^<]*)</pubDate>", 1), lit("")),
+              lit("dd MMM yyyy HH:mm:ss 'GMT'")),
+            try_to_timestamp(nullif(regexp_extract(b,
+              "<updated>([^<]*)</updated>", 1), lit("")),
+              lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+            .cast("date").as("pub_date"))
+    }),
+
+    // 26ai. per-domain contribution capping (C4/FineWeb-class head-
+    // domain limits): the fixture plants a Zipf-shaped host skew —
+    // host 0 holds ~50% of docs, host 1 ~25%, 30 tail hosts split the
+    // rest — and the 10% cap must cut both head hosts back while every
+    // tail host keeps all its docs. The keep-set is deterministic hash
+    // order on BOTH engines (murmur64 == DuckDB hash(BIGINT)); the cap
+    // test is integer cross-multiplied. One shuffle by host, per-host
+    // window only — no global sort (see etl/DomainCap.scala).
+    "q136_domain_cap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = concat(lit("site"),
+        when(id % 2 === 0, lit("0")).when(id % 4 === 1, lit("1"))
+          .otherwise((id % 32).cast("string")), lit(".example"))
+      val base = Tables(s, dir).documents.select(id, host.as("host"),
+        TextStats.tokenCount(col("text")).as("n_tokens"))
+      DomainCap.cap(base, "doc_id", "host", "n_tokens", 1000)
+    }),
+
+    // 20i. incremental dedup probe — new-crawl docs against an EXISTING
+    // corpus signature index, the production shape at 100 TB (the
+    // corpus index is built ONCE and persisted; each day's crawl
+    // computes only ITS signatures and probes the band buckets — no
+    // index×index pairs ever form again). Fixture: even ids < 32 are
+    // "the corpus", odd ids "the crawl"; output per incoming doc is the
+    // best index match (max estimate, min id on ties) or a novelty
+    // verdict. Same banded machinery as q17; the oracle replays the
+    // full minhash in recursive SQL restricted to the probe direction.
+    "q137_dedup_probe" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.where(col("doc_id") < 32)
+      def sigs(parity: Int) = MinHashDedup.signatures(
+        docs.where(col("doc_id") % 2 === parity), "doc_id", "text",
+        ShingleK, NumPerms, Bands)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val idx = sigs(0); val inc = sigs(1)
+      val cand = MinHashDedup.probePairs(idx, inc, NumPerms,
+        minJaccardPct = 5)
+      val best = cand.groupBy(col("id_new"))
+        .agg(max(col("est_jaccard_pct")).as("best_jaccard_pct"))
+      val bestId = cand.join(best, Seq("id_new"))
+        .where(col("est_jaccard_pct") === col("best_jaccard_pct"))
+        .groupBy(col("id_new"), col("best_jaccard_pct"))
+        .agg(min(col("id_idx")).as("best_match"))
+      inc.select(col("id").as("doc_id"))
+        .join(bestId, col("doc_id") === col("id_new"), "left")
+        .select(col("doc_id"), col("best_match"),
+          col("best_jaccard_pct"), col("best_match").isNull.as("is_novel"))
+    }),
+
     // 27e. WAV/RIFF audio header decode — the audio leg of the
     // multimodal metadata path: a genuine chunk walk (fmt fields, data
     // size, odd-chunk pad alignment) over containers the fixture
@@ -3020,7 +3201,12 @@ object SparkEntry {
     * signature-agreement estimate with floor division (Spark's
     * double-div + cast-long truncation = `//` for non-negatives).
     */
-  private lazy val q17OracleSql: String = {
+  /** The shared minhash replay (docs < 32 → tokenize → shingle →
+    * recursive-CTE FNV → splitmix permutations → signatures `sigl` →
+    * band buckets `bk`) — the CTE chain both the q17 within-corpus
+    * oracle and the q137 incremental-probe oracle build on.
+    */
+  private lazy val minhashCtes: String = {
     val np = NumPerms; val bands = Bands; val rpb = np / bands
     val prime = "1099511628211"
     var h = s"xor(CAST(${u64("cbf29ce484222325")} AS HUGEINT), CAST(b AS HUGEINT))"
@@ -3028,7 +3214,7 @@ object SparkEntry {
       h = s"(((xor($h, sig[$rpb*b+${r + 1}])) * $prime) % $m64)"
     val permG = splitmixSql(
       s"xor(th, (CAST(${u64("9e3779b97f4a7c15")} AS HUGEINT) * (p+1)) % $m64)")
-    s"""WITH d32 AS (
+    s"""d32 AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE doc_id < 32 AND text IS NOT NULL AND trim(text) <> ''
        |),
@@ -3062,7 +3248,12 @@ object SparkEntry {
        |bk AS (
        |  SELECT doc_id, b, ${splitmixSql(h)} AS bucket
        |  FROM sigl CROSS JOIN (SELECT CAST(range AS BIGINT) AS b FROM range($bands))
-       |),
+       |)""".stripMargin
+  }
+
+  private lazy val q17OracleSql: String = {
+    val np = NumPerms
+    s"""WITH $minhashCtes,
        |grp AS (
        |  SELECT b, bucket, LIST(doc_id ORDER BY doc_id) AS ids
        |  FROM bk GROUP BY b, bucket HAVING COUNT(*) BETWEEN 2 AND 256
@@ -3078,6 +3269,49 @@ object SparkEntry {
        |  CAST((len(list_filter(generate_series(1, $np), q -> a.sig[q] = b.sig[q])) * 100) // $np AS BIGINT) AS est_jaccard_pct
        |FROM cand c JOIN sigl a ON a.doc_id = c.id_a JOIN sigl b ON b.doc_id = c.id_b
        |WHERE (len(list_filter(generate_series(1, $np), q -> a.sig[q] = b.sig[q])) * 100) // $np >= 5""".stripMargin
+  }
+
+  /** q137: the same minhash replay, restricted to the PROBE direction —
+    * odd ids (the crawl) pair only against even ids (the index), index
+    * buckets over 256 members excluded, best match per incoming doc by
+    * (max estimate, min index id), unmatched docs verdict novel.
+    */
+  private lazy val q137OracleSql: String = {
+    val np = NumPerms
+    s"""WITH $minhashCtes,
+       |bkE AS (SELECT doc_id, b, bucket FROM bk WHERE doc_id % 2 = 0),
+       |bkO AS (SELECT doc_id, b, bucket FROM bk WHERE doc_id % 2 = 1),
+       |okb AS (
+       |  SELECT b, bucket FROM bkE GROUP BY b, bucket
+       |  HAVING COUNT(*) <= 256
+       |),
+       |cand AS (
+       |  SELECT DISTINCT o.doc_id AS id_new, e.doc_id AS id_idx
+       |  FROM bkO o JOIN okb USING (b, bucket) JOIN bkE e USING (b, bucket)
+       |),
+       |scored AS (
+       |  SELECT c.id_new, c.id_idx,
+       |    CAST((len(list_filter(generate_series(1, $np),
+       |      q -> a.sig[q] = e.sig[q])) * 100) // $np AS BIGINT) AS est
+       |  FROM cand c JOIN sigl a ON a.doc_id = c.id_new
+       |    JOIN sigl e ON e.doc_id = c.id_idx
+       |),
+       |pos AS (SELECT * FROM scored WHERE est >= 5),
+       |best AS (
+       |  SELECT id_new, max(est) AS best_jaccard_pct FROM pos
+       |  GROUP BY id_new
+       |),
+       |bestid AS (
+       |  SELECT s.id_new, bst.best_jaccard_pct,
+       |    min(s.id_idx) AS best_match
+       |  FROM pos s JOIN best bst ON s.id_new = bst.id_new
+       |    AND s.est = bst.best_jaccard_pct
+       |  GROUP BY s.id_new, bst.best_jaccard_pct
+       |)
+       |SELECT n.doc_id, bi.best_match, bi.best_jaccard_pct,
+       |  bi.best_match IS NULL AS is_novel
+       |FROM (SELECT doc_id FROM d32 WHERE doc_id % 2 = 1) n
+       |LEFT JOIN bestid bi ON bi.id_new = n.doc_id""".stripMargin
   }
 
   /** [[duckHash64Tokens]] extended with the simhash bit-vote: CTE `sim`
@@ -3385,6 +3619,7 @@ object SparkEntry {
     "q65_pq_ann" -> q65OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
+    "q137_dedup_probe" -> q137OracleSql,
     "q23_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -4292,6 +4527,75 @@ object SparkEntry {
         |    (dominant_script <> 'other' AND n_other * 20 >= letters
         |      AND n_other > 0)) AS mixed_script
         |FROM e""".stripMargin,
+    // q134: the oracle replays the plant — og:title unless id%5=4
+    // (absent) or id%10=3 (tag present, content attribute missing);
+    // Spark must genuinely match case-folded/attribute-reordered tags,
+    // pair rel=alternate with the feed media type inside ONE tag, and
+    // never read the decoy generator tag's value as a key
+    "q134_meta_tags" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 <> 4 AND doc_id % 10 <> 3
+        |    THEN 'Page ' || doc_id END AS og_title,
+        |  CASE WHEN doc_id % 3 <> 0 THEN 'Desc ' || doc_id END
+        |    AS meta_description,
+        |  CASE WHEN doc_id % 4 <> 3 THEN 'http://site' ||
+        |    (doc_id % 50) % 10 || '.example/p/' || doc_id END
+        |    AS canonical_url,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'http://site' || (doc_id % 50) % 10 ||
+        |      '.example/feed.xml'
+        |    WHEN 1 THEN 'http://site' || (doc_id % 50) % 10 ||
+        |      '.example/atom.xml' END AS feed_url,
+        |  CASE doc_id % 4 WHEN 0 THEN 'rss' WHEN 1 THEN 'atom' END
+        |    AS feed_type
+        |FROM documents""".stripMargin,
+    // q135: the oracle regenerates items by arithmetic (torn id%9=8
+    // bodies contribute ZERO rows); Spark must genuinely inflate the
+    // gzip wire form, split item/entry blocks, and parse RFC-822 vs
+    // ISO-8601 dates back to the same calendar days
+    "q135_feed_parse" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS n, (doc_id % 50) % 10 AS h
+        |  FROM documents WHERE doc_id % 9 <> 8
+        |), i AS (
+        |  SELECT doc_id, h,
+        |    unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS i
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+        |    AS feed_format,
+        |  CAST(i AS BIGINT) AS item_idx,
+        |  'Post ' || doc_id || '-' || i AS title,
+        |  'http://site' || h || '.example/post/' || doc_id || '/' || i
+        |    AS url,
+        |  CASE WHEN doc_id % 2 = 0 AND doc_id % 6 = 4 THEN NULL
+        |    ELSE make_date(2024, 1, CAST(1 + (doc_id + i) % 28
+        |      AS INTEGER)) END AS pub_date
+        |FROM i""".stripMargin,
+    // q136: both engines genuinely run the capped selection — the same
+    // hash order (DuckDB hash(BIGINT) == murmur64), the same per-host
+    // running sum, the same integer cross-multiplied 10% cap
+    "q136_domain_cap" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'site' || CASE WHEN doc_id % 2 = 0 THEN '0'
+        |      WHEN doc_id % 4 = 1 THEN '1'
+        |      ELSE CAST(doc_id % 32 AS VARCHAR) END || '.example'
+        |      AS host,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), t AS (SELECT sum(n_tokens) AS w_total FROM b),
+        |c AS (
+        |  SELECT doc_id, host, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY host
+        |      ORDER BY hash(doc_id) >> 1, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS w_cum
+        |  FROM b)
+        |SELECT doc_id, host, n_tokens,
+        |  w_cum * 10000 <= w_total * 1000 AS kept
+        |FROM c, t""".stripMargin,
     // q130: the oracle replays the plant — a block exists unless
     // id%6=5, fields only when the JSON is well-formed (id%6 not in
     // 4,5); Spark must genuinely match case-folded/reordered script

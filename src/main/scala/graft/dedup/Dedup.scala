@@ -114,6 +114,61 @@ object MinHashDedup {
       .select("id_a", "id_b", "est_jaccard_pct")
   }
 
+  /** Incremental probe: candidate pairs between NEW documents and an
+    * EXISTING signature index — the production shape at 100 TB, where
+    * yesterday's corpus index is persisted once and today's crawl only
+    * computes ITS OWN signatures and probes the band buckets. No
+    * index×index pairs are ever formed (that run already happened) and
+    * the index is never re-read beyond its (id, band, bucket) rows plus
+    * the signatures of actual candidates. Returns
+    * (id_new, id_idx, est_jaccard_pct).
+    *
+    * Occupancy discipline: an index bucket holding more than `maxBucket`
+    * members is a degenerate attractor (boilerplate-only signatures) —
+    * probing it would pay O(|bucket|) per incoming doc for candidates
+    * the verify stage rejects anyway, so such buckets are excluded the
+    * same way [[DedupInternals.distinctBucketPairs]] caps within-corpus
+    * buckets. The exclusion count is observable by diffing against an
+    * uncapped run; callers wanting loud accounting count
+    * `n_idx > maxBucket` rows on the bucket-stats frame themselves.
+    *
+    * Scale shape: one (band, bucket) shuffle on narrow id rows for the
+    * probe join (the index side can be pre-bucketed BY band/bucket at
+    * index-build time, making the probe a co-located join); signatures
+    * join back by id for the agreement estimate only for surviving
+    * candidates (AQE broadcasts the usually-small candidate frame).
+    */
+  def probePairs(indexSigs: DataFrame, newSigs: DataFrame, numPerms: Int,
+      minJaccardPct: Int, maxBucket: Int = 256): DataFrame = {
+    val ib = indexSigs.select(col("id").as("id_idx"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val nb = newSigs.select(col("id").as("id_new"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val okBuckets = ib.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_idx"))
+      .where(col("n_idx") <= maxBucket)
+      .select("band", "bucket")
+    val cand = nb
+      .join(okBuckets, Seq("band", "bucket"))
+      .join(ib, Seq("band", "bucket"))
+      .select("id_new", "id_idx").distinct()
+    val iSig = indexSigs.select(col("id").as("id_idx"),
+      col("sig").as("sig_idx"))
+    val nSig = newSigs.select(col("id").as("id_new"),
+      col("sig").as("sig_new"))
+    cand
+      .join(nSig, "id_new").join(iSig, "id_idx")
+      .withColumn("eq_positions",
+        aggregate(
+          zip_with(col("sig_new"), col("sig_idx"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("est_jaccard_pct",
+        (col("eq_positions") * 100 / numPerms).cast("long"))
+      .where(col("est_jaccard_pct") >= minJaccardPct)
+      .select("id_new", "id_idx", "est_jaccard_pct")
+  }
+
   /** One-shot convenience: signatures + candidate pairs. The signature frame
     * is cached for the lifetime of the returned plan since the pair plan
     * reads it three times (buckets + two payload joins).

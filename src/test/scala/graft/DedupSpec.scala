@@ -43,6 +43,40 @@ class DedupSpec extends SparkSpec {
       "unrelated doc surfaced as candidate")
   }
 
+  test("incremental probe pairs new docs against the index only — never index x index") {
+    // index: docs 1 (tok-text) and 3 (zzz-text); incoming: 2 (near-dup
+    // of 1) and 5 (unrelated fresh text). The probe must pair 2→1 and
+    // find nothing for 5 — and must NOT emit the (1,4)-style
+    // within-index pair the full run would.
+    val index = MinHashDedup.signatures(docs.where(col("doc_id").isin(1L, 3L)),
+      "doc_id", "text")
+    val fresh = Seq(
+      (2L, ((1 to 30).map(i => s"tok$i").updated(15, "CHANGED")).mkString(" ")),
+      (5L, (500 to 530).map(i => s"qqq$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val incoming = MinHashDedup.signatures(fresh, "doc_id", "text")
+    val pairs = MinHashDedup.probePairs(index, incoming, 128, 50)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((2L, 1L)),
+      s"probe found ${pairs.toSeq}")
+    assert(pairs.head._3 >= 50)
+  }
+
+  test("probe excludes degenerate index buckets beyond the occupancy cap") {
+    // 40 identical index docs collapse onto the same buckets in every
+    // band; with maxBucket=8 the probe must refuse those buckets and
+    // report the (identical) incoming doc as unmatched.
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val idxDocs = (1L to 40L).map(i => (i, text)).toDF("doc_id", "text")
+    val index = MinHashDedup.signatures(idxDocs, "doc_id", "text")
+    val incoming = MinHashDedup.signatures(
+      Seq((100L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(MinHashDedup.probePairs(index, incoming, 128, 50, maxBucket = 8)
+      .isEmpty, "capped bucket still produced candidates")
+    assert(!MinHashDedup.probePairs(index, incoming, 128, 50, maxBucket = 64)
+      .isEmpty, "uncapped probe must match")
+  }
+
   test("minhash estimate agrees with exact ngram jaccard within 15 points") {
     val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
       shingleK = 2, numPerms = 128, bands = 32, minJaccardPct = 5)

@@ -145,6 +145,29 @@ class PlanSpec extends SparkSpec {
       "q119 must be map-side + broadcasts only:\n" + p.take(1500))
   }
 
+  test("head-metadata and feed parsing stay one map-side pass each") {
+    for (q <- Seq("q134_meta_tags", "q135_feed_parse")) {
+      val p = plan(q)
+        .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
+      assert(!p.contains("Exchange"),
+        s"$q must be shuffle-free:\n" + p.take(1200))
+      assert(!p.contains("Join"), s"$q must not join:\n" + p.take(1200))
+    }
+  }
+
+  test("domain cap: one shuffle by host, per-host window, total on a broadcast") {
+    val p = plan("q136_domain_cap")
+    assert("Exchange hashpartitioning\\(host".r.findAllIn(p).nonEmpty,
+      "the window must partition by host:\n" + p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "domain cap planned a GLOBAL sort — the window must stay per-host:\n" +
+        p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the one-row corpus total must ride a broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "no join in this operator may shuffle:\n" + p.take(1500))
+  }
+
   test("robots-meta directives stay one map-side pass") {
     val p = plan("q125_robots_meta")
       .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")

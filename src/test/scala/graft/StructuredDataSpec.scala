@@ -54,4 +54,58 @@ class StructuredDataSpec extends SparkSpec {
     assert(field(page, "@type") == Some("A"))
     assert(field(page, "headline").isEmpty)
   }
+
+  // ---- head metadata (q134) ------------------------------------------------
+
+  private def one(c: org.apache.spark.sql.Column): Option[String] = {
+    val r = spark.range(1).select(c.as("v")).head()
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("meta content: attribute order and case variants all match") {
+    assert(one(StructuredData.metaContent(
+      lit("""<meta property="og:title" content="A">"""), "og:title"))
+      == Some("A"))
+    assert(one(StructuredData.metaContent(
+      lit("""<META CONTENT="B" PROPERTY="OG:TITLE">"""), "og:title"))
+      == Some("B"))
+    assert(one(StructuredData.metaContent(
+      lit("""<meta name="description" content="C">"""), "description"))
+      == Some("C"))
+  }
+
+  test("a key inside another tag's VALUE never matches; malformed tag is NULL") {
+    // the decoy: content mentions og:title but the tag's key is generator
+    assert(one(StructuredData.metaContent(
+      lit("""<meta name="generator" content="og:title decoy">"""),
+      "og:title")).isEmpty)
+    // present tag, missing content attribute — countable but NULL value
+    assert(one(StructuredData.metaContent(
+      lit("""<meta property="og:title">"""), "og:title")).isEmpty)
+  }
+
+  test("feed autodiscovery pairs rel=alternate and the media type in ONE tag") {
+    val fl = (h: String) => spark.range(1)
+      .select(StructuredData.feedLink(lit(h)).as("f"))
+      .select(col("f.url"), col("f.fmt")).head()
+    // rel on one tag, type on another: no feed
+    val split = fl("""<link rel="alternate" type="text/html" href="a">""" +
+      """<link type="application/rss+xml" href="b">""")
+    assert(split.isNullAt(0) && split.isNullAt(1))
+    // reordered attributes still pair up
+    val atom = fl(
+      """<link type="application/atom+xml" href="u" rel="alternate">""")
+    assert(atom.getString(0) == "u" && atom.getString(1) == "atom")
+    val rss = fl(
+      """<link rel="alternate" type="application/rss+xml" href="r">""")
+    assert(rss.getString(0) == "r" && rss.getString(1) == "rss")
+  }
+
+  test("link href: case-folded rel match, raw href preserved") {
+    assert(one(StructuredData.linkHref(
+      lit("""<LINK REL="canonical" HREF="http://x/P?Q=1">"""), "canonical"))
+      == Some("http://x/P?Q=1"))
+    assert(one(StructuredData.linkHref(
+      lit("""<link rel="stylesheet" href="s.css">"""), "canonical")).isEmpty)
+  }
 }
