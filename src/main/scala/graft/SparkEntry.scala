@@ -2139,6 +2139,71 @@ object SparkEntry {
           col("best_jaccard_pct"), col("best_match").isNull.as("is_novel"))
     }),
 
+    // 26aj. HTML → Markdown conversion — structure-preserving corpus
+    // text (the markdown-corpus convention of recent public pipeline
+    // work): headings, emphasis, links and lists carry signal flat
+    // extraction (q103) throws away. Bounded non-nested subset;
+    // fixture pages are PURE arithmetic (headings h1-h3, b/strong and
+    // i/em variants, an entity, a planted link, 2-3 bullets, a
+    // plain-paragraph page, and a TORN unclosed heading that must
+    // degrade to stripped plain text) so the oracle rebuilds the exact
+    // expected markdown string. Map-side kernel, zero shuffles.
+    "q138_markdown" -> ((s, dir) => {
+      val id = col("doc_id")
+      val site = concat(lit("http://site"),
+        ((id % 50) % 10).cast("string"), lit(".example"))
+      val lvl = (lit(1) + id % 3).cast("string")
+      val head = concat(lit("<h"), lvl, lit(">Head "), id.cast("string"),
+        lit("</h"), lvl, lit(">"))
+      val boldTag = when(id % 2 === 0, lit("b")).otherwise(lit("strong"))
+      val emTag = when(id % 4 < 2, lit("i")).otherwise(lit("em"))
+      val para = concat(lit("<p>Intro <"), boldTag, lit(">bold"),
+        id.cast("string"), lit("</"), boldTag, lit("> and <a href=\""),
+        site, lit("/a/"), id.cast("string"), lit("\">link "),
+        id.cast("string"), lit("</a> &amp; <"), emTag, lit(">it"),
+        id.cast("string"), lit("</"), emTag, lit("> tail.</p>"))
+      val items = array_join(transform(
+        sequence(lit(0), (lit(1) + id % 2).cast("int")), i =>
+          concat(lit("<li>item "), id.cast("string"), lit("-"),
+            i.cast("string"), lit("</li>"))), "")
+      val html = when(id % 9 === 8,
+        concat(lit("<html><body><h1>Torn "), id.cast("string"),
+          lit("</body></html>")))
+        .when(id % 7 === 6,
+          concat(lit("<html><body><p>plain "), id.cast("string"),
+            lit("</p></body></html>")))
+        .otherwise(concat(lit("<html><body>"), head, para,
+          lit("<ul>"), items, lit("</ul></body></html>")))
+      Tables(s, dir).documents
+        .select(id, HtmlText.toMarkdown(html).as("markdown"))
+    }),
+
+    // 26ak. declared-vs-detected language audit — `<html lang>` (the
+    // WHATWG attribute) against the content-based n-gram language id
+    // (q24): a page whose declaration disagrees with its content is
+    // mislabeled (wrong-language boilerplate, copy-paste templates) and
+    // corpus language routing must trust the CONTENT. Attr extraction
+    // is anchored to the OPENING <html> tag so a decoy inside body text
+    // can never match; a missing attr is an honest NULL (agree=false).
+    // Map-side, zero shuffles.
+    "q139_lang_attr" -> ((s, dir) => {
+      val id = col("doc_id")
+      val attr = when(id % 5 === 2, lit(""))
+        .when(id % 4 === 1,
+          concat(lit(" LANG=\""), upper(col("lang")), lit("\"")))
+        .otherwise(concat(lit(" lang=\""), col("lang"), lit("\"")))
+      val html = concat(lit("<html"), attr,
+        lit("><head></head><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val openTag = regexp_extract(html, "(?i)^<html\\b[^>]*>", 0)
+      val declared = lower(nullif(regexp_extract(openTag,
+        "(?i)\\blang\\s*=\\s*\"([^\"]*)\"", 1), lit("")))
+      val predicted = TextStats.langId(col("text"))
+      Tables(s, dir).documents.select(id,
+        declared.as("declared_lang"), predicted.as("predicted_lang"),
+        coalesce(declared === predicted, lit(false)).as("agree"))
+    }),
+
     // 27e. WAV/RIFF audio header decode — the audio leg of the
     // multimodal metadata path: a genuine chunk walk (fmt fields, data
     // size, odd-chunk pad alignment) over containers the fixture
@@ -4527,6 +4592,41 @@ object SparkEntry {
         |    (dominant_script <> 'other' AND n_other * 20 >= letters
         |      AND n_other > 0)) AS mixed_script
         |FROM e""".stripMargin,
+    // q138: the fixture is pure arithmetic, so the oracle rebuilds the
+    // exact expected markdown string — heading hashes, finished inline
+    // spans, bullet lines — while Spark genuinely converts the HTML it
+    // assembled (incl. the torn heading degrading to plain text)
+    "q138_markdown" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 9 = 8 THEN 'Torn ' || doc_id
+        |    WHEN doc_id % 7 = 6 THEN 'plain ' || doc_id
+        |    ELSE repeat('#', CAST(1 + doc_id % 3 AS INTEGER))
+        |      || ' Head ' || doc_id || chr(10) || chr(10)
+        |      || 'Intro **bold' || doc_id || '** and [link ' || doc_id
+        |      || '](http://site' || (doc_id % 50) % 10 || '.example/a/'
+        |      || doc_id || ') & *it' || doc_id || '* tail.'
+        |      || chr(10) || chr(10)
+        |      || array_to_string(list_transform(
+        |           generate_series(0, CAST(1 + doc_id % 2 AS INTEGER)),
+        |           i -> '- item ' || doc_id || '-' || i), chr(10))
+        |  END AS markdown
+        |FROM documents""".stripMargin,
+    // q139: declared replays the plant (attr absent when id%5=2, value
+    // case-folds back to the lang column); predicted replays the q24
+    // n-gram heuristic; Spark genuinely extracts the anchored attr
+    "q139_lang_attr" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p
+         |  FROM documents
+         |), pr AS (
+         |  SELECT doc_id, lang, $langCase AS predicted FROM b
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 5 <> 2 THEN lang END AS declared_lang,
+         |  predicted AS predicted_lang,
+         |  doc_id % 5 <> 2 AND lang = predicted AS agree
+         |FROM pr""".stripMargin,
     // q134: the oracle replays the plant — og:title unless id%5=4
     // (absent) or id%10=3 (tag present, content attribute missing);
     // Spark must genuinely match case-folded/attribute-reordered tags,

@@ -378,7 +378,74 @@ object HtmlText {
     kept
   }
 
+  // ---- HTML -> Markdown (q138) ---------------------------------------------
+  //
+  // Modern corpus pipelines keep document STRUCTURE, not just visible
+  // text — headings, emphasis, links and lists carry signal a flat
+  // extraction throws away (the markdown-corpus convention of recent
+  // public web-corpus work). This converts the bounded non-nested HTML
+  // subset (double-quoted attrs — the whole web layer's documented
+  // contract) to CommonMark-style markdown: h1-h6 → #-runs, p → blank-
+  // line-separated paragraphs, li → "- " bullets, a → [text](href),
+  // b/strong → **, i/em → *, br → line break; script/style content is
+  // elided wholesale, every other tag strips to a space, entities
+  // decode, and whitespace normalizes (runs collapse, ≤1 blank line).
+  // Unclosed structural tags never throw — an unmatched open tag
+  // degrades to stripped-tag plain text.
+
+  private val MdScript = java.util.regex.Pattern.compile(
+    "(?is)<(script|style)\\b[^>]*>.*?</\\1>")
+  private val MdA = java.util.regex.Pattern.compile(
+    "(?is)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>")
+  private val MdBold = java.util.regex.Pattern.compile(
+    "(?is)<(b|strong)\\b[^>]*>(.*?)</\\1>")
+  private val MdEm = java.util.regex.Pattern.compile(
+    "(?is)<(i|em)\\b[^>]*>(.*?)</\\1>")
+  private val MdH = (1 to 6).map { n =>
+    n -> java.util.regex.Pattern.compile(
+      s"(?is)<h$n\\b[^>]*>(.*?)</h$n>")
+  }
+  private val MdLi = java.util.regex.Pattern.compile(
+    "(?is)<li\\b[^>]*>(.*?)</li>")
+  private val MdP = java.util.regex.Pattern.compile(
+    "(?is)<p\\b[^>]*>(.*?)</p>")
+  private val MdBr = java.util.regex.Pattern.compile(
+    "(?i)<br\\b[^>]*>")
+  private val MdTag = java.util.regex.Pattern.compile("<[^>]*>")
+  private val MdSpaceRun = java.util.regex.Pattern.compile("[ \\t\\r\\f]+")
+  private val MdNlTrim = java.util.regex.Pattern.compile(" ?\\n ?")
+  private val MdNlRun = java.util.regex.Pattern.compile("\\n{3,}")
+
+  /** HTML → markdown over the bounded subset (see block comment). */
+  def markdownKernel(html: UTF8String): UTF8String = {
+    if (html == null) return null
+    var s = html.toString
+    s = MdScript.matcher(s).replaceAll(" ")
+    // inline first, so heading/paragraph bodies carry finished spans
+    s = MdA.matcher(s).replaceAll("[$2]($1)")
+    s = MdBold.matcher(s).replaceAll("**$2**")
+    s = MdEm.matcher(s).replaceAll("*$2*")
+    for ((n, p) <- MdH)
+      s = p.matcher(s).replaceAll("\n\n" + "#" * n + " $1\n\n")
+    s = MdLi.matcher(s).replaceAll("\n- $1")
+    s = MdP.matcher(s).replaceAll("\n\n$1\n\n")
+    s = MdBr.matcher(s).replaceAll("\n")
+    s = MdTag.matcher(s).replaceAll(" ")
+    s = decodeEntities(s)
+    s = MdSpaceRun.matcher(s).replaceAll(" ")
+    var t = MdNlTrim.matcher(s).replaceAll("\n")
+    // trimming around a newline can expose new " \n" seams (e.g. "a  \n")
+    var prev = ""
+    while (prev != t) { prev = t; t = MdNlTrim.matcher(t).replaceAll("\n") }
+    UTF8String.fromString(MdNlRun.matcher(t).replaceAll("\n\n").trim)
+  }
+
   // ---- column surface -----------------------------------------------------
+
+  /** Markdown of an HTML column (bounded subset — see [[markdownKernel]]). */
+  def toMarkdown(html: Column): Column =
+    col(StaticInvoke(classOf[HtmlText.type], StringType, "markdownKernel",
+      Seq(ex(html)), Nil, propagateNull = true, returnNullable = true))
 
   /** Visible text of an HTML column, one `\n`-joined line per block. */
   def extract(html: Column): Column =

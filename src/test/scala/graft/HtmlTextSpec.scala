@@ -166,4 +166,32 @@ class HtmlTextSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(none.isEmpty)
   }
+
+  // ---- markdown conversion (q138) ------------------------------------------
+
+  private def md(html: String): String = spark.range(1)
+    .select(HtmlText.toMarkdown(lit(html)).as("m")).head().getString(0)
+
+  test("markdown: headings, inline spans, bullets, entities") {
+    val page = "<html><body><h2>T</h2>" +
+      "<p>A <strong>b</strong> &amp; <em>i</em> <a href=\"u\">l</a>.</p>" +
+      "<ul><li>one</li><li>two</li></ul></body></html>"
+    assert(md(page) ==
+      "## T\n\nA **b** & *i* [l](u).\n\n- one\n- two")
+  }
+
+  test("markdown: script/style content elided, unknown tags strip to space") {
+    val page = "<div><script>var x = \"<h1>no</h1>\";</script>" +
+      "<p>kept</p><style>p{color:red}</style></div>"
+    assert(md(page) == "kept")
+  }
+
+  test("markdown: torn structural tags degrade to plain text, never throw") {
+    assert(md("<html><body><h1>Torn page</body></html>") == "Torn page")
+    assert(md("<p>open only") == "open only")
+  }
+
+  test("markdown: br breaks a line, blank runs collapse to one blank line") {
+    assert(md("<p>a<br>b</p><p>c</p>") == "a\nb\n\nc")
+  }
 }

@@ -145,8 +145,9 @@ class PlanSpec extends SparkSpec {
       "q119 must be map-side + broadcasts only:\n" + p.take(1500))
   }
 
-  test("head-metadata and feed parsing stay one map-side pass each") {
-    for (q <- Seq("q134_meta_tags", "q135_feed_parse")) {
+  test("head-metadata, feed parsing, markdown, lang-attr stay one map-side pass each") {
+    for (q <- Seq("q134_meta_tags", "q135_feed_parse", "q138_markdown",
+        "q139_lang_attr")) {
       val p = plan(q)
         .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
       assert(!p.contains("Exchange"),
