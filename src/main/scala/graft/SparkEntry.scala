@@ -2204,6 +2204,26 @@ object SparkEntry {
         coalesce(declared === predicted, lit(false)).as("agree"))
     }),
 
+    // 26al. vocabulary-growth (Heaps-law) audit — the sizing input for
+    // vocab budgets and Heaps-bounded broadcast decisions (see
+    // QualityClassifier): cumulative tokens + cumulative distinct terms
+    // (by first occurrence) at ten doc-id-prefix checkpoints, plus the
+    // log-log least-squares slope as an integer micro-β both engines
+    // compute bit-equal (milli-quantized lns, BIGINT cross-multiplied
+    // regression, pmod-floor division). ONE wide shuffle — min doc id
+    // per term; everything after runs on the 10-row checkpoint dim.
+    // (the synthetic corpus has a CLOSED wordlist — vocab saturates in
+    // bucket 1 and β degenerates to 0 — so the fixture appends one
+    // doc-unique token per doc, the id/timestamp-like open-class tail
+    // every real corpus has; β then lands mid-curve and the regression
+    // arithmetic is genuinely discriminated)
+    "q140_heaps_audit" -> ((s, dir) =>
+      CorpusStats.heapsGrowth(
+        Tables(s, dir).documents.select(col("doc_id"),
+          concat(col("text"), lit(" u"), col("doc_id").cast("string"))
+            .as("text")),
+        "doc_id", "text")),
+
     // 27e. WAV/RIFF audio header decode — the audio leg of the
     // multimodal metadata path: a genuine chunk walk (fmt fields, data
     // size, odd-chunk pad alignment) over containers the fixture
@@ -4627,6 +4647,51 @@ object SparkEntry {
          |  predicted AS predicted_lang,
          |  doc_id % 5 <> 2 AND lang = predicted AS agree
          |FROM pr""".stripMargin,
+    // q140: both engines genuinely measure — same tokenization, same
+    // min-per-term first occurrences, same checkpoint arithmetic, same
+    // milli-quantized ln regression in pure integer arithmetic
+    "q140_heaps_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' u' || doc_id AS text FROM documents
+        |),
+        |mx AS (SELECT max(doc_id) + 1 AS nd FROM d),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term
+        |  FROM d
+        |),
+        |fd AS (SELECT term, min(doc_id) AS first_doc FROM tok
+        |  GROUP BY term),
+        |dt AS (SELECT (doc_id * 10) // nd AS dec, count(*) AS n
+        |  FROM tok, mx GROUP BY 1),
+        |dv AS (SELECT (first_doc * 10) // nd AS dec, count(*) AS v
+        |  FROM fd, mx GROUP BY 1),
+        |ds AS (SELECT CAST(range AS BIGINT) AS dec FROM range(10)),
+        |cum AS (
+        |  SELECT d.dec,
+        |    CAST(sum(coalesce(t.n, 0)) OVER (ORDER BY d.dec)
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(sum(coalesce(v.v, 0)) OVER (ORDER BY d.dec)
+        |      AS BIGINT) AS n_vocab
+        |  FROM ds d LEFT JOIN dt t ON t.dec = d.dec
+        |    LEFT JOIN dv v ON v.dec = d.dec
+        |),
+        |pts AS (
+        |  SELECT dec, n_tokens, n_vocab,
+        |    CAST(floor(CAST(ln(n_tokens) AS DECIMAL(18,9)) * 1000)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(CAST(ln(n_vocab) AS DECIMAL(18,9)) * 1000)
+        |      AS BIGINT) AS y
+        |  FROM cum
+        |),
+        |reg AS (
+        |  SELECT (10 * sum(x * y) - sum(x) * sum(y)) * 1000000 AS num,
+        |    10 * sum(x * x) - sum(x) * sum(x) AS den
+        |  FROM pts
+        |)
+        |SELECT dec + 1 AS bucket, n_tokens, n_vocab,
+        |  CAST(num // den AS BIGINT) AS heaps_beta_x1e6
+        |FROM pts, reg""".stripMargin,
     // q134: the oracle replays the plant — og:title unless id%5=4
     // (absent) or id%10=3 (tag present, content attribute missing);
     // Spark must genuinely match case-folded/attribute-reordered tags,

@@ -169,6 +169,17 @@ class PlanSpec extends SparkSpec {
       "no join in this operator may shuffle:\n" + p.take(1500))
   }
 
+  test("Heaps audit: the term shuffle is the only wide exchange") {
+    val p = plan("q140_heaps_audit")
+    assert("Exchange hashpartitioning\\(term".r.findAllIn(p).size == 1,
+      "first-occurrence-per-term must be exactly one term shuffle:\n" +
+        p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "a bounded frame shuffle-joined:\n" + p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "the audit planned a global sort on corpus rows:\n" + p.take(1500))
+  }
+
   test("robots-meta directives stay one map-side pass") {
     val p = plan("q125_robots_meta")
       .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
