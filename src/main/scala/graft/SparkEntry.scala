@@ -498,7 +498,7 @@ object SparkEntry {
             val text = r.getAs[String]("text")
             val date = java.time.Instant.parse("2024-01-01T00:00:00Z")
               .plusSeconds(id % 86400).toString
-            val payload = ((id % 5).toInt: @annotation.switch) match {
+            val payload = ((id % 6).toInt: @annotation.switch) match {
               case 0 => WarcCodec.httpResponse(
                 (s"<html><head><title>skip</title></head><body><h1>Doc " +
                   s"$id</h1><p>$text</p></body></html>").getBytes("UTF-8"),
@@ -512,6 +512,14 @@ object SparkEntry {
               case 3 => WarcCodec.httpResponse(
                 (s"%PDF-1.4 graft $id").getBytes("US-ASCII"),
                 "application/pdf")
+              case 5 => WarcCodec.httpResponse(
+                (s"""<?xml version="1.0"?><rss version="2.0"><channel>""" +
+                  s"<title>F $id</title>" +
+                  (0L to id % 3).map(i =>
+                    s"<item><title>i$i</title><link>http://corpus" +
+                      s".example/p/$id/$i</link></item>").mkString +
+                  "</channel></rss>").getBytes("UTF-8"),
+                "application/rss+xml")
               case _ => // untyped: no Content-Type header anywhere
                 ("HTTP/1.1 200 OK\r\nX-Graft: untyped\r\n\r\n")
                   .getBytes("US-ASCII") ++ text.getBytes("UTF-8")
@@ -1641,7 +1649,8 @@ object SparkEntry {
           col("text").as("page_text"), col("pdf_reason"),
           col("img_format"),
           col("img_w").cast("long").as("img_w"),
-          col("img_h").cast("long").as("img_h"))
+          col("img_h").cast("long").as("img_h"),
+          col("feed_item_count"))
     }),
 
     // 29l. robots → sitemap discovery — the composition the sitemap trio
@@ -4226,20 +4235,24 @@ object SparkEntry {
     // Content-Type, dispatch, and run the per-type kernel.
     "q111_content_route" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |  CASE CAST(doc_id % 6 AS INTEGER)
         |    WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
         |    WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'application/pdf'
+        |    WHEN 5 THEN 'application/rss+xml'
         |    END AS media_type,
-        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |  CASE CAST(doc_id % 6 AS INTEGER)
         |    WHEN 0 THEN 'html' WHEN 1 THEN 'plain' WHEN 2 THEN 'image'
-        |    WHEN 3 THEN 'pdf' ELSE 'unknown' END AS route,
-        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 3 THEN 'pdf' WHEN 5 THEN 'feed'
+        |    ELSE 'unknown' END AS route,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
         |    WHEN 0 THEN 'Doc ' || doc_id || chr(10) || text
         |    WHEN 1 THEN text || ' café' END AS page_text,
-        |  CASE WHEN doc_id % 5 = 3 THEN 'no_text' END AS pdf_reason,
-        |  CASE WHEN doc_id % 5 = 2 THEN 'bmp' END AS img_format,
-        |  CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 1024 END AS img_w,
-        |  CASE WHEN doc_id % 5 = 2 THEN 1 + doc_id % 768 END AS img_h
+        |  CASE WHEN doc_id % 6 = 3 THEN 'no_text' END AS pdf_reason,
+        |  CASE WHEN doc_id % 6 = 2 THEN 'bmp' END AS img_format,
+        |  CASE WHEN doc_id % 6 = 2 THEN 1 + doc_id % 1024 END AS img_w,
+        |  CASE WHEN doc_id % 6 = 2 THEN 1 + doc_id % 768 END AS img_h,
+        |  CASE WHEN doc_id % 6 = 5 THEN CAST(1 + doc_id % 3 AS BIGINT)
+        |    END AS feed_item_count
         |FROM documents""".stripMargin,
     // q112: the oracle composes each host's advertised sitemap list
     // (canonical spellings) from host_id arithmetic; Spark must recover

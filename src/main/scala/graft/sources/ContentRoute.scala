@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *    ([[PdfText]] — object/stream walk, FlateDecode, BT/ET operators);
   *    out-of-subset payloads carry an attributable `pdf_reason`, never
   *    mangled prose;
+  *  - `application/rss+xml`, `application/atom+xml` → `feed`:
+  *    discovery data, not corpus prose — text stays NULL, the item
+  *    count surfaces for the crawl scheduler, the q135 parser owns the
+  *    full item extraction;
   *  - any other non-empty type → `binary`: counted skip, payload
   *    untouched;
   *  - absent/empty Content-Type → `unknown`: counted skip (guessing a
@@ -45,6 +49,7 @@ object ContentRoute {
   val RoutePlain = "plain"
   val RouteImage = "image"
   val RoutePdf = "pdf"
+  val RouteFeed = "feed"
   val RouteBinary = "binary"
   val RouteUnknown = "unknown"
 
@@ -63,6 +68,8 @@ object ContentRoute {
       .when(mt.startsWith("text/"), lit(RoutePlain))
       .when(mt.startsWith("image/"), lit(RouteImage))
       .when(mt === "application/pdf", lit(RoutePdf))
+      .when(mt === "application/rss+xml" || mt === "application/atom+xml",
+        lit(RouteFeed))
       .otherwise(lit(RouteBinary))
   }
 
@@ -98,5 +105,13 @@ object ContentRoute {
         when(rt === RouteImage, F.imageWidth(col(bodyCol))))
       .withColumn("img_h",
         when(rt === RouteImage, F.imageHeight(col(bodyCol))))
+      // feed payloads are DISCOVERY data, not corpus prose: text stays
+      // NULL (the funnels' html/plain/pdf whitelist never admits them)
+      // and the route surfaces the item count — the accounting a crawl
+      // scheduler wants before handing the body to the q135 parser
+      .withColumn("feed_item_count",
+        when(rt === RouteFeed,
+          regexp_count(decoded, lit("(?s)<(?:item|entry)\\b[^>]*>"))
+            .cast("long")))
   }
 }

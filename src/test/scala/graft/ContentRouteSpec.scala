@@ -25,6 +25,8 @@ class ContentRouteSpec extends SparkSpec {
     assert(routeOf("image/png") == "image")
     assert(routeOf("image/bmp") == "image")
     assert(routeOf("application/pdf") == "pdf")
+    assert(routeOf("application/rss+xml") == "feed")
+    assert(routeOf("application/atom+xml; charset=utf-8") == "feed")
     assert(routeOf("application/json") == "binary")
     assert(routeOf("video/mp4") == "binary")
     assert(routeOf("") == "unknown")
@@ -86,6 +88,25 @@ class ContentRouteSpec extends SparkSpec {
     assert(out(7L) == (("pdf", "Doc 10 uncompressed\nhi", null, -1, -1, "ok")))
     // every input row survives: routing classifies, callers filter
     assert(out.size == 7)
+  }
+
+  test("feed route: item count surfaces, text stays NULL") {
+    val rss = ("<?xml version=\"1.0\"?><rss><channel><title>F</title>" +
+      "<item><title>a</title></item><item><title>b</title></item>" +
+      "</channel></rss>").getBytes("UTF-8")
+    val atom = ("<?xml version=\"1.0\"?><feed><entry/><entry/><entry/>" +
+      "</feed>").getBytes("UTF-8")
+    val out = ContentRoute.routed(Seq(
+      (1L, "application/rss+xml", rss),
+      (2L, "application/atom+xml", atom)).toDF("doc_id", "content_type",
+      "body"))
+      .select("doc_id", "route", "text", "feed_item_count")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) null else r.getString(2),
+          r.getLong(3))).toMap
+    assert(out(1L) == (("feed", null, 2L)))
+    assert(out(2L) == (("feed", null, 3L)),
+      "self-closing <entry/> tags must count")
   }
 
   test("routing composes with the WARC reader's absent-header NULL") {
