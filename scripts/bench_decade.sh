@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Decade-probe protocol: run graft.Bench over a ScaleGen dir BEHIND the
+# same idle gate bench_paired.sh uses. Round-13 lesson: the r13 decade
+# pair was first committed from a box at loadavg ~9 and the tail ran
+# 2-3x inflated (q20 55s vs 19.6s idle, q115 10.6s vs 3.2s) — a decade
+# RATIO artifact is only meaningful when both points are measured idle.
+# Usage:
+#   scripts/bench_decade.sh <scale_dir> <out_json>
+set -euo pipefail
+SF_DIR=${1:?usage: bench_decade.sh <scale_dir> <out_json>}
+OUT=${2:?need output json path}
+
+cores=$(nproc)
+ok=0
+for i in $(seq 1 120); do
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  load5=$(cut -d' ' -f2 /proc/loadavg)
+  ok=$(python3 -c "print(1 if $load < $cores * 0.05 and $load5 < $cores * 0.10 else 0)")
+  [ "${GRAFT_BENCH_FORCE:-0}" = "1" ] && ok=1
+  [ "$ok" = "1" ] && break
+  echo "[bench_decade] loadavg $load/$load5 too high for $cores cores; waiting ($i/120)" >&2
+  sleep 10
+done
+if [ "$ok" != "1" ]; then
+  echo "[bench_decade] box never went idle; refusing (GRAFT_BENCH_FORCE=1 to override)" >&2
+  exit 3
+fi
+
+SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' > "$OUT"
+echo "[bench_decade] wrote $OUT" >&2
