@@ -344,7 +344,13 @@ class StreamingSpec extends SparkSpec {
             .getBytes("UTF-8")),
         // a text/plain capture passes through WITHOUT HTML extraction
         (ts(10, 9), "http://g.example/t", "text/plain; charset=utf-8",
-          "plain <notatag> text".getBytes("UTF-8")))
+          "plain <notatag> text".getBytes("UTF-8")),
+        // a feed capture is DISCOVERY data, not corpus prose: it routes
+        // out of the text chain exactly like the batch funnel (q111's
+        // feed class) and never reaches the HTML scanner
+        (ts(10, 12), "http://j.example/feed", "application/rss+xml",
+          ("<?xml version=\"1.0\"?><rss><channel><item><title>t" +
+            "</title></item></channel></rss>").getBytes("UTF-8")))
       q.processAllAvailable()
       val got = spark.table("web_stream")
         .select("url_canon", "page_text")
