@@ -2213,6 +2213,23 @@ object SparkEntry {
         coalesce(declared === predicted, lit(false)).as("agree"))
     }),
 
+    // 27f. PDF Info-dictionary metadata (ISO 32000-1 §14.3.3 subset) —
+    // the provenance fields a corpus keeps beside q123's extracted
+    // text: title (as a document header), author, creation date (the
+    // recency-keeper input, q69). The planted title exercises the
+    // §7.3.4.2 escape decoder (\( \) round-trip); no-Info and not-a-PDF
+    // variants answer NULLs. Map-side kernel, zero shuffles.
+    "q141_pdf_meta" -> ((s, dir) => {
+      val id = col("doc_id")
+      val m = F.pdfInfo(F.pdfInfoFixture(id))
+      Tables(s, dir).documents.select(id,
+        element_at(m, 1).as("pdf_title"),
+        element_at(m, 2).as("pdf_author"),
+        to_date(substring(element_at(m, 3), 3, 8), "yyyyMMdd")
+          .as("created_date"),
+        element_at(m, 1).isNotNull.as("has_info"))
+    }),
+
     // 26al. vocabulary-growth (Heaps-law) audit — the sizing input for
     // vocab budgets and Heaps-bounded broadcast decisions (see
     // QualityClassifier): cumulative tokens + cumulative distinct terms
@@ -4660,6 +4677,22 @@ object SparkEntry {
          |  predicted AS predicted_lang,
          |  doc_id % 5 <> 2 AND lang = predicted AS agree
          |FROM pr""".stripMargin,
+    // q141: the oracle replays the Info plant — full metadata id%4=0
+    // (title through the escape decoder), title-only id%4=1, no Info
+    // id%4=2, not a PDF id%4=3; Spark genuinely walks trailer → /Info
+    // ref → object → literal strings
+    "q141_pdf_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'T (' || doc_id || ') esc'
+        |    WHEN 1 THEN 'T ' || doc_id END AS pdf_title,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'Au ' || doc_id END
+        |    AS pdf_author,
+        |  CASE WHEN doc_id % 4 = 0 THEN make_date(2024,
+        |    CAST(1 + doc_id % 12 AS INTEGER),
+        |    CAST(1 + doc_id % 28 AS INTEGER)) END AS created_date,
+        |  doc_id % 4 IN (0, 1) AS has_info
+        |FROM documents""".stripMargin,
     // q140: both engines genuinely measure — same tokenization, same
     // min-per-term first occurrences, same checkpoint arithmetic, same
     // milli-quantized ln regression in pure integer arithmetic

@@ -259,6 +259,21 @@ object F {
       "fixture", Seq(ex(docId), ex(text)), Nil, propagateNull = false,
       returnNullable = false))
 
+  /** PDF Info-dictionary metadata (graft.sources.PdfText.infoMeta,
+    * ISO 32000-1 §14.3.3 subset): array [title, author,
+    * creation_date_raw], NULLs when out of subset — never a throw.
+    */
+  def pdfInfo(blob: Column): Column =
+    col(StaticInvoke(classOf[graft.sources.PdfText.type],
+      ArrayType(StringType, containsNull = true), "infoMeta",
+      Seq(ex(blob)), Nil, propagateNull = true, returnNullable = false))
+
+  /** q141 fixture: the q123 skeleton plus a planted Info object. */
+  def pdfInfoFixture(docId: Column): Column =
+    col(StaticInvoke(classOf[graft.sources.PdfText.type], BinaryType,
+      "fixtureWithInfo", Seq(ex(docId)), Nil, propagateNull = false,
+      returnNullable = false))
+
   /** REAL bounded-subset PDF text extraction (object/stream walk,
     * FlateDecode via JDK zlib, BT/ET text operators with the full literal
     * string escape set — graft.sources.PdfText, ISO 32000-1 subset):

@@ -403,6 +403,71 @@ object PdfText {
     }
   }
 
+  // ---- Info-dictionary metadata (q141) -------------------------------------
+
+  /** Document-information metadata (§14.3.3): `[title, author,
+    * creation_date_raw]` from the trailer's `/Info` object — the
+    * provenance fields a corpus keeps beside PDF text (dates for
+    * recency keepers, titles as document headers). Bounded subset:
+    * the LAST `trailer` wins (incremental updates append), the Info
+    * ref must be an indirect `N G R`, and values must be direct
+    * literal strings (the full §7.3.4.2 escape set via the shared
+    * [[literalString]] decoder); anything else — no header, no
+    * trailer, indirect strings, a missing object — answers NULLs,
+    * never a throw. Same per-row map-side kernel shape as [[extract]].
+    */
+  def infoMeta(blob: Array[Byte]): ArrayData = {
+    val nulls = new GenericArrayData(Array[Any](null, null, null))
+    if (blob == null || !matchesAt(blob, 0, "%PDF-")) return nulls
+    val tr = lastIndexOf(blob, "trailer", blob.length)
+    if (tr < 0) return nulls
+    val infoAt = indexOf(blob, "/Info", tr)
+    if (infoAt < 0) return nulls
+    var i = infoAt + 5
+    while (i < blob.length && isWs(blob(i))) i += 1
+    val numStart = i
+    while (i < blob.length && blob(i) >= '0' && blob(i) <= '9') i += 1
+    if (i == numStart) return nulls
+    val objNum = new String(blob, numStart, i - numStart, "US-ASCII")
+    val objAt = indexOf(blob, s"$objNum 0 obj", 0)
+    if (objAt < 0) return nulls
+    val endAt = indexOf(blob, "endobj", objAt)
+    val end = if (endAt < 0) blob.length else endAt
+    def str(key: String): UTF8String = {
+      val k = indexOf(blob, key, objAt)
+      if (k < 0 || k >= end) return null
+      var p = k + key.length
+      while (p < end && isWs(blob(p))) p += 1
+      if (p >= end || blob(p) != '(') return null
+      val (bytes, _) = literalString(blob, p + 1)
+      if (bytes == null) null else UTF8String.fromBytes(bytes)
+    }
+    new GenericArrayData(Array[Any](
+      str("/Title"), str("/Author"), str("/CreationDate")))
+  }
+
+  /** q141 fixture: the q123 skeleton plus a planted Info object —
+    * variants by id%4: full metadata (title exercises the escape
+    * decoder), title-only, no Info entry, not a PDF at all.
+    */
+  def fixtureWithInfo(docId: Long): Array[Byte] = {
+    val mm = f"${1 + docId % 12}%02d"
+    val dd = f"${1 + docId % 28}%02d"
+    val info =
+      s"8 0 obj << /Title (T \\($docId\\) esc) /Author (Au $docId) " +
+        s"/CreationDate (D:2024$mm${dd}080000Z) >> endobj\n"
+    val titleOnly = s"8 0 obj << /Title (T $docId) >> endobj\n"
+    ((docId % 4).toInt: @annotation.switch) match {
+      case 0 => skeleton(s"BT (Doc $docId) Tj ET".getBytes("UTF-8"),
+        flate = false, trailer = "/Info 8 0 R ", extraObjs = info)
+      case 1 => skeleton(s"BT (Doc $docId) Tj ET".getBytes("UTF-8"),
+        flate = false, trailer = "/Info 8 0 R ", extraObjs = titleOnly)
+      case 2 => skeleton(s"BT (Doc $docId) Tj ET".getBytes("UTF-8"),
+        flate = false, trailer = "")
+      case _ => s"not a pdf $docId".getBytes("UTF-8")
+    }
+  }
+
   private def esc(s: String): String = {
     val sb = new java.lang.StringBuilder
     s.foreach {
@@ -429,7 +494,7 @@ object PdfText {
   }
 
   private def skeleton(streamData: Array[Byte], flate: Boolean,
-      trailer: String): Array[Byte] = {
+      trailer: String, extraObjs: String = ""): Array[Byte] = {
     val filter = if (flate) "/Filter /FlateDecode " else ""
     val head =
       "%PDF-1.4\n" +
@@ -437,7 +502,8 @@ object PdfText {
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
       "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
       s"4 0 obj << /Length ${streamData.length} $filter>> stream\n"
-    val tail = s"\nendstream endobj\ntrailer << /Root 1 0 R $trailer>>\n%%EOF\n"
+    val tail = s"\nendstream endobj\n$extraObjs" +
+      s"trailer << /Root 1 0 R $trailer>>\n%%EOF\n"
     head.getBytes("UTF-8") ++ streamData ++ tail.getBytes("UTF-8")
   }
 }

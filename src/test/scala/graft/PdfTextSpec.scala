@@ -112,4 +112,41 @@ class PdfTextSpec extends SparkSpec {
     val b = ("%PDF-1.7\n" + s1 + s2 + "%%EOF\n").getBytes("UTF-8")
     assert(ex(b) == (("a\nb", "ok")))
   }
+
+  // ---- Info-dictionary metadata (q141) -------------------------------------
+
+  private def info(b: Array[Byte]): (String, String, String) = {
+    val a = graft.sources.PdfText.infoMeta(b)
+    def g(i: Int) =
+      if (a.isNullAt(i)) null else a.getUTF8String(i).toString
+    (g(0), g(1), g(2))
+  }
+
+  test("info metadata: escape decoding, partial dicts, soft NULLs") {
+    assert(info(graft.sources.PdfText.fixtureWithInfo(4L)) ==
+      (("T (4) esc", "Au 4", "D:20240505080000Z")))
+    assert(info(graft.sources.PdfText.fixtureWithInfo(1L)) ==
+      (("T 1", null, null)), "title-only dict")
+    assert(info(graft.sources.PdfText.fixtureWithInfo(2L)) ==
+      ((null, null, null)), "no /Info in trailer")
+    assert(info(graft.sources.PdfText.fixtureWithInfo(3L)) ==
+      ((null, null, null)), "not a PDF")
+    assert(info(null) == ((null, null, null)))
+  }
+
+  test("info metadata: the LAST trailer wins (incremental update)") {
+    val b = ("%PDF-1.4\n" +
+      "7 0 obj << /Title (old) >> endobj\n" +
+      "8 0 obj << /Title (new) >> endobj\n" +
+      "trailer << /Root 1 0 R /Info 7 0 R >>\n" +
+      "trailer << /Root 1 0 R /Info 8 0 R >>\n%%EOF\n").getBytes("UTF-8")
+    assert(info(b)._1 == "new")
+  }
+
+  test("info metadata: an indirect string value is out of subset -> NULL") {
+    val b = ("%PDF-1.4\n" +
+      "8 0 obj << /Title 9 0 R /Author (direct) >> endobj\n" +
+      "trailer << /Root 1 0 R /Info 8 0 R >>\n%%EOF\n").getBytes("UTF-8")
+    assert(info(b) == ((null, "direct", null)))
+  }
 }
