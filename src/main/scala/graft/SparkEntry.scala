@@ -532,6 +532,51 @@ object SparkEntry {
       path
     }
 
+  /** q142 fixture: redirect chains planted by doc_id arithmetic — chain
+    * length L = id%4 (L=0 ids plant only their 200 page), hop j at
+    * /r/{id}/{j} answering 301/302 alternating with Location to the next
+    * hop, the last hop landing on /page/{id} — except id%9=8 chains,
+    * whose last hop points BACK to hop 0 (the loop misconfiguration the
+    * resolver must bound).
+    */
+  private def warcRedirectFixture(s: SparkSession, dir: String): String =
+    memoized(s, s"warc_redir|$dir") {
+      val path = tempDirCleanedAtExit("graft_warc_redir_")
+      Tables(s, dir).documents.select(col("doc_id"))
+        .repartition(warcArchiveCount(s, dir), col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.File(path, s"part-$pid.warc")
+          val fos = new java.io.FileOutputStream(f)
+          rows.foreach { r =>
+            val id = r.getAs[Long]("doc_id")
+            val h = (id % 50) % 10
+            val chainLen = (id % 4).toInt
+            val loop = id % 9 == 8 && chainLen > 0
+            val date = java.time.Instant.parse("2024-01-01T00:00:00Z")
+              .plusSeconds(id % 86400).toString
+            def u(j: Int) = s"http://site$h.example/r/$id/$j"
+            val page = s"http://site$h.example/page/$id"
+            for (j <- 0 until chainLen) {
+              val st = if (j % 2 == 0) 301 else 302
+              val dst =
+                if (j < chainLen - 1) u(j + 1)
+                else if (loop) u(0) else page
+              fos.write(WarcCodec.buildRecord("response",
+                s"<urn:graft:rd:$id:$j>", u(j), date,
+                WarcCodec.httpRedirect(st, dst)))
+            }
+            fos.write(WarcCodec.buildRecord("response",
+              s"<urn:graft:rd:$id:p>", page, date,
+              WarcCodec.httpResponse(s"Doc $id".getBytes("UTF-8"),
+                "text/html")))
+          }
+          fos.close()
+        }
+      path
+    }
+
   /** q29 fixture: customers classified into code-cleanse cases by
     * c_custkey mod 10 — raw code present (valid / bad prefix / one digit
     * short), fallback-column fill, name-containment lookup against the
@@ -2211,6 +2256,32 @@ object SparkEntry {
       Tables(s, dir).documents.select(id,
         declared.as("declared_lang"), predicted.as("predicted_lang"),
         coalesce(declared === predicted, lit(false)).as("agree"))
+    }),
+
+    // 29r. redirect-chain resolution — the frontier step between
+    // fetching and canonical URL identity: 3xx captures yield the
+    // functional (source, Location) edge set; path DOUBLING resolves
+    // every source to its final target in log₂(maxHops) joins (8 hops =
+    // 3 joins), loops and over-limit chains report unresolved with a
+    // NULL hop count. The fixture plants 1-3 hop chains by arithmetic
+    // plus loop chains (id%9=8) whose last hop points back to hop 0;
+    // Spark genuinely parses statuses + Location headers and resolves,
+    // while the oracle replays the plant (a loop source's position
+    // after 2³ doubled steps is (j+8) mod L — exact arithmetic).
+    "q142_redirects" -> ((s, dir) => {
+      val warc = GraftWarc.read(s, s"${warcRedirectFixture(s, dir)}/*.warc*")
+      val edges = warc.where(col("warc_type") === "response" &&
+        col("http_status").between(300, 399) &&
+        col("http_location").isNotNull)
+        .select(col("target_uri").as("src"),
+          col("http_location").as("dst"))
+      Redirects.resolve(edges, "src", "dst", maxHops = 8)
+        .select(
+          regexp_extract(col("src"), "/r/([0-9]+)/", 1).cast("long")
+            .as("doc_id"),
+          regexp_extract(col("src"), "/r/[0-9]+/([0-9]+)$", 1).cast("long")
+            .as("hop_idx"),
+          col("final_url"), col("hops"), col("resolved"))
     }),
 
     // 27f. PDF Info-dictionary metadata (ISO 32000-1 §14.3.3 subset) —
@@ -4677,6 +4748,29 @@ object SparkEntry {
          |  predicted AS predicted_lang,
          |  doc_id % 5 <> 2 AND lang = predicted AS agree
          |FROM pr""".stripMargin,
+    // q142: the oracle replays the chain plant — hop j of a normal
+    // chain lands on /page with L−j hops; a loop source's final target
+    // after the resolver's 2³ doubled steps is hop (j+8) mod L, hops
+    // NULL, resolved false
+    "q142_redirects" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 50) % 10 AS h,
+        |    CAST(doc_id % 4 AS INTEGER) AS l,
+        |    doc_id % 9 = 8 AS lp
+        |  FROM documents WHERE doc_id % 4 <> 0
+        |), j AS (
+        |  SELECT doc_id, h, l, lp,
+        |    unnest(generate_series(0, l - 1)) AS hop_idx
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(hop_idx AS BIGINT) AS hop_idx,
+        |  CASE WHEN lp THEN 'http://site' || h || '.example/r/' ||
+        |      doc_id || '/' || (hop_idx + 8) % l
+        |    ELSE 'http://site' || h || '.example/page/' || doc_id
+        |    END AS final_url,
+        |  CASE WHEN NOT lp THEN CAST(l - hop_idx AS BIGINT) END AS hops,
+        |  NOT lp AS resolved
+        |FROM j""".stripMargin,
     // q141: the oracle replays the Info plant — full metadata id%4=0
     // (title through the escape decoder), title-only id%4=1, no Info
     // id%4=2, not a PDF id%4=3; Spark genuinely walks trailer → /Info

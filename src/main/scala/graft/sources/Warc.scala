@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions.col
   */
 final case class WarcRow(file: String, warc_type: String, record_id: String,
     target_uri: String, warc_date: java.sql.Timestamp, content_length: Long,
-    http_status: Option[Int], content_type: String, body: Array[Byte])
+    http_status: Option[Int], content_type: String,
+    http_location: String, body: Array[Byte])
 
 /** WARC (Web ARChive, ISO 28500 — the Common Crawl container) ingest.
   *
@@ -72,13 +73,15 @@ object GraftWarc {
             else None
           val ctype = if (http.isDefined) WarcCodec.contentTypeOf(r.payload)
             else None
+          val loc = if (http.exists(h => h._1 >= 300 && h._1 < 400))
+            WarcCodec.locationOf(r.payload) else None
           WarcRow(file, r.warcType, r.recordId, r.targetUri,
             java.sql.Timestamp.from(java.time.Instant.parse(r.warcDate)),
             r.payload.length.toLong,
-            http.map(_._1), ctype.orNull, http.map(_._2).orNull)
+            http.map(_._1), ctype.orNull, loc.orNull, http.map(_._2).orNull)
         case Left(t) =>
           WarcRow(file, TruncatedType, t.reason, null, null, -1L, None, null,
-            null)
+            null, null)
       }
     }.toDS().toDF()
   }
@@ -173,6 +176,23 @@ object WarcCodec {
   def contentTypeOf(payload: Array[Byte]): Option[String] =
     httpHeaderBlock(payload).flatMap(b =>
       ContentTypeRe.findFirstMatchIn(b).map(_.group(1)))
+
+  private val LocationRe =
+    "(?im)^location:[ \\t]*([^\\r\\n]+?)[ \\t]*$".r
+
+  /** The `Location` header value (RFC 9110 §10.2.2 — where a 3xx points),
+    * or None — the redirect-edge source for [[graft.etl.Redirects]].
+    */
+  def locationOf(payload: Array[Byte]): Option[String] =
+    httpHeaderBlock(payload).flatMap(b =>
+      LocationRe.findFirstMatchIn(b).map(_.group(1)))
+
+  /** A 3xx response payload with a Location header and an empty body —
+    * the redirect-record fixture encoder.
+    */
+  def httpRedirect(status: Int, location: String): Array[Byte] =
+    (s"HTTP/1.1 $status Moved\r\nLocation: $location\r\n\r\n")
+      .getBytes("US-ASCII")
 
   /** The HTTP header block of a response payload (bytes before the blank
     * line) as a Latin-1-decoded string, or None when the payload has no
