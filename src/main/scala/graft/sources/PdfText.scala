@@ -429,7 +429,11 @@ object PdfText {
     while (i < blob.length && blob(i) >= '0' && blob(i) <= '9') i += 1
     if (i == numStart) return nulls
     val objNum = new String(blob, numStart, i - numStart, "US-ASCII")
-    val objAt = indexOf(blob, s"$objNum 0 obj", 0)
+    // digit boundary: a raw search for "8 0 obj" must not bind to the
+    // tail of "18 0 obj" — skip matches whose preceding byte is a digit
+    var objAt = indexOf(blob, s"$objNum 0 obj", 0)
+    while (objAt > 0 && blob(objAt - 1) >= '0' && blob(objAt - 1) <= '9')
+      objAt = indexOf(blob, s"$objNum 0 obj", objAt + 1)
     if (objAt < 0) return nulls
     val endAt = indexOf(blob, "endobj", objAt)
     val end = if (endAt < 0) blob.length else endAt

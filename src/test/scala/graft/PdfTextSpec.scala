@@ -143,6 +143,20 @@ class PdfTextSpec extends SparkSpec {
     assert(info(b)._1 == "new")
   }
 
+  test("info metadata: object lookup honors the digit boundary") {
+    // /Info 8 0 R must bind to "8 0 obj", never the tail of "18 0 obj"
+    val b = ("%PDF-1.4\n" +
+      "18 0 obj << /Title (wrong) >> endobj\n" +
+      "8 0 obj << /Title (right) >> endobj\n" +
+      "trailer << /Root 1 0 R /Info 8 0 R >>\n%%EOF\n").getBytes("UTF-8")
+    assert(info(b)._1 == "right")
+    // and a ref whose object is entirely absent stays NULL
+    val missing = ("%PDF-1.4\n" +
+      "18 0 obj << /Title (wrong) >> endobj\n" +
+      "trailer << /Root 1 0 R /Info 8 0 R >>\n%%EOF\n").getBytes("UTF-8")
+    assert(info(missing) == ((null, null, null)))
+  }
+
   test("info metadata: an indirect string value is out of subset -> NULL") {
     val b = ("%PDF-1.4\n" +
       "8 0 obj << /Title 9 0 R /Author (direct) >> endobj\n" +
