@@ -182,4 +182,39 @@ class RobustnessSpec extends SparkSpec {
       assert(WarcTranscode.sniffCharsetKernel(b) != null)
     }
   }
+
+  test("round-13 kernels are total on null and hostile inputs") {
+    import graft.functions.{HtmlText, StructuredData}
+    // null text through every new column surface — degrade, never throw
+    val out = messy.select(col("doc_id"),
+      HtmlText.toMarkdown(col("text")).as("md"),
+      StructuredData.metaContent(col("text"), "og:title").as("og"),
+      StructuredData.linkHref(col("text"), "canonical").as("cn"),
+      StructuredData.feedLink(col("text")).getField("url").as("fu"),
+      element_at(F.pdfInfo(col("text").cast("binary")), 1).as("pt"))
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).isNullAt(1), "null html -> null markdown")
+    assert(byId(2L).isNullAt(2) && byId(2L).isNullAt(5))
+    // hostile markup: a deep run of unclosed structural/inline tags
+    val hostile = "<h1><b><a href=\"x\"><li><p>" * 200
+    val md = spark.range(1)
+      .select(HtmlText.toMarkdown(lit(hostile)).as("m")).head()
+    assert(!md.isNullAt(0), "unclosed-tag bomb must strip, not throw")
+    // fuzz the markdown + head-metadata scanners over parser-state chars
+    import org.apache.spark.unsafe.types.UTF8String
+    val alphabet = "<>\"'=/abch1 lip*#[]()&;\n\té😀".toCharArray
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 1000) {
+      val s = new String(Array.fill(rnd.nextInt(48))(
+        alphabet(rnd.nextInt(alphabet.length))))
+      assert(HtmlText.markdownKernel(UTF8String.fromString(s)) != null)
+      graft.sources.PdfText.infoMeta(s.getBytes("UTF-8")) // never throws
+    }
+    // redirect resolution tolerates null edge endpoints (a torn capture)
+    val resolved = graft.etl.Redirects.resolve(
+      Seq(("a", "b"), (null, "c"), ("d", null)).toDF("s", "d"), "s", "d")
+      .collect() // must not throw
+    assert(resolved.exists(r => r.getString(0) == "a" &&
+      r.getString(1) == "b" && r.getBoolean(3)))
+  }
 }
