@@ -140,8 +140,13 @@ object UrlFilter {
         .withColumn("badword_score", softScore + strictScore)
     ) { (df, i) => df.withColumn(s"_sfx$i", sfx(i)) }
 
+    // dedupe the dim ONCE: these are flag-producing LEFT joins, so a
+    // duplicated blocklist entry (real aggregated lists carry them)
+    // would silently duplicate frontier rows. One small exchange; the
+    // per-suffix broadcasts then reuse the same deduped relation.
+    val uniq = blockDim.select(col("host")).distinct()
     def dim(as: String): DataFrame = {
-      val d = blockDim.select(col("host").as(as))
+      val d = uniq.select(col("host").as(as))
       if (broadcastBlocklist) broadcast(d) else d
     }
     val exact = scored.join(dim("_bh0"), col("host") === col("_bh0"), "left")

@@ -141,8 +141,13 @@ class PlanSpec extends SparkSpec {
       "blocklist joins not all broadcast:\n" + p.take(1500))
     assert(!p.contains("SortMergeJoin"),
       "a blocklist join fell back to a shuffle join")
-    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext,
-      "q119 must be map-side + broadcasts only:\n" + p.take(1500))
+    // hash exchanges are allowed ONLY for the dim's defensive dedup —
+    // one per broadcast branch in the initial plan (runtime exchange
+    // reuse collapses them); with every join broadcast and no SMJ the
+    // corpus side provably never shuffles for a blocklist probe
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <=
+      1 + graft.functions.UrlFilter.MaxSuffixJoins,
+      "a non-dim hash exchange appeared:\n" + p.take(1500))
   }
 
   test("head-metadata, feed parsing, markdown, lang-attr stay one map-side pass each") {

@@ -74,6 +74,19 @@ class UrlFilterSpec extends SparkSpec {
       !r5.getAs[Boolean]("blocked_parent") && r5.getAs[Boolean]("url_ok"))
   }
 
+  test("duplicate blocklist entries never duplicate frontier rows") {
+    // flag-producing LEFT joins against a dim with repeated hosts must
+    // dedupe the dim, not multiply the URL side
+    val docs = Seq((1L, "http://a.bad.example/x"),
+      (2L, "http://ok.example/y")).toDF("doc_id", "url")
+    val dim = Seq("bad.example", "bad.example", "bad.example").toDF("host")
+    val out = UrlFilter.evaluate(docs, "doc_id", "url", dim).collect()
+    assert(out.length == 2, s"row multiplication: ${out.length} rows")
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("blocked_parent"))
+    assert(byId(2L).getAs[Boolean]("url_ok"))
+  }
+
   test("schemeless URLs fail the explicit r_has_host rule, nothing else") {
     val r = row("www.site.example/news/1")
     assert(r.getAs[String]("host") == "" && r.getAs[Long]("host_len") == 0L)
