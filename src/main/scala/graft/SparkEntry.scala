@@ -4494,8 +4494,13 @@ object SparkEntry {
     // relation (wrapping base-31 fold re-signed into hash(BIGINT), the
     // q126 bigram construction one order higher; short docs emit one
     // fold over all tokens), k-min sketches by ORDER BY/LIMIT, θ = 2^64
-    // for an unfull sketch, and the estimator as HUGEINT floor division
-    // — the Spark side's mod-subtract decimal divide equals `//` exactly.
+    // for an unfull sketch. The estimator is engine-portable 63-bit
+    // arithmetic (the r13 HUGEINT `//` / DECIMAL(38,0) surface diverged
+    // under the driver's DuckDB): θ quantized to 2^14 granularity via
+    // an EXACT double divide (θ−θ%2^14 = q·2^14 with q < 2^50 is
+    // exactly representable), then floor(r·2^50/θq) in BIGINT with the
+    // modulus subtracted before `//` so no division rounding can move
+    // the integer quotient. kmv_estimate is BIGINT on both sides.
     "q127_kmv_overlap" -> {
       val comb = "(CASE WHEN nt >= 3 THEN ((((th*31 + t2) % " + m64 +
         ") * 31 + t3) % " + m64 + ") WHEN nt = 2 THEN ((th*31 + t2) % " +
@@ -4539,26 +4544,38 @@ object SparkEntry {
          |), th AS (
          |  SELECT ca, cb, tha, thb, least(tha, thb) AS thu
          |  FROM ta CROSS JOIN tb
+         |), thq AS (
+         |  SELECT ca, cb, thu,
+         |    GREATEST(1, CAST(CAST(tha - (tha % 16384) AS DOUBLE)
+         |      / 16384.0 AS BIGINT)) AS qa,
+         |    GREATEST(1, CAST(CAST(thb - (thb % 16384) AS DOUBLE)
+         |      / 16384.0 AS BIGINT)) AS qb,
+         |    GREATEST(1, CAST(CAST(thu - (thu % 16384) AS DOUBLE)
+         |      / 16384.0 AS BIGINT)) AS qu
+         |  FROM th
          |), mrg AS (
          |  SELECT u, MAX(ina) AS ina, MAX(inb) AS inb FROM (
          |    SELECT u, 1 AS ina, 0 AS inb FROM ska
          |    UNION ALL SELECT u, 0, 1 FROM skb) GROUP BY 1
          |), ui AS (
          |  SELECT COUNT(*) AS ru, COALESCE(SUM(ina * inb), 0) AS ri
-         |  FROM mrg CROSS JOIN th WHERE CAST(u AS HUGEINT) < thu
+         |  FROM mrg CROSS JOIN thq WHERE CAST(u AS HUGEINT) < thu
+         |), nums AS (
+         |  SELECT 'a' AS scope, CAST(CASE WHEN ca < 512 THEN ca
+         |    ELSE 511 END AS BIGINT) * 1125899906842624 AS num, qa AS q
+         |  FROM thq
+         |  UNION ALL
+         |  SELECT 'b', CAST(CASE WHEN cb < 512 THEN cb ELSE 511 END
+         |    AS BIGINT) * 1125899906842624, qb FROM thq
+         |  UNION ALL
+         |  SELECT 'union', CAST(ru AS BIGINT) * 1125899906842624, qu
+         |  FROM ui CROSS JOIN thq
+         |  UNION ALL
+         |  SELECT 'overlap', CAST(ri AS BIGINT) * 1125899906842624, qu
+         |  FROM ui CROSS JOIN thq
          |), est AS (
-         |  SELECT 'a' AS scope, CAST((CASE WHEN ca < 512 THEN ca
-         |    ELSE 511 END * CAST($m64 AS HUGEINT)) // tha
-         |    AS DECIMAL(38,0)) AS kmv_estimate FROM th
-         |  UNION ALL
-         |  SELECT 'b', CAST((CASE WHEN cb < 512 THEN cb ELSE 511 END
-         |    * CAST($m64 AS HUGEINT)) // thb AS DECIMAL(38,0)) FROM th
-         |  UNION ALL
-         |  SELECT 'union', CAST((ru * CAST($m64 AS HUGEINT)) // thu
-         |    AS DECIMAL(38,0)) FROM ui CROSS JOIN th
-         |  UNION ALL
-         |  SELECT 'overlap', CAST((ri * CAST($m64 AS HUGEINT)) // thu
-         |    AS DECIMAL(38,0)) FROM ui CROSS JOIN th
+         |  SELECT scope, (num - (num % q)) // q AS kmv_estimate
+         |  FROM nums
          |), exrows AS (
          |  SELECT 'a' AS scope, CAST(ea AS BIGINT) AS exact_distinct
          |  FROM exacts
