@@ -136,7 +136,7 @@ object SparkEntry {
       .otherwise(concat(lit("/files/"), gid.cast("string"), lit(".tmp")))
   }
 
-  /** q119's URL fixture: nine variants keyed by doc_id%9, each
+  /** q119's URL fixture: ten variants keyed by doc_id%10, each
     * exercising one dimension of the UrlFilter battery — clean, a lone
     * soft word (scores 40, below the 60 threshold: weighted scoring is
     * not substring banning), two soft words (70 ≥ 60 → filtered), a
@@ -144,11 +144,14 @@ object SparkEntry {
     * what word matching can't), a digit-heavy host whose verdict flips
     * on gid's digit count, a blocklisted host, a 5-dot-deep host, a
     * SUBDOMAIN of a blocklisted host (parent-suffix matching bans it
-    * without list pre-expansion), and a schemeless URL (rejected by the
-    * explicit r_has_host rule, not mislabeled digit-heavy). The oracle
-    * rebuilds these URLs by the same arithmetic and re-derives every
-    * counter with DuckDB string/list functions — a genuine replay, not a
-    * decision table.
+    * without list pre-expansion), an 8-LABEL subdomain of a blocklisted
+    * host (fails r_depth, yet blocked_parent must still agree with the
+    * oracle's identically-bounded suffix window — the exposed column
+    * can't lean on r_depth masking it), and a schemeless URL (rejected
+    * by the explicit r_has_host rule, not mislabeled digit-heavy). The
+    * oracle rebuilds these URLs by the same arithmetic and re-derives
+    * every counter with DuckDB string/list functions — a genuine
+    * replay, not a decision table.
     */
   // the fixed BPE merge table shared by q47b (encode oracle) and q122
   // (fertility audit): six ranked rules whose outputs never feed an
@@ -160,22 +163,24 @@ object SparkEntry {
     val gid = id % 50
     val h = (gid % 10).cast("string")
     val tgt = gid.cast("string")
-    when(id % 9 === 0, concat(
+    when(id % 10 === 0, concat(
         lit("http://site"), h, lit(".example/news/"), tgt))
-      .when(id % 9 === 1, concat(
+      .when(id % 10 === 1, concat(
         lit("http://site"), h, lit(".example/casino/"), tgt))
-      .when(id % 9 === 2, concat(
+      .when(id % 10 === 2, concat(
         lit("http://site"), h, lit(".example/casino/poker/"), tgt))
-      .when(id % 9 === 3, concat(
+      .when(id % 10 === 3, concat(
         lit("http://site"), h, lit(".example/a/p"), tgt, lit("xxx4")))
-      .when(id % 9 === 4, concat(
+      .when(id % 10 === 4, concat(
         lit("http://h"), tgt, lit("x"), tgt, lit(".biz/news/"), tgt))
-      .when(id % 9 === 5, concat(
+      .when(id % 10 === 5, concat(
         lit("http://blocked"), h, lit(".example/news/"), tgt))
-      .when(id % 9 === 6, concat(
+      .when(id % 10 === 6, concat(
         lit("http://a.b.c.d.site"), h, lit(".example/news/"), tgt))
-      .when(id % 9 === 7, concat(
+      .when(id % 10 === 7, concat(
         lit("http://cdn.blocked"), h, lit(".example/news/"), tgt))
+      .when(id % 10 === 8, concat(
+        lit("http://a.b.c.d.e.f.blocked"), h, lit(".example/news/"), tgt))
       .otherwise(concat(
         lit("www.site"), h, lit(".example/news/"), tgt))
   }
@@ -4476,11 +4481,17 @@ object SparkEntry {
          |  SELECT doc_id, COUNT(*) AS n_feats,
          |    SUM(COALESCE(w, w0)) AS sum_w
          |  FROM feats LEFT JOIN wt USING (b) CROSS JOIN w0 GROUP BY 1
-         |), avgd AS (
-         |  SELECT doc_id, n_feats,
-         |    CAST(floor(sum_w * 1000) AS BIGINT) AS logratio_x1000,
-         |    CAST(floor(sum_w * 1000 / n_feats) AS BIGINT) AS avg_x1000
+         |), lr AS (
+         |  SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+         |    CAST(floor(sum_w * 1000) AS BIGINT) AS logratio_x1000
          |  FROM sc
+         |), avgd AS (
+         |  -- exact BIGINT floor division (positive-mod subtract, the
+         |  -- q127 discipline): floor(1000*sum/n) = floor(floor(1000*sum)/n)
+         |  SELECT doc_id, n_feats, logratio_x1000,
+         |    (logratio_x1000 - ((logratio_x1000 % n_feats + n_feats)
+         |      % n_feats)) // n_feats AS avg_x1000
+         |  FROM lr
          |), rk AS (
          |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY avg_x1000 DESC,
          |      doc_id) AS BIGINT) AS dsir_rank,
@@ -5142,17 +5153,18 @@ object SparkEntry {
         |SELECT *, dup_bp <= 3000 AS keep FROM f""".stripMargin,
     // q119: the oracle rebuilds the planted URLs by the same doc_id
     // arithmetic, then re-derives host/digits/dots/score with DuckDB
-    // string and list functions and replays the blocklist as LEFT
-    // JOINs against a range()-built dim — exact-host plus the
-    // parent-suffix ban via a label-boundary LIKE ('%.' || bhost; the
-    // Spark side's 5-shortest-suffix window is exhaustive for every
-    // host of ≤ 7 labels, which covers the fixture and anything that
-    // passes r_depth) — a genuine replay of the battery, not a
-    // decision table
+    // string and list functions and replays the blocklist against a
+    // range()-built dim — exact-host plus the parent-suffix ban over
+    // the SAME bounded shortest-first suffix window the engine joins
+    // (UrlFilter.MaxSuffixJoins = MaxHostDots+1 = 5), so the two
+    // battery replays are exhaustively equivalent BY CONSTRUCTION on
+    // every host, 8+-label frontiers included (the r13 LIKE replay was
+    // unbounded and could disagree past 7 labels) — a genuine replay
+    // of the battery, not a decision table
     "q119_url_filter" ->
       """WITH u AS (
         |  SELECT doc_id,
-        |    CASE CAST(doc_id % 9 AS INTEGER)
+        |    CASE CAST(doc_id % 10 AS INTEGER)
         |      WHEN 0 THEN 'http://site' || ((doc_id % 50) % 10)
         |        || '.example/news/' || (doc_id % 50)
         |      WHEN 1 THEN 'http://site' || ((doc_id % 50) % 10)
@@ -5168,6 +5180,9 @@ object SparkEntry {
         |      WHEN 6 THEN 'http://a.b.c.d.site' || ((doc_id % 50) % 10)
         |        || '.example/news/' || (doc_id % 50)
         |      WHEN 7 THEN 'http://cdn.blocked' || ((doc_id % 50) % 10)
+        |        || '.example/news/' || (doc_id % 50)
+        |      WHEN 8 THEN 'http://a.b.c.d.e.f.blocked'
+        |        || ((doc_id % 50) % 10)
         |        || '.example/news/' || (doc_id % 50)
         |      ELSE 'www.site' || ((doc_id % 50) % 10)
         |        || '.example/news/' || (doc_id % 50)
@@ -5194,11 +5209,24 @@ object SparkEntry {
         |  FROM f
         |), b AS (
         |  SELECT 'blocked' || i || '.example' AS bhost FROM range(10) t(i)
+        |), lb AS (
+        |  SELECT doc_id, string_split(host, '.') AS labs,
+        |    len(string_split(host, '.')) AS nlab
+        |  FROM g
+        |), sfx AS (
+        |  -- the i-th SHORTEST proper suffix with >=2 labels, i=1..5 —
+        |  -- the engine's exact bounded window
+        |  SELECT lb.doc_id,
+        |    array_to_string(list_slice(labs,
+        |      nlab - CAST(s.i AS BIGINT), nlab), '.') AS suffix
+        |  FROM lb CROSS JOIN range(1, 6) s(i)
+        |  WHERE CAST(s.i AS BIGINT) <= nlab - 2
         |), v AS (
         |  SELECT g.*,
         |    EXISTS (SELECT 1 FROM b WHERE g.host = b.bhost)
         |      AS blocked_domain,
-        |    EXISTS (SELECT 1 FROM b WHERE g.host LIKE '%.' || b.bhost)
+        |    EXISTS (SELECT 1 FROM sfx JOIN b ON sfx.suffix = b.bhost
+        |      WHERE sfx.doc_id = g.doc_id)
         |      AS blocked_parent
         |  FROM g
         |)

@@ -97,9 +97,16 @@ object Dsir {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("sum_w"))
       .select(col("doc_id"), col("n_feats"),
-        floor(col("sum_w") * 1000).cast("long").as("logratio_x1000"),
-        floor(col("sum_w") * 1000 / col("n_feats")).cast("long")
-          .as("avg_x1000"))
+        floor(col("sum_w") * 1000).cast("long").as("logratio_x1000"))
+      // floor(1000·Σw/n) = floor(floor(1000·Σw)/n) for integer n>0, so
+      // the normalization is exact BIGINT floor division (pmod
+      // subtracted before the divide — the Kmv/CorpusStats discipline;
+      // a rounded decimal quotient near an integer can floor
+      // differently across engines)
+      .withColumn("avg_x1000",
+        ((col("logratio_x1000")
+            - pmod(col("logratio_x1000"), col("n_feats")))
+          / col("n_feats")).cast("long"))
 
     // global rank by (avg_x1000 DESC, doc_id) without a global sort:
     // offsets over the bounded distinct-score frame, rank within score

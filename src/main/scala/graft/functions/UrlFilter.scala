@@ -63,15 +63,21 @@ object UrlFilter {
   def hostOf(url: Column): Column =
     regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
 
-  /** How many PROPER parent-suffix joins [[evaluate]] runs. A host with
-    * n labels has n−2 proper suffixes of ≥ 2 labels; 5 covers every
-    * proper suffix of hosts up to 7 labels — and any host deeper than
-    * [[MaxHostDots]]+1 labels already fails `r_depth`. Blocklists ban
-    * short registrable suffixes (`example.com`), which are always the
-    * FIRST entries of the shortest-first window, so the bound only ever
-    * skips ≥ 7-label banned suffixes — a shape real lists don't contain.
+  /** How many PROPER parent-suffix joins [[evaluate]] runs — DERIVED
+    * from [[MaxHostDots]] so the window is exhaustive by construction
+    * for every host that can pass `r_depth` (≤ MaxHostDots+1 labels ⇒
+    * ≤ MaxHostDots−1 proper suffixes of ≥ 2 labels, with slack).
+    * `blocked_parent` is therefore DEFINED as "a banned host among the
+    * [[MaxSuffixJoins]] shortest proper suffixes": hosts deeper than
+    * the window can only miss a banned suffix of ≥ MaxSuffixJoins+2
+    * labels — blocklists ban short registrable suffixes
+    * (`example.com`), which are always the FIRST entries of the
+    * shortest-first window, so that shape doesn't occur in real lists,
+    * and the q119 oracle replays this exact bounded window (not an
+    * unbounded LIKE) so engine and oracle agree on EVERY host, 8+
+    * labels included.
     */
-  val MaxSuffixJoins = 5
+  val MaxSuffixJoins: Int = MaxHostDots + 1
 
   /** Per-URL verdict battery. `blockDim` must expose a `host` column of
     * banned hosts. An entry bans the exact host AND every subdomain of

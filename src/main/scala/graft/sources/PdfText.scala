@@ -112,8 +112,7 @@ object PdfText {
     var i = 0
     while (i < segs.length) {
       val (dictStart, ds, de) = segs(i)
-      val isImage = indexOf(b, "/Image", dictStart, k = ds) >= 0 &&
-        indexOf(b, "/Subtype", dictStart, k = ds) >= 0
+      val isImage = subtypeIsImage(b, dictStart, ds)
       if (!isImage) {
         val flate = indexOf(b, "/FlateDecode", dictStart, k = ds) >= 0
         val raw = java.util.Arrays.copyOfRange(b, ds, de)
@@ -300,6 +299,38 @@ object PdfText {
       i += 1
     }
     true
+  }
+
+  /** PDF whitespace (ISO 32000 §7.2.2). */
+  private def isPdfWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' ||
+      c == 0
+
+  /** True iff the dict region [from, until) carries the COMBINED
+    * pattern `/Subtype<ws*>/Image` with a name boundary after `Image`
+    * — two independent substring probes also matched `/ImageMask`
+    * keys or an unrelated name containing "Image" next to any
+    * `/Subtype`, silently dropping text-bearing streams as pixel data.
+    */
+  private def subtypeIsImage(b: Array[Byte], from: Int,
+      until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      val st = indexOf(b, "/Subtype", i, k = until)
+      if (st < 0) return false
+      var j = st + 8
+      while (j < until && isPdfWs(b(j))) j += 1
+      if (j + 6 <= until && matchesAt(b, j, "/Image")) {
+        // name boundary: delimiter/whitespace/end — NOT a regular
+        // name char, so /ImageMask (a different name) never matches
+        val e = j + 6
+        if (e >= until || isPdfWs(b(e)) || b(e) == '/' || b(e) == '>' ||
+            b(e) == '<' || b(e) == '[' || b(e) == ']' || b(e) == '(' ||
+            b(e) == ')' || b(e) == '%') return true
+      }
+      i = st + 1
+    }
+    false
   }
 
   private def indexOf(b: Array[Byte], s: String, from: Int,

@@ -90,6 +90,26 @@ class PdfTextSpec extends SparkSpec {
     assert(ex(b) == (("real", "ok")))
   }
 
+  test("image skip needs the COMBINED /Subtype/Image name, not substrings") {
+    // /ImageMask key + an unrelated /Subtype: text-bearing, must scan
+    val mask = "7 0 obj << /Subtype /Form /ImageMask true /Length 14 >> " +
+      "stream\nBT (kept) Tj ET\nendstream endobj\n"
+    val b1 = ("%PDF-1.7\n" + mask + "%%EOF\n").getBytes("UTF-8")
+    assert(ex(b1) == (("kept", "ok")),
+      "/ImageMask beside an unrelated /Subtype must not skip the stream")
+    // a NAME containing 'Image' (here /MyImage) plus any /Subtype
+    val named = "7 0 obj << /Subtype /Form /Name /MyImage /Length 14 >> " +
+      "stream\nBT (also) Tj ET\nendstream endobj\n"
+    val b2 = ("%PDF-1.7\n" + named + "%%EOF\n").getBytes("UTF-8")
+    assert(ex(b2) == (("also", "ok")))
+    // no-space /Subtype/Image still skips; so does /Subtype /Image/Next
+    val tight = "7 0 obj << /Subtype/Image /Length 12 >> stream\n" +
+      "BT (pix) Tj E\nendstream endobj\n" +
+      "8 0 obj << /Length 14 >> stream\nBT (text) Tj ET\nendstream endobj\n"
+    val b3 = ("%PDF-1.7\n" + tight + "%%EOF\n").getBytes("UTF-8")
+    assert(ex(b3) == (("text", "ok")))
+  }
+
   test("soft failures: not_pdf, torn stream, failed inflate, encrypted") {
     assert(ex(null) == ((null, "not_pdf")))
     assert(ex("hello".getBytes("UTF-8")) == ((null, "not_pdf")))

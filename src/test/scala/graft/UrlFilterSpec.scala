@@ -72,6 +72,14 @@ class UrlFilterSpec extends SparkSpec {
     val r5 = row("http://bad.example/news", block = Seq("sub.bad.example"))
     assert(!r5.getAs[Boolean]("blocked_domain") &&
       !r5.getAs[Boolean]("blocked_parent") && r5.getAs[Boolean]("url_ok"))
+    // an 8-label host (deeper than anything r_depth admits): the
+    // 2-label banned suffix is the FIRST window entry, so
+    // blocked_parent still fires even where depth already fails —
+    // exposed columns never lean on r_depth masking them
+    val r6 = row("http://a.b.c.d.e.f.bad.example/x",
+      block = Seq("bad.example"))
+    assert(r6.getAs[Boolean]("blocked_parent") &&
+      !r6.getAs[Boolean]("r_depth") && !r6.getAs[Boolean]("url_ok"))
   }
 
   test("duplicate blocklist entries never duplicate frontier rows") {
