@@ -30,6 +30,23 @@ object TextStats {
     ((length(text) - length(replace(text, lit(marker), lit("")))) / marker.length)
       .cast("long")
 
+  /** One-pass count of the three Gopher symbol markers:
+    * `#` + non-overlapping `...` + `…`. Semantics are exactly the sum
+    * of the three [[markerCount]]s (the markers share no characters, so
+    * they count independently; a maximal run of n dots holds
+    * floor(n/3) non-overlapping `...`), but as ONE codegen StaticInvoke
+    * byte scan with zero allocation — the three replace() passes each
+    * copied the whole document, and adding the third ('…', ADVICE r12)
+    * doubled q115 at the 100× probe.
+    */
+  def gopherSymbolCount(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[TextCleanKernels.type],
+        org.apache.spark.sql.types.LongType, "gopherSymbols",
+        Seq(org.apache.spark.sql.GraftSqlBridge.expression(text)),
+        inputTypes = Nil, propagateNull = true, returnNullable = false))
+
   /** English stopword hits: occurrences of ' the ' / ' a ' / ' and ' in a
     * single-space-padded body.
     */
@@ -195,6 +212,30 @@ object TextCleanKernels {
   def nfc(s: UTF8String): UTF8String =
     UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** '#' + non-overlapping '...' + '…' in one raw UTF-8 byte pass.
+    * Bytewise is sound: '#' (0x23) and '.' (0x2E) are ASCII and never
+    * occur as UTF-8 continuation bytes, and '…' is the exact sequence
+    * E2 80 A6 — no decode, no allocation.
+    */
+  def gopherSymbols(s: UTF8String): Long = {
+    val n = s.numBytes
+    var i = 0
+    var total = 0L
+    var dots = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == '.') { dots += 1; i += 1 }
+      else {
+        total += dots / 3; dots = 0
+        if (b == '#') { total += 1; i += 1 }
+        else if (b == -30 && i + 2 < n && s.getByte(i + 1) == -128 &&
+            s.getByte(i + 2) == -90) { total += 1; i += 3 }
+        else i += 1
+      }
+    }
+    total + dots / 3
+  }
 }
 
 object Diversity {
@@ -396,14 +437,15 @@ object GopherRules {
     val lines = split(t, "\n")
     // '#', ASCII '...', and the Unicode ellipsis '…' all count as symbols:
     // the line-end ellipsis rule already treats '…' as an ellipsis, so the
-    // symbol ratio must too, or '…'-heavy pages never trip it (ADVICE r12)
+    // symbol ratio must too, or '…'-heavy pages never trip it (ADVICE r12).
+    // Counted in ONE byte-scan kernel — three replace() passes each
+    // copied the document and doubled q115 at the 100× probe (r13).
     Stats(
       nWords = size(toks).cast("long"),
       wordChars = aggregate(transform(toks, w => length(w)),
         lit(0L), (acc, x) => acc + x),
       nAlphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long"),
-      nSymbols = TextStats.markerCount(t, "#") +
-        TextStats.markerCount(t, "...") + TextStats.markerCount(t, "…"),
+      nSymbols = TextStats.gopherSymbolCount(t),
       nLines = size(lines).cast("long"),
       nBulletLines = size(filter(lines, l =>
         l.rlike("^[ \t]*[-*•]"))).cast("long"),

@@ -406,6 +406,33 @@ class EtlSpec extends SparkSpec {
     assert(!s5.getAs[Boolean]("r_symbol_ratio"))
   }
 
+  test("gopherSymbolCount kernel == the three markerCounts, char for char") {
+    import graft.functions.TextStats
+    // run-boundary dots, ellipsis at string end, markers adjacent to
+    // multi-byte chars, a lone partial 0xE2 lead byte via 'â' text
+    val cases = Seq(
+      "", ".", "..", "...", "....", ".....", "......", "a...b..c.",
+      "#", "##.#", "…", "……", "text…", "…...", "...…", "# . …",
+      "naïve… done...", "â€¦ is not …", "dots.at.ends...", "...")
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("i", "t")
+    val got = df.select(col("i"),
+        TextStats.gopherSymbolCount(col("t")).as("k"),
+        (TextStats.markerCount(col("t"), "#") +
+          TextStats.markerCount(col("t"), "...") +
+          TextStats.markerCount(col("t"), "…")).as("m"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"kernel diverged on case ${cases(r.getLong(0).toInt)}: " +
+          s"${r.getLong(1)} vs ${r.getLong(2)}")
+    }
+    // null propagates
+    val n = Seq((1L, null: String)).toDF("i", "t")
+      .select(TextStats.gopherSymbolCount(col("t"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("C4 filter battery: line predicate and page gates, hand-checked") {
     import graft.functions.C4Filters
     val docs = Seq(
