@@ -542,7 +542,11 @@ object SparkEntry {
     * /r/{id}/{j} answering 301/302 alternating with Location to the next
     * hop, the last hop landing on /page/{id} — except id%9=8 chains,
     * whose last hop points BACK to hop 0 (the loop misconfiguration the
-    * resolver must bound).
+    * resolver must bound). id%7=3 chains additionally capture hop 0 a
+    * SECOND time, one hour EARLIER, redirecting straight to the page —
+    * the duplicate-source shape a real frontier produces; the resolver
+    * must pick the newest capture (the full chain), or final_url/hops
+    * replay wrong and row counts multiply through the doubling joins.
     */
   private def warcRedirectFixture(s: SparkSession, dir: String): String =
     memoized(s, s"warc_redir|$dir") {
@@ -571,6 +575,17 @@ object SparkEntry {
               fos.write(WarcCodec.buildRecord("response",
                 s"<urn:graft:rd:$id:$j>", u(j), date,
                 WarcCodec.httpRedirect(st, dst)))
+            }
+            // duplicate capture of hop 0: an hour older, shortcutting
+            // straight to the page — the stale edge the newest-capture
+            // winner must discard
+            if (chainLen > 0 && id % 7 == 3) {
+              val older = java.time.Instant
+                .parse("2024-01-01T00:00:00Z")
+                .plusSeconds(id % 86400 - 3600).toString
+              fos.write(WarcCodec.buildRecord("response",
+                s"<urn:graft:rd:$id:0d>", u(0), older,
+                WarcCodec.httpRedirect(301, page)))
             }
             fos.write(WarcCodec.buildRecord("response",
               s"<urn:graft:rd:$id:p>", page, date,
@@ -2279,8 +2294,9 @@ object SparkEntry {
         col("http_status").between(300, 399) &&
         col("http_location").isNotNull)
         .select(col("target_uri").as("src"),
-          col("http_location").as("dst"))
-      Redirects.resolve(edges, "src", "dst", maxHops = 8)
+          col("http_location").as("dst"), col("warc_date"))
+      Redirects.resolve(edges, "src", "dst", maxHops = 8,
+          preferCol = Some("warc_date"))
         .select(
           regexp_extract(col("src"), "/r/([0-9]+)/", 1).cast("long")
             .as("doc_id"),
@@ -4779,7 +4795,11 @@ object SparkEntry {
     // q142: the oracle replays the chain plant — hop j of a normal
     // chain lands on /page with L−j hops; a loop source's final target
     // after the resolver's 2³ doubled steps is hop (j+8) mod L, hops
-    // NULL, resolved false
+    // NULL, resolved false. id%7=3 chains plant a STALE duplicate
+    // capture of hop 0 (an hour older, shortcutting to the page): the
+    // expected rows are exactly the newest-capture chain, so a resolver
+    // that keeps both edges (row multiplication) or picks the stale one
+    // (final_url/hops off) replays red
     "q142_redirects" ->
       """WITH d AS (
         |  SELECT doc_id, (doc_id % 50) % 10 AS h,

@@ -40,6 +40,28 @@ class RedirectsSpec extends SparkSpec {
     assert(loose("a") == (("d", 3L, true)))
   }
 
+  test("a double-captured source keeps ONE deterministic winner") {
+    // 'a' captured twice: day-1 edge shortcuts to 'z', day-2 edge joins
+    // the b->c chain. Newest capture must win, rows must not multiply.
+    val edges = Seq(
+      ("a", "z", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("a", "b", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("b", "c", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    ).toDF("s", "d", "ts")
+    val out = Redirects.resolve(edges, "s", "d", 8,
+        preferCol = Some("ts"))
+      .collect().map(r => r.getString(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.size == 2, "one row per DISTINCT source, never per capture")
+    assert(out("a") == (("c", 2L)), "the newest capture's chain must win")
+    // without preferCol the tie falls to the smallest target — stable
+    // regardless of input order
+    val noPref = Redirects.resolve(
+      Seq(("a", "q"), ("a", "b"), ("b", "c")).toDF("s", "d"), "s", "d", 8)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(noPref("a") == "c", "smallest-target edge a->b wins the tie")
+  }
+
   test("maxHops outside [1, 1024] is refused") {
     val df = Seq(("a", "b")).toDF("s", "d")
     intercept[IllegalArgumentException] {
