@@ -2183,6 +2183,25 @@ object SparkEntry {
       DomainCap.cap(base, "doc_id", "host", "n_tokens", 1000)
     }),
 
+    // 26ai-b. QUALITY-weighted per-domain capping: the q136 shape, but
+    // an over-cap head domain discards its WORST pages — within-domain
+    // order is (quality DESC, hash, id), quality being the q25 integer
+    // stopword-density score both engines replay exactly. Same single
+    // host-keyed shuffle; the ordering swap is free once rows are
+    // co-located, which is the point: upgrading hash-random survival to
+    // keep-the-best costs nothing at 100 TB.
+    "q143_domain_cap_quality" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = concat(lit("site"),
+        when(id % 2 === 0, lit("0")).when(id % 4 === 1, lit("1"))
+          .otherwise((id % 32).cast("string")), lit(".example"))
+      val base = Tables(s, dir).documents.select(id, host.as("host"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      DomainCap.capByQuality(base, "doc_id", "host", "n_tokens",
+        "quality", 1000)
+    }),
+
     // 20i. incremental dedup probe — new-crawl docs against an EXISTING
     // corpus signature index, the production shape at 100 TB (the
     // corpus index is built ONCE and persisted; each day's crawl
@@ -4947,6 +4966,36 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS w_cum
         |  FROM b)
         |SELECT doc_id, host, n_tokens,
+        |  w_cum * 10000 <= w_total * 1000 AS kept
+        |FROM c, t""".stripMargin,
+    // q143: the q136 replay with the q25 quality score leading the
+    // within-domain order — best pages survive the cap, the hash only
+    // breaks score ties
+    "q143_domain_cap_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'site' || CASE WHEN doc_id % 2 = 0 THEN '0'
+        |      WHEN doc_id % 4 = 1 THEN '1'
+        |      ELSE CAST(doc_id % 32 AS VARCHAR) END || '.example'
+        |      AS host,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    least(100, CAST(floor(500.0 * (
+        |        (length(p) - length(replace(p, ' the ', ''))) / 5
+        |        + (length(p) - length(replace(p, ' a ', ''))) / 3
+        |        + (length(p) - length(replace(p, ' and ', ''))) / 5)
+        |      / len(string_split_regex(trim(text), '\s+'))) AS BIGINT))
+        |      AS quality
+        |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS p
+        |        FROM documents)
+        |), t AS (SELECT sum(n_tokens) AS w_total FROM b),
+        |c AS (
+        |  SELECT doc_id, host, n_tokens, quality,
+        |    sum(n_tokens) OVER (PARTITION BY host
+        |      ORDER BY quality DESC, hash(doc_id) >> 1, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS w_cum
+        |  FROM b)
+        |SELECT doc_id, host, n_tokens, quality,
         |  w_cum * 10000 <= w_total * 1000 AS kept
         |FROM c, t""".stripMargin,
     // q130: the oracle replays the plant — a block exists unless

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * deterministic hash order (F.murmur64 — the q41 sampling key, so the
   * keep-set is engine-portable and stable across runs; DuckDB's
   * `hash(BIGINT)` is the same finalizer) until the domain's running
-  * total would exceed the cap. A single document heavier than the whole
+  * total would exceed the cap — or, via [[capByQuality]], in
+  * quality-score order so the cap keeps a head domain's BEST pages and
+  * the hash only breaks ties. A single document heavier than the whole
   * cap is dropped — the cap is a hard ceiling, not a target.
   *
   * Scale shape: one shuffle by domain (the window partition key); the
@@ -37,19 +39,43 @@ object DomainCap {
     * domain's hash-ordered running weight stays within the cap.
     */
   def cap(df: DataFrame, idCol: String, domainCol: String,
-      weightCol: String, capBp: Int): DataFrame = {
+      weightCol: String, capBp: Int): DataFrame =
+    capOrdered(df, idCol, domainCol, weightCol, capBp, Nil, Nil)
+
+  /** [[cap]] ordered by QUALITY: within an over-cap domain the
+    * highest-`qualityCol` documents are kept first (the hash order only
+    * breaks quality ties), so the cap discards a head domain's WORST
+    * pages instead of a hash-random prefix — the selection a corpus
+    * actually wants once a quality signal exists (q25/q115-style
+    * scores). Same single domain-keyed shuffle and running-sum window
+    * as [[cap]]; ordering within a partition is free once the rows are
+    * co-located. Output adds `qualityCol` between the weight and the
+    * verdict.
+    */
+  def capByQuality(df: DataFrame, idCol: String, domainCol: String,
+      weightCol: String, qualityCol: String, capBp: Int): DataFrame =
+    capOrdered(df, idCol, domainCol, weightCol, capBp,
+      Seq(col(qualityCol).desc), Seq(col(qualityCol)))
+
+  private def capOrdered(df: DataFrame, idCol: String, domainCol: String,
+      weightCol: String, capBp: Int,
+      orderPrefix: Seq[org.apache.spark.sql.Column],
+      extraOut: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(capBp > 0 && capBp <= 10000,
       s"capBp must be in (0, 10000], got $capBp")
     val total = df.agg(sum(col(weightCol)).cast("long").as("w_total"))
     val w = Window.partitionBy(col(domainCol))
-      .orderBy(shiftrightunsigned(F.murmur64(col(idCol)), 1), col(idCol))
+      .orderBy(orderPrefix ++
+        Seq(shiftrightunsigned(F.murmur64(col(idCol)), 1).asc,
+          col(idCol).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.crossJoin(broadcast(total))
       .withColumn("w_cum", sum(col(weightCol)).over(w))
-      .select(col(idCol), col(domainCol), col(weightCol),
+      .select((Seq(col(idCol), col(domainCol), col(weightCol)) ++
+        extraOut :+
         // integer cross-multiply: w_cum/total <= capBp/10000 without
         // a float share for engines to disagree on
         (col("w_cum") * 10000L <= col("w_total") * capBp.toLong)
-          .as("kept"))
+          .as("kept")): _*)
   }
 }

@@ -47,6 +47,30 @@ class DomainCapSpec extends SparkSpec {
     assert(run(rows, 1000)(1L))
   }
 
+  test("quality cap keeps the BEST docs; hash only breaks score ties") {
+    // domain a: 4 docs of weight 10, qualities 1/9/5/9; domain b: one
+    // doc. total 50, cap 50% = 25 -> a keeps exactly its two q=9 docs
+    // (cum 20 <= 25; the q=5 doc would hit 30), b keeps its doc.
+    val rows = Seq((1L, "a", 10L, 1L), (2L, "a", 10L, 9L),
+      (3L, "a", 10L, 5L), (4L, "a", 10L, 9L), (5L, "b", 10L, 0L))
+      .toDF("id", "dom", "w", "q")
+    val kept = DomainCap.capByQuality(rows, "id", "dom", "w", "q", 5000)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(kept(2L) && kept(4L), "the two best docs must survive")
+    assert(!kept(3L) && !kept(1L), "worse docs are what the cap discards")
+    assert(kept(5L))
+    // constant quality degenerates to the hash order — byte-identical
+    // keep-set to cap(), so the tie-break is pinned to the same key
+    val flat = (0L until 10L).map(i => (i, "a", 10L, 7L)) ++
+      Seq((10L, "b", 5L, 7L), (11L, "b", 5L, 7L))
+    val viaQ = DomainCap.capByQuality(flat.toDF("id", "dom", "w", "q"),
+        "id", "dom", "w", "q", 5000)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val viaHash = run(flat.map(t => (t._1, t._2, t._3)), 5000)
+    assert(viaQ == viaHash,
+      "constant-quality keep-set must equal the hash-order cap")
+  }
+
   test("capBp outside (0, 10000] is refused") {
     val df = Seq((1L, "a", 1L)).toDF("id", "dom", "w")
     intercept[IllegalArgumentException] {

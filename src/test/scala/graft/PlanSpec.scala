@@ -162,16 +162,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("domain cap: one shuffle by host, per-host window, total on a broadcast") {
-    val p = plan("q136_domain_cap")
-    assert("Exchange hashpartitioning\\(host".r.findAllIn(p).nonEmpty,
-      "the window must partition by host:\n" + p.take(1500))
-    assert(!p.contains("Exchange rangepartitioning"),
-      "domain cap planned a GLOBAL sort — the window must stay per-host:\n" +
-        p.take(1500))
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "the one-row corpus total must ride a broadcast:\n" + p.take(1500))
-    assert(!p.contains("SortMergeJoin"),
-      "no join in this operator may shuffle:\n" + p.take(1500))
+    for (q <- Seq("q136_domain_cap", "q143_domain_cap_quality")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning\\(host".r.findAllIn(p).nonEmpty,
+        s"$q: the window must partition by host:\n" + p.take(1500))
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$q planned a GLOBAL sort — the window must stay per-host:\n" +
+          p.take(1500))
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the one-row corpus total must ride a broadcast:\n" +
+          p.take(1500))
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: no join in this operator may shuffle:\n" + p.take(1500))
+    }
   }
 
   test("Heaps audit: the term shuffle is the only wide exchange") {
