@@ -2134,35 +2134,12 @@ object SparkEntry {
           id.cast("string"), lit("</title>"), atomEntries, lit("</feed>")))
       val body = when(id % 4 === 2, graft.sources.Sitemap.gzipUtf8(xml))
         .otherwise(xml.cast("binary"))
-      val fmtCol = when(col("xml").rlike("(?s)<rss\\b"), lit("rss"))
-        .when(col("xml").rlike("(?s)<feed\\b"), lit("atom"))
-      val b = col("b")
-      Tables(s, dir).documents
-        .select(id, graft.sources.Sitemap.bodyText(body).as("xml"))
-        .select(id, fmtCol.as("feed_format"), posexplode(
-          when(fmtCol === "rss", regexp_extract_all(col("xml"),
-            lit("<item>([\\s\\S]*?)</item>"), lit(1)))
-            .when(fmtCol === "atom", regexp_extract_all(col("xml"),
-              lit("<entry>([\\s\\S]*?)</entry>"), lit(1)))
-            .otherwise(array().cast("array<string>")))
-            .as(Seq("item_idx", "b")))
-        .select(id, col("feed_format"),
-          col("item_idx").cast("long").as("item_idx"),
-          nullif(regexp_extract(b, "<title>([^<]*)</title>", 1), lit(""))
-            .as("title"),
-          coalesce(
-            nullif(regexp_extract(b, "<link>([^<]*)</link>", 1), lit("")),
-            nullif(regexp_extract(b,
-              "(?i)<link\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\"", 1),
-              lit(""))).as("url"),
-          coalesce(
-            try_to_timestamp(nullif(regexp_extract(b,
-              "<pubDate>([^<]*)</pubDate>", 1), lit("")),
-              lit("dd MMM yyyy HH:mm:ss 'GMT'")),
-            try_to_timestamp(nullif(regexp_extract(b,
-              "<updated>([^<]*)</updated>", 1), lit("")),
-              lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
-            .cast("date").as("pub_date"))
+      graft.sources.Feeds.items(
+        Tables(s, dir).documents
+          .select(id, graft.sources.Sitemap.bodyText(body).as("xml")),
+        "doc_id", "xml")
+        .select(id, col("feed_format"), col("item_idx"), col("title"),
+          col("url"), col("pub_ts").cast("date").as("pub_date"))
     }),
 
     // 26ai. per-domain contribution capping (C4/FineWeb-class head-
@@ -2200,6 +2177,55 @@ object SparkEntry {
         TextStats.qualityScore(col("text")).as("quality"))
       DomainCap.capByQuality(base, "doc_id", "host", "n_tokens",
         "quality", 1000)
+    }),
+
+    // 29s. feed → recrawl composition: the q128 estimator's cold start
+    // solved with the channel q134 discovers and q135 parses — URLs
+    // whose fetch history is thinner than 3 observations take their
+    // revisit bucket from the newest feed-item age instead (≤2d hot,
+    // ≤7d warm, ≤30d cool, else cold); thick history always wins, and
+    // a thin URL with no feed keeps its history verdict. The fixture
+    // thins the q128 plant on a known URL subset and plants per-URL
+    // Atom feeds (some gzipped) whose newest item ages url_id·3 days;
+    // Spark genuinely decodes + parses the feeds via the SHARED
+    // Feeds.items/Sitemap kernels while the oracle replays the plant
+    // arithmetic. Two url-keyed aggs + one co-partitioned join.
+    "q144_feed_recrawl" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables(s, dir).documents
+      val seqc = floor(id / 20).cast("long")
+      val v = (id % 20) % 4
+      val thin = col("url_id") % 5 === 4 || col("url_id") <= 1 ||
+        col("url_id") === 16
+      val hist = docs.select(
+        (id % 20).as("url_id"), seqc.as("seq"),
+        when(v === 0, lit(0L)).when(v === 1, seqc)
+          .when(v === 2, floor(seqc / 2).cast("long"))
+          .otherwise(floor(seqc / 12).cast("long")).as("ch"))
+        .where(!thin || col("seq") === 0L)
+      val u = col("url_id")
+      val nit = (lit(2) + u % 2).cast("int")
+      val newest = date_sub(lit("2024-02-15").cast("date"),
+        (u * 3).cast("int"))
+      val entries = array_join(transform(sequence(lit(0), nit - 1), i =>
+        concat(lit("<entry><title>I</title>" +
+            "<link href=\"http://f.example/"),
+          u.cast("string"), lit("/"), i.cast("string"),
+          lit("\"/><updated>"),
+          date_format(date_sub(newest, i * 40), "yyyy-MM-dd"),
+          lit("T08:00:00Z</updated></entry>"))), "")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?>" +
+          "<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>F</title>"),
+        entries, lit("</feed>"))
+      val body = when(u % 4 === 2, graft.sources.Sitemap.gzipUtf8(xml))
+        .otherwise(xml.cast("binary"))
+      val feedDocs = docs.select((id % 20).as("url_id")).distinct()
+        .where(u % 3 =!= 2)
+        .select(u, graft.sources.Sitemap.bodyText(body).as("xml"))
+      val items = graft.sources.Feeds.items(feedDocs, "url_id", "xml")
+      Recrawl.scheduleWithFeedPrior(hist, "url_id", "seq", "ch",
+        items, "url_id", "pub_ts", "2024-02-15", minFetches = 3)
     }),
 
     // 20i. incremental dedup probe — new-crawl docs against an EXISTING
@@ -4998,6 +5024,72 @@ object SparkEntry {
         |SELECT doc_id, host, n_tokens, quality,
         |  w_cum * 10000 <= w_total * 1000 AS kept
         |FROM c, t""".stripMargin,
+    // q144: the q128 estimator replay over the THINNED history plant,
+    // composed with the feed plant's arithmetic (newest item ages
+    // url_id*3 days at the 2024-02-15 as-of; urls =2 mod 3 publish no
+    // feed) — Spark genuinely gunzips and regex-parses the Atom
+    // documents; the oracle replays what was planted
+    "q144_feed_recrawl" ->
+      """WITH h0 AS (
+        |  SELECT doc_id % 20 AS url_id, doc_id // 20 AS seq,
+        |    CASE (doc_id % 20) % 4 WHEN 0 THEN 0
+        |      WHEN 1 THEN doc_id // 20
+        |      WHEN 2 THEN (doc_id // 20) // 2
+        |      ELSE (doc_id // 20) // 12 END AS ch
+        |  FROM documents
+        |), h AS (
+        |  SELECT * FROM h0
+        |  WHERE NOT (url_id % 5 = 4 OR url_id <= 1 OR url_id = 16)
+        |     OR seq = 0
+        |), fl AS (
+        |  SELECT url_id,
+        |    CASE WHEN lag(ch) OVER w IS NULL THEN 0
+        |      WHEN ch <> lag(ch) OVER w THEN 1 ELSE 0 END AS changed
+        |  FROM h WINDOW w AS (PARTITION BY url_id ORDER BY seq)
+        |), agg AS (
+        |  SELECT url_id, COUNT(*) AS n_fetches, SUM(changed) AS n_changes
+        |  FROM fl GROUP BY 1
+        |), lam AS (
+        |  SELECT url_id, CAST(n_fetches AS BIGINT) AS n_fetches,
+        |    CAST(n_changes AS BIGINT) AS n_changes,
+        |    CASE WHEN n_fetches > 1 THEN CAST(floor(
+        |      CAST(ln(CAST(2*(n_fetches-1-n_changes)+1 AS DOUBLE)
+        |        / CAST(2*(n_fetches-1)+1 AS DOUBLE)) AS DECIMAL(18,9))
+        |      * -1000000) AS BIGINT) END AS lambda_x1e6
+        |  FROM agg
+        |), hist AS (
+        |  SELECT url_id, n_fetches, n_changes, lambda_x1e6,
+        |    CASE WHEN n_fetches = 1 THEN 'unknown'
+        |         WHEN lambda_x1e6 >= 700000 THEN 'hot'
+        |         WHEN lambda_x1e6 >= 100000 THEN 'warm'
+        |         WHEN lambda_x1e6 > 0 THEN 'cool'
+        |         ELSE 'cold' END AS history_bucket
+        |  FROM lam
+        |), fr AS (
+        |  SELECT url_id, CAST(2 + url_id % 2 AS BIGINT) AS n_feed_items,
+        |    DATE '2024-02-15' - CAST(url_id * 3 AS INTEGER)
+        |      AS feed_newest,
+        |    CAST(url_id * 3 AS BIGINT) AS feed_age_days
+        |  FROM (SELECT DISTINCT doc_id % 20 AS url_id FROM documents)
+        |  WHERE url_id % 3 <> 2
+        |), j AS (
+        |  SELECT hist.*, COALESCE(fr.n_feed_items, 0) AS n_feed_items,
+        |    fr.feed_newest, fr.feed_age_days,
+        |    CASE WHEN fr.feed_age_days IS NULL THEN NULL
+        |         WHEN fr.feed_age_days <= 2 THEN 'hot'
+        |         WHEN fr.feed_age_days <= 7 THEN 'warm'
+        |         WHEN fr.feed_age_days <= 30 THEN 'cool'
+        |         ELSE 'cold' END AS feed_bucket
+        |  FROM hist LEFT JOIN fr USING (url_id)
+        |)
+        |SELECT url_id, n_fetches, n_changes, lambda_x1e6,
+        |  history_bucket, n_feed_items, feed_newest, feed_age_days,
+        |  feed_bucket,
+        |  CASE WHEN n_fetches >= 3 OR feed_bucket IS NULL
+        |    THEN 'history' ELSE 'feed' END AS prior_source,
+        |  CASE WHEN n_fetches >= 3 OR feed_bucket IS NULL
+        |    THEN history_bucket ELSE feed_bucket END AS revisit_bucket
+        |FROM j""".stripMargin,
     // q130: the oracle replays the plant — a block exists unless
     // id%6=5, fields only when the JSON is well-formed (id%6 not in
     // 4,5); Spark must genuinely match case-folded/reordered script

@@ -69,4 +69,58 @@ object Recrawl {
           .when(col("lambda_x1e6") > 0L, lit("cool"))
           .otherwise(lit("cold")))
   }
+
+  /** [[changeRate]] composed with FEED evidence — the estimator's cold
+    * start: λ̂ from n fetch intervals is noise until n is a handful, but
+    * a page advertising a feed (q134 discovers it, q135/[[graft.sources.Feeds]]
+    * parses it) states its own change history. For URLs with fewer than
+    * `minFetches` observations, the newest feed-item age (days at
+    * `asOfDate`) sets the revisit bucket instead: ≤2 days = hot,
+    * ≤7 = warm, ≤30 = cool, older = cold — the same day-granular
+    * freshness ladder sitemap `<changefreq>` advertises, applied to
+    * evidence the site cannot help publishing truthfully. History wins
+    * as soon as it is thick enough; a thin-history URL with NO feed
+    * keeps its history verdict (usually `unknown`).
+    *
+    * Output: changeRate's columns with the history verdict renamed
+    * `history_bucket`, plus n_feed_items, feed_newest (date),
+    * feed_age_days, feed_bucket, prior_source (history|feed), and the
+    * composed `revisit_bucket`.
+    *
+    * Scale shape: both inputs aggregate to one row per URL on a
+    * url-keyed shuffle each, and the composition join is on that same
+    * key — co-partitioned, no extra exchange beyond the two aggs.
+    */
+  def scheduleWithFeedPrior(history: DataFrame, urlCol: String,
+      seqCol: String, hashCol: String, feedItems: DataFrame,
+      feedUrlCol: String, feedTsCol: String, asOfDate: String,
+      minFetches: Int = 3): DataFrame = {
+    require(minFetches >= 1, s"minFetches must be >= 1, got $minFetches")
+    val cr = changeRate(history, urlCol, seqCol, hashCol)
+      .withColumnRenamed("revisit_bucket", "history_bucket")
+    val feed = feedItems
+      .select(col(feedUrlCol).as("url_id"), col(feedTsCol).as("_ts"))
+      .where(col("_ts").isNotNull)
+      .groupBy(col("url_id"))
+      .agg(count(lit(1)).as("n_feed_items"),
+        max(col("_ts")).cast("date").as("feed_newest"))
+    cr.join(feed, Seq("url_id"), "left")
+      .withColumn("n_feed_items",
+        coalesce(col("n_feed_items"), lit(0L)))
+      .withColumn("feed_age_days",
+        datediff(lit(asOfDate).cast("date"), col("feed_newest"))
+          .cast("long"))
+      .withColumn("feed_bucket",
+        when(col("feed_age_days") <= 2L, lit("hot"))
+          .when(col("feed_age_days") <= 7L, lit("warm"))
+          .when(col("feed_age_days") <= 30L, lit("cool"))
+          .when(col("feed_age_days").isNotNull, lit("cold")))
+      .withColumn("prior_source",
+        when(col("n_fetches") >= minFetches.toLong ||
+          col("feed_bucket").isNull, lit("history"))
+          .otherwise(lit("feed")))
+      .withColumn("revisit_bucket",
+        when(col("prior_source") === "feed", col("feed_bucket"))
+          .otherwise(col("history_bucket")))
+  }
 }

@@ -177,6 +177,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("feed→recrawl composition: url-keyed exchanges only, no global sort") {
+    val p = plan("q144_feed_recrawl")
+    assert("Exchange hashpartitioning\\(url_id".r.findAllIn(p).nonEmpty,
+      "both aggs must key by url_id:\n" + p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "the composition planned a global sort:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      "the feed join must be an equi-join:\n" + p.take(1500))
+  }
+
   test("Heaps audit: the term shuffle is the only wide exchange") {
     val p = plan("q140_heaps_audit")
     assert("Exchange hashpartitioning\\(term".r.findAllIn(p).size == 1,

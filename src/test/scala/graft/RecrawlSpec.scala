@@ -44,4 +44,34 @@ class RecrawlSpec extends SparkSpec {
     val r = run(Seq((4L, 2L, 2L), (4L, 0L, 1L), (4L, 1L, 2L)))
     assert(r(4L)._2 == 1L, s"got ${r(4L)}")
   }
+
+  test("feed prior fills thin history; thick history always wins") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 08:00:00")
+    // url 1: ONE fetch (thin) + a 1-day-old feed -> feed says hot
+    // url 2: one fetch, NO feed -> history verdict (unknown) survives
+    // url 3: 4 never-changing fetches (thick, cold) + a fresh feed ->
+    //        history wins, the feed cannot overrule real evidence
+    // url 4: thin + 40-day-stale feed -> feed says cold
+    val hist = (Seq((1L, 0L, 5L), (2L, 0L, 5L), (4L, 0L, 5L)) ++
+      (0L to 3L).map(s => (3L, s, 7L))).toDF("u", "s", "h")
+    // two items per feed; the NEWEST one must drive the age (and a
+    // NULL-ts item must be ignored, not crash the max)
+    val feed = Seq(
+      (1L, ts("2024-02-14")), (1L, ts("2024-01-01")),
+      (3L, ts("2024-02-15")),
+      (4L, ts("2024-01-06")), (4L, null.asInstanceOf[java.sql.Timestamp])
+    ).toDF("u", "t")
+    val out = graft.etl.Recrawl.scheduleWithFeedPrior(
+      hist, "u", "s", "h", feed, "u", "t", "2024-02-15", minFetches = 3)
+      .collect().map(r => r.getAs[Long]("url_id") ->
+        ((r.getAs[String]("prior_source"),
+          r.getAs[String]("revisit_bucket"),
+          r.getAs[Long]("n_feed_items")))).toMap
+    assert(out(1L) == (("feed", "hot", 2L)))
+    assert(out(2L) == (("history", "unknown", 0L)))
+    assert(out(3L) == (("history", "cold", 1L)),
+      "4 cold observations must beat a fresh feed")
+    assert(out(4L) == (("feed", "cold", 1L)),
+      "the NULL-ts item must not count and the stale feed buckets cold")
+  }
 }
