@@ -2285,12 +2285,40 @@ object SparkEntry {
         sequence(lit(0), (lit(1) + id % 2).cast("int")), i =>
           concat(lit("<li>item "), id.cast("string"), lit("-"),
             i.cast("string"), lit("</li>"))), "")
+      // table page (id%5=0): th header + 1..3 data rows, 2-3 columns —
+      // the q133 geometry rendered as GFM pipes
+      val nc3 = id % 2 === 1 // third column present
+      val nr = (lit(1) + id % 3).cast("int")
+      val hdr = concat(lit("<tr><th>H0</th><th>H1</th>"),
+        when(nc3, lit("<th>H2</th>")).otherwise(lit("")), lit("</tr>"))
+      val dataRows = array_join(transform(sequence(lit(0), nr - 1), r =>
+        concat(lit("<tr><td>c"), id.cast("string"), lit("-"),
+          r.cast("string"), lit("-0</td><td>c"), id.cast("string"),
+          lit("-"), r.cast("string"), lit("-1</td>"),
+          when(nc3, concat(lit("<td>c"), id.cast("string"), lit("-"),
+            r.cast("string"), lit("-2</td>"))).otherwise(lit("")),
+          lit("</tr>"))), "")
+      val tablePage = concat(lit("<html><body><p>Pre "),
+        id.cast("string"), lit(".</p><table>"), hdr, dataRows,
+        lit("</table></body></html>"))
+      // nested-list page (id%5=1): outer item 0 carries a 1-2 item
+      // inner list — one-level nesting, the documented subset
+      val ni = (lit(1) + id % 2).cast("int")
+      val inner = array_join(transform(sequence(lit(0), ni - 1), i =>
+        concat(lit("<li>n "), id.cast("string"), lit("-"),
+          i.cast("string"), lit("</li>"))), "")
+      val nestedPage = concat(lit("<html><body><ul><li>o "),
+        id.cast("string"), lit("-0<ul>"), inner,
+        lit("</ul></li><li>o "), id.cast("string"),
+        lit("-1</li></ul></body></html>"))
       val html = when(id % 9 === 8,
         concat(lit("<html><body><h1>Torn "), id.cast("string"),
           lit("</body></html>")))
         .when(id % 7 === 6,
           concat(lit("<html><body><p>plain "), id.cast("string"),
             lit("</p></body></html>")))
+        .when(id % 5 === 0, tablePage)
+        .when(id % 5 === 1, nestedPage)
         .otherwise(concat(lit("<html><body>"), head, para,
           lit("<ul>"), items, lit("</ul></body></html>")))
       Tables(s, dir).documents
@@ -4811,6 +4839,25 @@ object SparkEntry {
         |  CASE
         |    WHEN doc_id % 9 = 8 THEN 'Torn ' || doc_id
         |    WHEN doc_id % 7 = 6 THEN 'plain ' || doc_id
+        |    WHEN doc_id % 5 = 0 THEN
+        |      'Pre ' || doc_id || '.' || chr(10) || chr(10)
+        |      || '| H0 | H1' || CASE WHEN doc_id % 2 = 1
+        |           THEN ' | H2' ELSE '' END || ' |' || chr(10)
+        |      || '| --- | ---' || CASE WHEN doc_id % 2 = 1
+        |           THEN ' | ---' ELSE '' END || ' |' || chr(10)
+        |      || array_to_string(list_transform(
+        |           generate_series(0, CAST(doc_id % 3 AS INTEGER)),
+        |           r -> '| c' || doc_id || '-' || r || '-0 | c'
+        |             || doc_id || '-' || r || '-1'
+        |             || CASE WHEN doc_id % 2 = 1 THEN ' | c' || doc_id
+        |                  || '-' || r || '-2' ELSE '' END
+        |             || ' |'), chr(10))
+        |    WHEN doc_id % 5 = 1 THEN
+        |      '- o ' || doc_id || '-0' || chr(10)
+        |      || array_to_string(list_transform(
+        |           generate_series(0, CAST(doc_id % 2 AS INTEGER)),
+        |           i -> '  - n ' || doc_id || '-' || i), chr(10))
+        |      || chr(10) || '- o ' || doc_id || '-1'
         |    ELSE repeat('#', CAST(1 + doc_id % 3 AS INTEGER))
         |      || ' Head ' || doc_id || chr(10) || chr(10)
         |      || 'Intro **bold' || doc_id || '** and [link ' || doc_id

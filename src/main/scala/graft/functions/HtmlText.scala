@@ -383,15 +383,23 @@ object HtmlText {
   // Modern corpus pipelines keep document STRUCTURE, not just visible
   // text — headings, emphasis, links and lists carry signal a flat
   // extraction throws away (the markdown-corpus convention of recent
-  // public web-corpus work). This converts the bounded non-nested HTML
-  // subset (double-quoted attrs — the whole web layer's documented
-  // contract) to CommonMark-style markdown: h1-h6 → #-runs, p → blank-
-  // line-separated paragraphs, li → "- " bullets, a → [text](href),
+  // public web-corpus work). This converts the bounded HTML subset
+  // (double-quoted attrs — the whole web layer's documented contract)
+  // to CommonMark-style markdown: h1-h6 → #-runs, p → blank-line-
+  // separated paragraphs, li → "- " bullets with two-space indentation
+  // per NESTING level (ul/ol nesting tracked by a depth counter, capped
+  // at 8 levels so hostile unclosed-tag runs stay linear; ordered lists
+  // render as bullets too — a documented subset bound), tables → GFM
+  // pipe rows (one line per <tr>, cells joined with " | ", a ---
+  // separator after the FIRST row — q133's recovered geometry; nested
+  // tables and '|' inside cells are out of subset), a → [text](href),
   // b/strong → **, i/em → *, br → line break; script/style content is
   // elided wholesale, every other tag strips to a space, entities
   // decode, and whitespace normalizes (runs collapse, ≤1 blank line).
-  // Unclosed structural tags never throw — an unmatched open tag
-  // degrades to stripped-tag plain text.
+  // List indentation survives the whitespace normalizer by riding a
+  // U+0001 placeholder (scrubbed from the input first) that turns back
+  // into spaces at the very end. Unclosed structural tags never throw —
+  // an unmatched open tag degrades to stripped-tag plain text.
 
   private val MdScript = java.util.regex.Pattern.compile(
     "(?is)<(script|style)\\b[^>]*>.*?</\\1>")
@@ -405,8 +413,15 @@ object HtmlText {
     n -> java.util.regex.Pattern.compile(
       s"(?is)<h$n\\b[^>]*>(.*?)</h$n>")
   }
-  private val MdLi = java.util.regex.Pattern.compile(
-    "(?is)<li\\b[^>]*>(.*?)</li>")
+  private val MdListTag = java.util.regex.Pattern.compile(
+    "(?i)</?(ul|ol|li)\\b[^>]*>")
+  private val MdTable = java.util.regex.Pattern.compile(
+    "(?is)<table\\b[^>]*>(.*?)</table>")
+  private val MdTr = java.util.regex.Pattern.compile(
+    "(?is)<tr\\b[^>]*>(.*?)</tr>")
+  private val MdCell = java.util.regex.Pattern.compile(
+    "(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]>")
+  private val MdWsRun = java.util.regex.Pattern.compile("\\s+")
   private val MdP = java.util.regex.Pattern.compile(
     "(?is)<p\\b[^>]*>(.*?)</p>")
   private val MdBr = java.util.regex.Pattern.compile(
@@ -416,18 +431,89 @@ object HtmlText {
   private val MdNlTrim = java.util.regex.Pattern.compile(" ?\\n ?")
   private val MdNlRun = java.util.regex.Pattern.compile("\\n{3,}")
 
+  /** GFM pipe rendering of every `<table>` block: one line per `<tr>`
+    * (cells stripped of residual markup, inner whitespace collapsed,
+    * joined with " | "), a `---` separator sized to the FIRST row's
+    * cell count after it. A table with no usable rows strips to a
+    * space like any other tag.
+    */
+  private def convertTables(s: String): String = {
+    val m = MdTable.matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val lines = new StringBuilder
+      var firstCells = -1
+      val tr = MdTr.matcher(m.group(1))
+      while (tr.find()) {
+        val cells = new java.util.ArrayList[String]
+        val cm = MdCell.matcher(tr.group(1))
+        while (cm.find()) {
+          val raw = MdTag.matcher(cm.group(1)).replaceAll(" ")
+          cells.add(MdWsRun.matcher(raw).replaceAll(" ").trim)
+        }
+        if (!cells.isEmpty) {
+          if (lines.nonEmpty) lines.append('\n')
+          lines.append("| ")
+            .append(String.join(" | ", cells)).append(" |")
+          if (firstCells < 0) {
+            firstCells = cells.size()
+            lines.append('\n').append("| ")
+              .append(String.join(" | ",
+                java.util.Collections.nCopies(firstCells, "---")))
+              .append(" |")
+          }
+        }
+      }
+      val rep = if (firstCells < 0) " " else "\n\n" + lines + "\n\n"
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** Depth-tracked list conversion: `<li>` → newline + two placeholder
+    * spaces per nesting level (capped at 8) + "- "; ul/ol tags and
+    * `</li>` strip to the same single space the generic tag strip would
+    * leave, so flat lists render byte-identically to the pre-nesting
+    * kernel.
+    */
+  private def convertLists(s: String): String = {
+    val m = MdListTag.matcher(s)
+    val sb = new StringBuffer
+    var depth = 0
+    while (m.find()) {
+      val closing = s.charAt(m.start + 1) == '/'
+      val isLi = (m.group(1).charAt(0) | 0x20) == 'l'
+      val rep =
+        if (isLi) {
+          if (closing) " "
+          else "\n" + "\u0001\u0001" * math.max(0,
+            math.min(depth - 1, 8)) + "- "
+        } else if (closing) { depth = math.max(0, depth - 1); " " }
+        else { depth += 1; " " }
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   /** HTML → markdown over the bounded subset (see block comment). */
   def markdownKernel(html: UTF8String): UTF8String = {
     if (html == null) return null
-    var s = html.toString
+    // reserve the indent placeholder: any pre-existing U+0001 becomes
+    // the space the generic tag strip would have left anyway
+    var s = html.toString.replace('\u0001', ' ')
     s = MdScript.matcher(s).replaceAll(" ")
-    // inline first, so heading/paragraph bodies carry finished spans
+    // inline first, so heading/paragraph/cell bodies carry finished spans
     s = MdA.matcher(s).replaceAll("[$2]($1)")
     s = MdBold.matcher(s).replaceAll("**$2**")
     s = MdEm.matcher(s).replaceAll("*$2*")
+    s = convertTables(s)
     for ((n, p) <- MdH)
       s = p.matcher(s).replaceAll("\n\n" + "#" * n + " $1\n\n")
-    s = MdLi.matcher(s).replaceAll("\n- $1")
+    s = convertLists(s)
     s = MdP.matcher(s).replaceAll("\n\n$1\n\n")
     s = MdBr.matcher(s).replaceAll("\n")
     s = MdTag.matcher(s).replaceAll(" ")
@@ -437,7 +523,8 @@ object HtmlText {
     // trimming around a newline can expose new " \n" seams (e.g. "a  \n")
     var prev = ""
     while (prev != t) { prev = t; t = MdNlTrim.matcher(t).replaceAll("\n") }
-    UTF8String.fromString(MdNlRun.matcher(t).replaceAll("\n\n").trim)
+    t = MdNlRun.matcher(t).replaceAll("\n\n").trim
+    UTF8String.fromString(t.replace('\u0001', ' '))
   }
 
   // ---- column surface -----------------------------------------------------

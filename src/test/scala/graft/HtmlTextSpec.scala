@@ -194,4 +194,39 @@ class HtmlTextSpec extends SparkSpec {
   test("markdown: br breaks a line, blank runs collapse to one blank line") {
     assert(md("<p>a<br>b</p><p>c</p>") == "a\nb\n\nc")
   }
+
+  test("markdown: tables render as GFM pipes with a first-row separator") {
+    val page = "<p>Pre.</p><table><tr><th>A</th><th>B</th></tr>" +
+      "<tr><td>1</td><td> 2 <b>x</b> </td></tr>" +
+      "<tr><td>3</td><td>4</td></tr></table><p>Post.</p>"
+    assert(md(page) ==
+      "Pre.\n\n| A | B |\n| --- | --- |\n| 1 | 2 **x** |\n| 3 | 4 |" +
+        "\n\nPost.",
+      "inline spans must be converted INSIDE cells, whitespace collapsed")
+    // a data-only table still gets the separator after its first row
+    assert(md("<table><tr><td>a</td></tr><tr><td>b</td></tr></table>") ==
+      "| a |\n| --- |\n| b |")
+    // no usable rows -> the block strips to nothing, like any other tag
+    assert(md("x<table><tr></tr></table>y") == "x y")
+  }
+
+  test("markdown: nested lists indent two spaces per level, cap at 8") {
+    val page = "<ul><li>o0<ul><li>n0</li><li>n1</li></ul></li>" +
+      "<li>o1</li></ul>"
+    assert(md(page) == "- o0\n  - n0\n  - n1\n- o1")
+    // ol nests identically (bullets for both — documented subset)
+    assert(md("<ol><li>a<ol><li>b</li></ol></li></ol>") == "- a\n  - b")
+    // unmatched closers never push depth negative; a following flat
+    // list renders unindented
+    assert(md("</ul></ul><ul><li>z</li></ul>") == "- z")
+    // hostile unclosed-open run: indentation caps at 8 levels (a
+    // document-LEADING nested item would additionally lose its indent
+    // to the final trim — acceptable degradation of malformed input)
+    val bomb = "<ul><li>p" + "<ul>" * 40 + "<li>deep</li>"
+    assert(md(bomb) == "- p\n" + " " * 16 + "- deep")
+  }
+
+  test("markdown: a literal U+0001 in input can never forge indentation") {
+    assert(md("<p>ab</p><ul><li>x</li></ul>") == "a b\n\n- x")
+  }
 }
