@@ -78,6 +78,23 @@ object SparkEntry {
     * to fresh temp dirs, frames are lazy), duplicate work is the
     * accepted cost of not holding a lock around a Spark job.
     */
+  /** q137/q137b shared best-match shape: per incoming doc, the index
+    * match with the highest Jaccard estimate (min id on ties) or a
+    * novelty verdict.
+    */
+  private def bestProbeMatch(inc: DataFrame, cand: DataFrame): DataFrame = {
+    val best = cand.groupBy(col("id_new"))
+      .agg(max(col("est_jaccard_pct")).as("best_jaccard_pct"))
+    val bestId = cand.join(best, Seq("id_new"))
+      .where(col("est_jaccard_pct") === col("best_jaccard_pct"))
+      .groupBy(col("id_new"), col("best_jaccard_pct"))
+      .agg(min(col("id_idx")).as("best_match"))
+    inc.select(col("id").as("doc_id"))
+      .join(bestId, col("doc_id") === col("id_new"), "left")
+      .select(col("doc_id"), col("best_match"),
+        col("best_jaccard_pct"), col("best_match").isNull.as("is_novel"))
+  }
+
   private def memoized[T <: AnyRef](s: SparkSession, key: String)(build: => T): T = {
     val k = s"${System.identityHashCode(s)}|$key"
     val hit = memo.get(k)
@@ -2246,16 +2263,33 @@ object SparkEntry {
       val idx = sigs(0); val inc = sigs(1)
       val cand = MinHashDedup.probePairs(idx, inc, NumPerms,
         minJaccardPct = 5)
-      val best = cand.groupBy(col("id_new"))
-        .agg(max(col("est_jaccard_pct")).as("best_jaccard_pct"))
-      val bestId = cand.join(best, Seq("id_new"))
-        .where(col("est_jaccard_pct") === col("best_jaccard_pct"))
-        .groupBy(col("id_new"), col("best_jaccard_pct"))
-        .agg(min(col("id_idx")).as("best_match"))
-      inc.select(col("id").as("doc_id"))
-        .join(bestId, col("doc_id") === col("id_new"), "left")
-        .select(col("doc_id"), col("best_match"),
-          col("best_jaccard_pct"), col("best_match").isNull.as("is_novel"))
+      bestProbeMatch(inc, cand)
+    }),
+
+    // 20i-b. the same probe against a PERSISTED index — the actual
+    // daily-pipeline shape: the corpus signature index is written ONCE
+    // as bucketed parquet (exploded (id, band, bucket) rows bucketBy
+    // (band, bucket) + an id-bucketed signature payload), and each
+    // day's crawl probes it with ZERO index-side exchange — only the
+    // small crawl side shuffles, into the index's fixed layout
+    // (DedupSpec pins the exchange-free plan). Identical semantics to
+    // q137 — the oracle is shared verbatim, so the persisted path must
+    // reproduce the in-session path row for row.
+    "q137b_dedup_probe_persisted" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.where(col("doc_id") < 32)
+      def sigs(parity: Int) = MinHashDedup.signatures(
+        docs.where(col("doc_id") % 2 === parity), "doc_id", "text",
+        ShingleK, NumPerms, Bands)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val tableBase = memoized(s, s"minhash_idx|$dir") {
+        MinHashDedup.writeIndex(sigs(0), "graft_q137b_idx",
+          numBuckets = 8)
+        "graft_q137b_idx"
+      }
+      val inc = sigs(1)
+      val cand = MinHashDedup.probePersisted(s, tableBase, inc,
+        NumPerms, minJaccardPct = 5)
+      bestProbeMatch(inc, cand)
     }),
 
     // 26aj. HTML → Markdown conversion — structure-preserving corpus
@@ -3896,6 +3930,10 @@ object SparkEntry {
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,
+    // q137b reads the SAME fixture through the persisted bucketed
+    // index, so the oracle is q137's verbatim — the probe result must
+    // be layout-invariant
+    "q137b_dedup_probe_persisted" -> q137OracleSql,
     "q23_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -139,9 +139,20 @@ object MinHashDedup {
     * candidates (AQE broadcasts the usually-small candidate frame).
     */
   def probePairs(indexSigs: DataFrame, newSigs: DataFrame, numPerms: Int,
-      minJaccardPct: Int, maxBucket: Int = 256): DataFrame = {
-    val ib = indexSigs.select(col("id").as("id_idx"),
-      posexplode(col("buckets")).as(Seq("band", "bucket")))
+      minJaccardPct: Int, maxBucket: Int = 256): DataFrame =
+    probeCore(
+      indexSigs.select(col("id").as("id_idx"),
+        posexplode(col("buckets")).as(Seq("band", "bucket"))),
+      indexSigs.select(col("id").as("id_idx"), col("sig").as("sig_idx")),
+      newSigs, numPerms, minJaccardPct, maxBucket)
+
+  /** The probe body shared by the in-session and persisted index paths:
+    * `ib` is the index's exploded (id_idx, band, bucket) rows, `iSig`
+    * its (id_idx, sig_idx) payload.
+    */
+  private def probeCore(ib: DataFrame, iSig: DataFrame,
+      newSigs: DataFrame, numPerms: Int, minJaccardPct: Int,
+      maxBucket: Int): DataFrame = {
     val nb = newSigs.select(col("id").as("id_new"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
     val okBuckets = ib.groupBy(col("band"), col("bucket"))
@@ -152,8 +163,6 @@ object MinHashDedup {
       .join(okBuckets, Seq("band", "bucket"))
       .join(ib, Seq("band", "bucket"))
       .select("id_new", "id_idx").distinct()
-    val iSig = indexSigs.select(col("id").as("id_idx"),
-      col("sig").as("sig_idx"))
     val nSig = newSigs.select(col("id").as("id_new"),
       col("sig").as("sig_new"))
     cand
@@ -168,6 +177,69 @@ object MinHashDedup {
       .where(col("est_jaccard_pct") >= minJaccardPct)
       .select("id_new", "id_idx", "est_jaccard_pct")
   }
+
+  /** Persist a [[signatures]] frame as the PROBE INDEX two-table
+    * layout, making the incremental-probe story durable ACROSS
+    * sessions: `<base>_buckets` holds the exploded (id, band, bucket)
+    * rows `bucketBy(numBuckets, band, bucket)` — so every later probe's
+    * occupancy census and candidate join read the index WITHOUT
+    * shuffling it (only the day's small crawl side exchanges, into the
+    * index's fixed layout) — and `<base>_sigs` holds the (id, sig)
+    * payload bucketed by id for the verify-stage lookup. This is the
+    * build-once cost a daily pipeline amortizes: at 100 TB the index is
+    * rewritten only to ABSORB a day's accepted documents, not to serve
+    * each probe (the [[graft.etl.PartitionedSink.writeBucketed]]
+    * precedent, whose SinkSpec proves bucketed joins exchange-free).
+    */
+  def writeIndex(sigs: DataFrame, tableBase: String,
+      numBuckets: Int = 32): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val spark = sigs.sparkSession
+    // rebuild must be idempotent ACROSS sessions: drop a registered
+    // table (which clears its managed location), then clear any
+    // UNREGISTERED leftover location a previous session's catalog took
+    // with it — saveAsTable refuses a non-empty managed location
+    def reset(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(wh, name)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    reset(s"${tableBase}_buckets")
+    reset(s"${tableBase}_sigs")
+    sigs.select(col("id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet").saveAsTable(s"${tableBase}_buckets")
+    sigs.select(col("id"), col("sig"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${tableBase}_sigs")
+  }
+
+  /** [[probePairs]] against a [[writeIndex]]-persisted index: identical
+    * semantics and output, but the index side arrives pre-bucketed by
+    * (band, bucket) so the probe join and the occupancy census are
+    * co-located with ZERO index-side exchange (DedupSpec pins the plan).
+    */
+  def probePersisted(spark: org.apache.spark.sql.SparkSession,
+      tableBase: String, newSigs: DataFrame, numPerms: Int,
+      minJaccardPct: Int, maxBucket: Int = 256): DataFrame =
+    probeCore(
+      spark.table(s"${tableBase}_buckets")
+        .select(col("id").as("id_idx"), col("band"), col("bucket")),
+      spark.table(s"${tableBase}_sigs")
+        .select(col("id").as("id_idx"), col("sig").as("sig_idx")),
+      newSigs, numPerms, minJaccardPct, maxBucket)
 
   /** One-shot convenience: signatures + candidate pairs. The signature frame
     * is cached for the lifetime of the returned plan since the pair plan

@@ -297,6 +297,42 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("persisted minhash index: zero index-side exchange, same results") {
+    import spark.implicits._
+    val docs = (0L until 32L).map(i =>
+      (i, s"the shared corpus body variant ${i % 4} with tail token $i"))
+      .toDF("doc_id", "text")
+    def sigs(p: Int) = MinHashDedup.signatures(
+      docs.where(col("doc_id") % 2 === p), "doc_id", "text", 3, 128, 16)
+    MinHashDedup.writeIndex(sigs(0), "graft_test_probe_idx", 8)
+    // force SMJ so the exchange accounting is not hidden by broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val per = MinHashDedup.probePersisted(spark,
+        "graft_test_probe_idx", sigs(1), 128, 5)
+      val plan = per.queryExecution.executedPlan.toString
+      assert("Bucketed: true".r.findAllIn(plan).size >= 3,
+        "all three index scans must read the bucketed layout:\n" +
+          plan.take(1500))
+      assert("Exchange hashpartitioning\\(band".r.findAllIn(plan).size == 1,
+        "only the CRAWL side may shuffle on (band, bucket) — the index " +
+          "must arrive pre-bucketed:\n" + plan.take(1500))
+      // layout-invariance: identical pairs to the in-session probe
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(per) == rows(
+        MinHashDedup.probePairs(sigs(0), sigs(1), 128, 5)))
+      // writeIndex is idempotent: a rebuild over the same name succeeds
+      MinHashDedup.writeIndex(sigs(0), "graft_test_probe_idx", 8)
+      assert(rows(MinHashDedup.probePersisted(spark,
+        "graft_test_probe_idx", sigs(1), 128, 5)) == rows(per))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_test_probe_idx_buckets")
+      spark.sql("DROP TABLE IF EXISTS graft_test_probe_idx_sigs")
+    }
+  }
+
   test("dup-paragraph fraction scores shared paragraphs and gates at 30%") {
     val docs = Seq(
       (1L, "shared para\n\nunique A text here"),   // 11 + 18 chars
