@@ -226,6 +226,33 @@ object MinHashDedup {
       .format("parquet").saveAsTable(s"${tableBase}_sigs")
   }
 
+  /** Append a day's ACCEPTED signatures into a [[writeIndex]] index —
+    * the absorb step closing the daily loop (build once → probe each
+    * day → absorb what survived dedup). Spark appends into bucketed
+    * tables under the SAME bucket spec, so the layout contract the
+    * probe relies on survives absorption; each absorb adds one file
+    * set per bucket (compact with a periodic [[writeIndex]] rebuild
+    * when file counts accrete — the
+    * [[graft.etl.PartitionedSink.compact]] posture). The caller is
+    * responsible for absorbing each id at most once: the index is a
+    * set keyed by id, and the probe's distinct() tolerates — but pays
+    * for — re-absorbed rows. `numBuckets` must match the index's
+    * (Spark refuses an append under a different bucket spec — loudly,
+    * which is the behavior we want).
+    */
+  def absorbIndex(sigs: DataFrame, tableBase: String,
+      numBuckets: Int = 32): Unit = {
+    sigs.select(col("id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .write.mode("append")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet").saveAsTable(s"${tableBase}_buckets")
+    sigs.select(col("id"), col("sig"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${tableBase}_sigs")
+  }
+
   /** [[probePairs]] against a [[writeIndex]]-persisted index: identical
     * semantics and output, but the index side arrives pre-bucketed by
     * (band, bucket) so the probe join and the occupancy census are

@@ -333,6 +333,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("absorbed signatures probe like a rebuilt index, layout intact") {
+    import spark.implicits._
+    val docs = (0L until 48L).map(i =>
+      (i, s"absorb corpus body variant ${i % 4} tail token $i"))
+      .toDF("doc_id", "text")
+    def sigsOf(cond: org.apache.spark.sql.Column) = MinHashDedup
+      .signatures(docs.where(cond), "doc_id", "text", 3, 128, 16)
+    // force SMJ: a broadcast side legitimately skips the bucketed read
+    // (no exchange to avoid), which would make the layout assert vacuous
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // day 0: index = ids 0..15; day 1 absorbs 16..31
+      MinHashDedup.writeIndex(sigsOf(col("doc_id") < 16),
+        "graft_test_absorb_idx", 8)
+      MinHashDedup.absorbIndex(
+        sigsOf(col("doc_id") >= 16 && col("doc_id") < 32),
+        "graft_test_absorb_idx", 8)
+      val probe = sigsOf(col("doc_id") >= 32)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val absorbed = rows(MinHashDedup.probePersisted(spark,
+        "graft_test_absorb_idx", probe, 128, 5))
+      // ≡ an index built over both days at once
+      assert(absorbed == rows(MinHashDedup.probePairs(
+        sigsOf(col("doc_id") < 32), probe, 128, 5)))
+      // the appended files keep the bucketed layout the probe relies on
+      val plan = MinHashDedup.probePersisted(spark,
+        "graft_test_absorb_idx", probe, 128, 5)
+        .queryExecution.executedPlan.toString
+      assert("Bucketed: true".r.findAllIn(plan).size >= 3,
+        "absorb must not demote the index to an unbucketed scan")
+      // a mismatched bucket spec is refused loudly, never silently mixed
+      intercept[Exception] {
+        MinHashDedup.absorbIndex(sigsOf(col("doc_id") < 4),
+          "graft_test_absorb_idx", 4)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_test_absorb_idx_buckets")
+      spark.sql("DROP TABLE IF EXISTS graft_test_absorb_idx_sigs")
+    }
+  }
+
   test("dup-paragraph fraction scores shared paragraphs and gates at 30%") {
     val docs = Seq(
       (1L, "shared para\n\nunique A text here"),   // 11 + 18 chars
