@@ -68,9 +68,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // guard-rail FIXTURES deliberately exercise worst-case guards
+    // (q84b runs a user-supplied fixed codebook into the maxCell
+    // sub-split); flagging them here keeps the artifact honest — their
+    // decade ratios measure the guard, not a production path
+    val fixtures = Seq("q84b_semdedup_fixed").filter(n =>
+      results.exists(_._1 == n))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // "runs" makes the median protocol visible in the artifact (VERDICT
     // r10 task 5): per-query values are medians of `runs` timed passes
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"guard_fixtures":$fixtures,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }

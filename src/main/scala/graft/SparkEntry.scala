@@ -2196,6 +2196,20 @@ object SparkEntry {
         "quality", 1000)
     }),
 
+    // 22d. SQ8 vector-storage prep: int8 scalar quantization of the
+    // embedding corpus (the 4×-smaller layout production ANN serves
+    // from) with the precomputed L2 norm that turns cosine into a dot
+    // product, plus the reconstruction-error audit that decides SQ8 is
+    // safe. Components quantize to milli-units FIRST (floor(v·1000) —
+    // float→double widening exact, IEEE multiply/floor portable) so
+    // scale, codes, dequant, and the MAE audit are all exact BIGINT
+    // with the subtract-mod floor-division discipline; the norm is
+    // floor(sqrt) of an exact integer (IEEE sqrt is correctly
+    // rounded). One map-side pass, zero shuffles.
+    "q145_vector_sq8" -> ((s, dir) =>
+      graft.ann.VectorPrep.sq8Report(
+        Tables(s, dir).embeddings, "vec_id", "embedding")),
+
     // 29s. feed → recrawl composition: the q128 estimator's cold start
     // solved with the channel q134 discovers and q135 parses — URLs
     // whose fetch history is thinner than 3 observations take their
@@ -5109,6 +5123,48 @@ object SparkEntry {
         |SELECT doc_id, host, n_tokens, quality,
         |  w_cum * 10000 <= w_total * 1000 AS kept
         |FROM c, t""".stripMargin,
+    // q145: both engines genuinely quantize — the same floor(v*1000)
+    // milli-unit map (float->double widening exact, IEEE multiply and
+    // floor portable), the same positive-mod floor divisions for
+    // code/dequant, the same correctly-rounded sqrt of an exact
+    // integer; the oracle unnests per element where Spark runs array
+    // lambdas, and list_position's NULL-on-absent matches the Spark
+    // side's nullif(array_position, 0)
+    "q145_vector_sq8" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, q, CAST(len(q) AS BIGINT) AS n_dims,
+        |    CAST(COALESCE(list_max(list_transform(q, x -> abs(x))), 0)
+        |      AS BIGINT) AS max_abs_q,
+        |    CAST(COALESCE(list_sum(list_transform(q, x -> x * x)), 0)
+        |      AS BIGINT) AS ssq,
+        |    CAST(list_position(list_transform(q, x -> abs(x)),
+        |      CAST(COALESCE(list_max(list_transform(q, x -> abs(x))), 0)
+        |        AS BIGINT)) AS BIGINT) AS argmax_dim
+        |  FROM e
+        |), x AS (
+        |  SELECT vec_id, unnest(q) AS xi FROM m WHERE max_abs_q > 0
+        |), c AS (
+        |  SELECT x.vec_id, xi, max_abs_q,
+        |    (xi * 127 - ((xi * 127 % max_abs_q + max_abs_q) % max_abs_q))
+        |      // max_abs_q AS code
+        |  FROM x JOIN m USING (vec_id)
+        |), r AS (
+        |  SELECT vec_id, SUM(abs(xi -
+        |    (code * max_abs_q
+        |      - ((code * max_abs_q % 127 + 127) % 127)) // 127)) AS mae
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT m.vec_id, n_dims,
+        |  CAST(floor(sqrt(CAST(ssq AS DOUBLE))) AS BIGINT) AS norm_x1e3,
+        |  max_abs_q, argmax_dim,
+        |  CAST(COALESCE(r.mae, 0) AS BIGINT) AS quant_mae_sum,
+        |  max_abs_q = 0 AS is_zero
+        |FROM m LEFT JOIN r ON m.vec_id = r.vec_id""".stripMargin,
     // q144: the q128 estimator replay over the THINNED history plant,
     // composed with the feed plant's arithmetic (newest item ages
     // url_id*3 days at the 2024-02-15 as-of; urls =2 mod 3 publish no

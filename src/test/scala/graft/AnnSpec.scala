@@ -130,4 +130,32 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(ivf == exact)
   }
+
+  test("SQ8 prep: hand-checked codes, norm, argmax, zero/empty totality") {
+    import graft.ann.VectorPrep
+    // v = (0.5, -0.25, 0.1) → q = (500, -250, 100); maxq = 500;
+    // codes = (127, floor(-250·127/500) = -64, floor(100·127/500) = 25);
+    // dequant = (500, floor(-64·500/127) = -252, floor(25·500/127) = 98);
+    // mae = |500-500| + |-250+252| + |100-98| = 4;
+    // ssq = 250000+62500+10000 = 322500 → floor(√) = 567
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 0.1f)),
+      (2L, Array(0f, 0f)),          // degenerate zero vector
+      (3L, Array.empty[Float])      // empty
+    ).toDF("vec_id", "embedding")
+    val out = VectorPrep.sq8Report(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Long]("n_dims") == 3 && a.getAs[Long]("norm_x1e3") == 567)
+    assert(a.getAs[Long]("max_abs_q") == 500 &&
+      a.getAs[Long]("argmax_dim") == 1)
+    assert(a.getAs[Long]("quant_mae_sum") == 4, s"got $a")
+    assert(!a.getAs[Boolean]("is_zero"))
+    val z = out(2L)
+    assert(z.getAs[Boolean]("is_zero") && z.getAs[Long]("quant_mae_sum") == 0)
+    assert(z.getAs[Long]("argmax_dim") == 1, "all-zero: first dim attains 0")
+    val e = out(3L)
+    assert(e.getAs[Long]("n_dims") == 0 && e.isNullAt(e.fieldIndex("argmax_dim")),
+      "empty vector: no argmax to report")
+  }
 }

@@ -152,7 +152,7 @@ class PlanSpec extends SparkSpec {
 
   test("head-metadata, feed parsing, markdown, lang-attr stay one map-side pass each") {
     for (q <- Seq("q134_meta_tags", "q135_feed_parse", "q138_markdown",
-        "q139_lang_attr")) {
+        "q139_lang_attr", "q145_vector_sq8")) {
       val p = plan(q)
         .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
       assert(!p.contains("Exchange"),
