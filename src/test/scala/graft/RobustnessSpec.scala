@@ -217,4 +217,54 @@ class RobustnessSpec extends SparkSpec {
     assert(resolved.exists(r => r.getString(0) == "a" &&
       r.getString(1) == "b" && r.getBoolean(3)))
   }
+
+  test("round-14 surfaces are total on null and hostile inputs") {
+    import graft.ann.VectorPrep
+    import graft.functions.HtmlText
+    import graft.sources.Feeds
+    // null / torn feed bodies yield zero item rows, never a throw
+    val feeds = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, "<?xml version=\"1.0\"?><rss><channel><item><title>torn"),
+      (3L, "not xml at all"),
+      (4L, "<feed><entry><title>ok</title>" +
+        "<link href=\"u\"/><updated>garbage</updated></entry></feed>")
+    ).toDF("id", "xml")
+    val items = Feeds.items(feeds, "id", "xml").collect()
+    assert(items.forall(_.getLong(0) == 4L),
+      "only the well-formed feed may yield items")
+    assert(items.length == 1 && items.head.isNullAt(5),
+      "an unparseable date is a NULL pub_ts, not a throw")
+    // null embedding through SQ8 prep propagates, never throws
+    val vp = VectorPrep.sq8Report(
+      Seq((1L, null.asInstanceOf[Array[Float]]), (2L, Array(1f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(vp(1L).isNullAt(vp(1L).fieldIndex("n_dims")))
+    assert(vp(2L).getAs[Long]("max_abs_q") == 1000)
+    // markdown table/list fuzz: parser-state chars for the new scanners
+    import org.apache.spark.unsafe.types.UTF8String
+    val alphabet = "<>\"'=/tabledrulointh |-\n…".toCharArray
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 1000) {
+      val s = new String(Array.fill(rnd.nextInt(64))(
+        alphabet(rnd.nextInt(alphabet.length))))
+      assert(HtmlText.markdownKernel(UTF8String.fromString(s)) != null)
+    }
+    // feed prior: empty feed frame and empty history both survive
+    val out = graft.etl.Recrawl.scheduleWithFeedPrior(
+      Seq((1L, 0L, 5L)).toDF("u", "s", "h"), "u", "s", "h",
+      spark.emptyDataFrame
+        .sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("u",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("t",
+              org.apache.spark.sql.types.TimestampType)))),
+      "u", "t", "2024-02-15").collect()
+    assert(out.length == 1 &&
+      out.head.getAs[String]("revisit_bucket") == "unknown",
+      "no feed + one fetch -> the history 'unknown' verdict survives")
+  }
 }
