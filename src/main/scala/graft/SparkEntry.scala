@@ -2210,6 +2210,23 @@ object SparkEntry {
       graft.ann.VectorPrep.sq8Report(
         Tables(s, dir).embeddings, "vec_id", "embedding")),
 
+    // 26w2. stupid-backoff trigram LM scoring (Brants 2007 — the
+    // published web-scale rung above q114's bigram filter): relative
+    // frequencies with α=0.4 backoff through tri→bi→uni, add-one at the
+    // unigram floor only (documented totality deviation). Trained on
+    // the same deterministic q41 split as q114; scores rank, they are
+    // not probabilities. Per-level hit counters are emitted so the
+    // filter's backoff mix is auditable without a re-scan. Three
+    // gram-keyed counting shuffles + gram-keyed score joins (AQE skew
+    // split), one-row totals broadcast; per-position ln quantized to
+    // DECIMAL(18,9) before the sum and the per-token average by exact
+    // BIGINT floor division.
+    "q146_stupid_backoff" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.functions.Perplexity.stupidBackoffScore(
+        Sampling.sample(docs, "doc_id", 9000), docs, "doc_id", "text")
+    }),
+
     // 29s. feed → recrawl composition: the q128 estimator's cold start
     // solved with the channel q134 discovers and q135 parses — URLs
     // whose fetch history is thinner than 3 observations take their
@@ -5123,6 +5140,78 @@ object SparkEntry {
         |SELECT doc_id, host, n_tokens, quality,
         |  w_cum * 10000 <= w_total * 1000 AS kept
         |FROM c, t""".stripMargin,
+    // q146: the oracle refits all three gram tables on the same
+    // hash-defined train split and replays the branch ladder — string
+    // gram keys (tokens cannot contain whitespace, so ' '-joined keys
+    // are unambiguous; the q114 split_part posture), the same IEEE
+    // branch expressions over exact BIGINT counts, DECIMAL(18,9)
+    // per-position quantization, positive-mod BIGINT floor average
+    "q146_stupid_backoff" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS l
+        |  FROM documents
+        |), tr AS (
+        |  SELECT l FROM d WHERE (hash(doc_id) >> 16) % 10000 < 9000
+        |), c3 AS (
+        |  SELECT tg, COUNT(*) AS c3 FROM (
+        |    SELECT unnest(list_transform(range(1, len(l) - 1),
+        |      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tg
+        |    FROM tr) GROUP BY 1
+        |), c2 AS (
+        |  SELECT bg, COUNT(*) AS c2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS bg
+        |    FROM tr) GROUP BY 1
+        |), c1 AS (
+        |  SELECT w, COUNT(*) AS c1 FROM (
+        |    SELECT unnest(l) AS w FROM tr) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM c1
+        |), sb AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tg
+        |  FROM d
+        |), j AS (
+        |  SELECT doc_id,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 0
+        |         WHEN bg.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+        |    CAST(-ln(CASE
+        |      WHEN c3.c3 IS NOT NULL
+        |        THEN CAST(c3.c3 AS DOUBLE) / CAST(ctx.c2 AS DOUBLE)
+        |      WHEN bg.c2 IS NOT NULL
+        |        THEN 0.4 * CAST(bg.c2 AS DOUBLE)
+        |          / CAST(w2c.c1 AS DOUBLE)
+        |      ELSE 0.16 * CAST(COALESCE(w3c.c1, 0) + 1 AS DOUBLE)
+        |        / CAST(n + v AS DOUBLE)
+        |    END) AS DECIMAL(18,9)) AS nll
+        |  FROM sb
+        |  LEFT JOIN c3 ON sb.tg = c3.tg
+        |  LEFT JOIN c2 ctx ON split_part(sb.tg, ' ', 1) || ' '
+        |    || split_part(sb.tg, ' ', 2) = ctx.bg
+        |  LEFT JOIN c2 bg ON split_part(sb.tg, ' ', 2) || ' '
+        |    || split_part(sb.tg, ' ', 3) = bg.bg
+        |  LEFT JOIN c1 w2c ON split_part(sb.tg, ' ', 2) = w2c.w
+        |  LEFT JOIN c1 w3c ON split_part(sb.tg, ' ', 3) = w3c.w
+        |  CROSS JOIN tot
+        |), g AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tri_hits,
+        |    CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bi_backoffs,
+        |    CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_uni_backoffs,
+        |    CAST(floor(SUM(nll) * 1000) AS BIGINT) AS sum_nll_x1000
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT doc_id, n_trigrams, n_tri_hits, n_bi_backoffs,
+        |  n_uni_backoffs, sum_nll_x1000,
+        |  (sum_nll_x1000 - ((sum_nll_x1000 % n_trigrams + n_trigrams)
+        |    % n_trigrams)) // n_trigrams AS avg_nll_x1000
+        |FROM g""".stripMargin,
     // q145: both engines genuinely quantize — the same floor(v*1000)
     // milli-unit map (float->double widening exact, IEEE multiply and
     // floor portable), the same positive-mod floor divisions for

@@ -325,6 +325,132 @@ object Perplexity {
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
   }
 
+  /** Word trigrams of a text column ([[bigrams]]' shape one order
+    * higher; the slices are plain arguments, evaluated once per row —
+    * the same O(n²) re-evaluation guard).
+    */
+  def trigrams(text: Column): Column = {
+    val t = F.tokensLower(text)
+    when(size(t) >= 3,
+      zip_with(
+        slice(t, lit(1), size(t) - 2),
+        zip_with(slice(t, lit(2), size(t) - 2),
+          slice(t, lit(3), size(t) - 2),
+          (b, c) => struct(b.as("w2"), c.as("w3"))),
+        (a, bc) => struct(a.as("w1"), bc.getField("w2").as("w2"),
+          bc.getField("w3").as("w3"))))
+      .otherwise(array()
+        .cast("array<struct<w1:string,w2:string,w3:string>>"))
+  }
+
+  /** Stupid-backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation", §4 — the published
+    * web-scale LM recipe: relative frequencies with a fixed backoff
+    * factor α = 0.4 instead of normalized smoothing, because at corpus
+    * scale the discounting machinery costs more than it buys). Per
+    * trigram position:
+    *
+    *   S = c3/c2(w1w2)            when the trigram was seen,
+    *   S = α·c2(w2w3)/c1(w2)      backing off to the bigram,
+    *   S = α²·(c1(w3)+1)/(N+V)    at the unigram floor — add-one at
+    *                              THIS level only (a documented
+    *                              deviation for totality: pure stupid
+    *                              backoff scores an unseen word 0 and
+    *                              -ln(0) is not a number; q114's
+    *                              add-one posture).
+    *
+    * Scores are not probabilities (the paper's point) — they rank.
+    * Determinism: each branch is a fixed-shape IEEE expression over
+    * exact BIGINT counts (identical literals, identical association on
+    * both engines), the per-position -ln quantizes to DECIMAL(18,9)
+    * BEFORE the document sum (the q58/q114 discipline), and the
+    * per-token average is the exact BIGINT floor identity
+    * floor(x/n) = floor(floor(x)/n) with the mod subtracted before the
+    * divide (the q126/q127 discipline).
+    *
+    * Scale shape: counting is three gram-keyed shuffles over the train
+    * corpus (tri/bi/uni). Scoring is TYPE-level: the corpus' DISTINCT
+    * trigrams (Zipf — far fewer types than tokens) walk the count
+    * joins, and the scored dictionary joins back to the document
+    * stream ONCE on the trigram key — one wide shuffle of the stream
+    * instead of five (hot grams ride AQE's skew-join split). The
+    * one-row (N, V) totals frame broadcasts, and `broadcastLm = true`
+    * opts the count frames into broadcasts for curated (bounded)
+    * reference LMs exactly like q114.
+    */
+  def stupidBackoffScore(train: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, broadcastLm: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    def bc(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastLm) broadcast(df) else df
+    val c3 = bc(train
+      .select(explode(trigrams(col(textCol))).as("tg"))
+      .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3")))
+    val c2 = train
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = train
+      .select(explode(F.tokensLower(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // N = Σc1 (total train tokens), V = |vocab| — one bounded row
+    val totals = broadcast(uni.agg(sum(col("c1")).as("n"),
+      count(lit(1)).as("v")))
+    val st = docs
+      .select(col(idCol).as("doc_id"),
+        explode(trigrams(col(textCol))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"),
+        col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+    // score each DISTINCT trigram type once; the token stream joins
+    // the scored dictionary on one key instead of walking five joins
+    val scoredTypes = st.select(col("w1"), col("w2"), col("w3"))
+      .distinct()
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(bc(c2.select(col("w1"), col("w2"), col("c2").as("c2ctx"))),
+        Seq("w1", "w2"), "left")
+      .join(bc(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2bg"))), Seq("w2", "w3"), "left")
+      .join(bc(uni.select(col("w").as("w2"), col("c1").as("c1w2"))),
+        Seq("w2"), "left")
+      .join(bc(uni.select(col("w").as("w3"), col("c1").as("c1w3"))),
+        Seq("w3"), "left")
+      .crossJoin(totals)
+      .withColumn("lvl",
+        when(col("c3").isNotNull, 0)
+          .when(col("c2bg").isNotNull, 1).otherwise(2))
+      .withColumn("x",
+        when(col("lvl") === 0,
+          col("c3").cast("double") / col("c2ctx").cast("double"))
+          .when(col("lvl") === 1,
+            lit(0.4) * col("c2bg").cast("double")
+              / col("c1w2").cast("double"))
+          .otherwise(
+            lit(0.16) * (coalesce(col("c1w3"), lit(0L)) + 1)
+              .cast("double")
+              / (col("n") + col("v")).cast("double")))
+      .withColumn("nll", (-log(col("x"))).cast(Dec))
+      .select(col("w1"), col("w2"), col("w3"), col("lvl"), col("nll"))
+    val scored = st
+      .join(scoredTypes, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L))
+          .as("n_bi_backoffs"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L))
+          .as("n_uni_backoffs"),
+        floor(sum(col("nll")) * 1000).cast("long").as("sum_nll_x1000"))
+    scored.withColumn("avg_nll_x1000",
+      ((col("sum_nll_x1000")
+          - pmod(col("sum_nll_x1000"), col("n_trigrams")))
+        / col("n_trigrams")).cast("long"))
+  }
+
   /** CCNet-style trained-LM perplexity filter: fit an add-one-smoothed
     * bigram LM on an in-domain reference corpus (CCNet trains on
     * Wikipedia; a pipeline here trains on the deterministic q41 train

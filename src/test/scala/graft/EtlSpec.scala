@@ -369,6 +369,42 @@ class EtlSpec extends SparkSpec {
     assert(bcast == out, "broadcast and shuffle paths must agree")
   }
 
+  test("stupid backoff walks the tri→bi→uni ladder with hand-checked scores") {
+    import graft.functions.Perplexity
+    // train "a b c a b d": c1 a=2 b=2 c=1 d=1 (N=6, V=4);
+    // c2 ab=2 bc=1 ca=1 bd=1; c3 abc/bca/cab/abd = 1 each
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"),    // trigram hit: S = 1/c2(ab) = 1/2
+      (11L, "x b c y"),  // xbc → bigram backoff 0.4·c2(bc)/c1(b) = 0.2;
+                         // bcy → unigram floor 0.16·(0+1)/(6+4) = 0.016
+      (12L, "a b")       // no trigram → dropped
+    ).toDF("doc_id", "text")
+    val out = Perplexity.stupidBackoffScore(train, score, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(10L, 11L))
+    val a = out(10L)
+    assert(a.getAs[Long]("n_trigrams") == 1 &&
+      a.getAs[Long]("n_tri_hits") == 1)
+    // -ln(1/2) = 0.693147181 quantized → sum 693, avg 693
+    assert(a.getAs[Long]("sum_nll_x1000") == 693L &&
+      a.getAs[Long]("avg_nll_x1000") == 693L, s"got $a")
+    val b = out(11L)
+    assert(b.getAs[Long]("n_tri_hits") == 0 &&
+      b.getAs[Long]("n_bi_backoffs") == 1 &&
+      b.getAs[Long]("n_uni_backoffs") == 1)
+    // -ln(0.2) + -ln(0.016) = 1.609437912 + 4.135166557 → 5744; /2 → 2872
+    assert(b.getAs[Long]("sum_nll_x1000") == 5744L &&
+      b.getAs[Long]("avg_nll_x1000") == 2872L, s"got $b")
+    // broadcast and shuffle LM paths agree
+    val bcast = Perplexity.stupidBackoffScore(train, score, "doc_id",
+      "text", broadcastLm = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("sum_nll_x1000")).toMap
+    assert(bcast == out.map { case (k, r) =>
+      k -> r.getAs[Long]("sum_nll_x1000") })
+  }
+
   test("Gopher rule battery: hand-checked counters and verdicts") {
     import graft.functions.GopherRules
     // 63 words, mean word length 231/63 ≈ 3.7 — inside every bound
