@@ -78,22 +78,11 @@ object SparkEntry {
     * to fresh temp dirs, frames are lazy), duplicate work is the
     * accepted cost of not holding a lock around a Spark job.
     */
-  /** q137/q137b shared best-match shape: per incoming doc, the index
-    * match with the highest Jaccard estimate (min id on ties) or a
-    * novelty verdict.
+  /** q137/q137b shared best-match shape (the library verdict surface —
+    * also what the streaming probe twin emits).
     */
-  private def bestProbeMatch(inc: DataFrame, cand: DataFrame): DataFrame = {
-    val best = cand.groupBy(col("id_new"))
-      .agg(max(col("est_jaccard_pct")).as("best_jaccard_pct"))
-    val bestId = cand.join(best, Seq("id_new"))
-      .where(col("est_jaccard_pct") === col("best_jaccard_pct"))
-      .groupBy(col("id_new"), col("best_jaccard_pct"))
-      .agg(min(col("id_idx")).as("best_match"))
-    inc.select(col("id").as("doc_id"))
-      .join(bestId, col("doc_id") === col("id_new"), "left")
-      .select(col("doc_id"), col("best_match"),
-        col("best_jaccard_pct"), col("best_match").isNull.as("is_novel"))
-  }
+  private def bestProbeMatch(inc: DataFrame, cand: DataFrame): DataFrame =
+    MinHashDedup.bestMatch(inc, cand)
 
   private def memoized[T <: AnyRef](s: SparkSession, key: String)(build: => T): T = {
     val k = s"${System.identityHashCode(s)}|$key"

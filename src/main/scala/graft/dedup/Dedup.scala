@@ -178,6 +178,26 @@ object MinHashDedup {
       .select("id_new", "id_idx", "est_jaccard_pct")
   }
 
+  /** Per incoming document: the index match with the highest Jaccard
+    * estimate (min index id on ties) or a novelty verdict — the
+    * verdict shape the q137/q137b entries and the streaming twin
+    * share. `newSigs` is the incoming (id, sig, buckets) frame, `cand`
+    * a (id_new, id_idx, est_jaccard_pct) candidate frame. Output:
+    * (doc_id, best_match, best_jaccard_pct, is_novel).
+    */
+  def bestMatch(newSigs: DataFrame, cand: DataFrame): DataFrame = {
+    val best = cand.groupBy(col("id_new"))
+      .agg(max(col("est_jaccard_pct")).as("best_jaccard_pct"))
+    val bestId = cand.join(best, Seq("id_new"))
+      .where(col("est_jaccard_pct") === col("best_jaccard_pct"))
+      .groupBy(col("id_new"), col("best_jaccard_pct"))
+      .agg(min(col("id_idx")).as("best_match"))
+    newSigs.select(col("id").as("doc_id"))
+      .join(bestId, col("doc_id") === col("id_new"), "left")
+      .select(col("doc_id"), col("best_match"),
+        col("best_jaccard_pct"), col("best_match").isNull.as("is_novel"))
+  }
+
   /** Persist a [[signatures]] frame as the PROBE INDEX two-table
     * layout, making the incremental-probe story durable ACROSS
     * sessions: `<base>_buckets` holds the exploded (id, band, bucket)
@@ -224,6 +244,11 @@ object MinHashDedup {
       .write.mode("overwrite")
       .bucketBy(numBuckets, "id").sortBy("id")
       .format("parquet").saveAsTable(s"${tableBase}_sigs")
+    // an in-place rebuild reuses the same warehouse paths, and the
+    // session's file-status cache can serve the OLD listing to the next
+    // probe — refresh both tables so a rebuild is immediately visible
+    spark.catalog.refreshTable(s"${tableBase}_buckets")
+    spark.catalog.refreshTable(s"${tableBase}_sigs")
   }
 
   /** Append a day's ACCEPTED signatures into a [[writeIndex]] index —

@@ -309,3 +309,58 @@ object WebIngestStream {
       .select(col("ts"), col("url_canon"), col("page_text"))
   }
 }
+
+/** Streaming twin of the q137b persisted-index dedup probe — the
+  * production near-dup GATE at micro-batch cadence: new documents
+  * arrive as a stream, each micro-batch computes its OWN minhash
+  * signatures (map-side column kernels) and runs the SAME probe body
+  * as the batch path against the bucketed index tables, emitting the
+  * q137 verdict shape (best index match or novelty). foreachBatch is
+  * the right engine surface here — the probe's occupancy census and
+  * best-match aggregations are per-batch batch semantics, not
+  * cross-batch state (the index IS the cross-batch state, owned by the
+  * absorb step, not by stream state) — and because the per-batch body
+  * is literally [[graft.dedup.MinHashDedup.probePersisted]] +
+  * [[graft.dedup.MinHashDedup.bestMatch]], stream ≡ batch verdicts by
+  * construction (StreamingSpec asserts it on a shared slice). The
+  * index side of every probe join arrives pre-bucketed — zero
+  * index-side exchange per micro-batch.
+  */
+object StreamDedupProbe {
+
+  /** The per-micro-batch body: signatures → persisted-index probe →
+    * verdicts. Also usable directly on any batch frame.
+    */
+  def probeBatch(tableBase: String, docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      numPerms: Int = 128, bands: Int = 16, minJaccardPct: Int = 50,
+      maxBucket: Int = 256): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.MinHashDedup
+    val sigs = MinHashDedup.signatures(docs, idCol, textCol, shingleK,
+      numPerms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = MinHashDedup.probePersisted(docs.sparkSession, tableBase,
+        sigs, numPerms, minJaccardPct, maxBucket)
+      MinHashDedup.bestMatch(sigs, cand)
+        .localCheckpoint(true) // materialize before the cache drops
+    } finally sigs.unpersist(false)
+  }
+
+  /** Wire a document stream through [[probeBatch]] into a parquet
+    * verdict sink (append — one file set per micro-batch).
+    */
+  def start(stream: org.apache.spark.sql.DataFrame, tableBase: String,
+      idCol: String, textCol: String, outPath: String,
+      checkpoint: String, shingleK: Int = 3, numPerms: Int = 128,
+      bands: Int = 16, minJaccardPct: Int = 50, maxBucket: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        probeBatch(tableBase, batch, idCol, textCol, shingleK, numPerms,
+          bands, minJaccardPct, maxBucket)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+}

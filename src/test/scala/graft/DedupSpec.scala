@@ -300,7 +300,8 @@ class DedupSpec extends SparkSpec {
   test("persisted minhash index: zero index-side exchange, same results") {
     import spark.implicits._
     val docs = (0L until 32L).map(i =>
-      (i, s"the shared corpus body variant ${i % 4} with tail token $i"))
+      (i, s"shared variant ${(i / 2) % 4} sentence alpha beta gamma " +
+        s"delta epsilon zeta eta theta tail $i"))
       .toDF("doc_id", "text")
     def sigs(p: Int) = MinHashDedup.signatures(
       docs.where(col("doc_id") % 2 === p), "doc_id", "text", 3, 128, 16)
@@ -317,15 +318,21 @@ class DedupSpec extends SparkSpec {
       assert("Exchange hashpartitioning\\(band".r.findAllIn(plan).size == 1,
         "only the CRAWL side may shuffle on (band, bucket) — the index " +
           "must arrive pre-bucketed:\n" + plan.take(1500))
-      // layout-invariance: identical pairs to the in-session probe
+      // layout-invariance: identical pairs to the in-session probe —
+      // and NON-VACUOUSLY so (same-variant docs straddle the
+      // even/odd split by construction)
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(rows(per) == rows(
+      val perRows = rows(per)
+      assert(perRows.nonEmpty, "fixture must produce real candidates")
+      assert(perRows == rows(
         MinHashDedup.probePairs(sigs(0), sigs(1), 128, 5)))
       // writeIndex is idempotent: a rebuild over the same name succeeds
+      // (compare against the SAVED rows — the pre-rebuild plan's files
+      // are gone by design)
       MinHashDedup.writeIndex(sigs(0), "graft_test_probe_idx", 8)
       assert(rows(MinHashDedup.probePersisted(spark,
-        "graft_test_probe_idx", sigs(1), 128, 5)) == rows(per))
+        "graft_test_probe_idx", sigs(1), 128, 5)) == perRows)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS graft_test_probe_idx_buckets")
@@ -336,7 +343,8 @@ class DedupSpec extends SparkSpec {
   test("absorbed signatures probe like a rebuilt index, layout intact") {
     import spark.implicits._
     val docs = (0L until 48L).map(i =>
-      (i, s"absorb corpus body variant ${i % 4} tail token $i"))
+      (i, s"shared variant ${(i / 2) % 4} sentence alpha beta gamma " +
+        s"delta epsilon zeta eta theta tail $i"))
       .toDF("doc_id", "text")
     def sigsOf(cond: org.apache.spark.sql.Column) = MinHashDedup
       .signatures(docs.where(cond), "doc_id", "text", 3, 128, 16)
@@ -355,7 +363,10 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val absorbed = rows(MinHashDedup.probePersisted(spark,
         "graft_test_absorb_idx", probe, 128, 5))
-      // ≡ an index built over both days at once
+      // ≡ an index built over both days at once — and the absorbed
+      // day-1 docs must actually be probe-visible (non-vacuous)
+      assert(absorbed.exists(t => t._2 >= 16 && t._2 < 32),
+        s"no candidate landed on an ABSORBED index doc: $absorbed")
       assert(absorbed == rows(MinHashDedup.probePairs(
         sigsOf(col("doc_id") < 32), probe, 128, 5)))
       // the appended files keep the bucketed layout the probe relies on

@@ -411,4 +411,48 @@ class StreamingSpec extends SparkSpec {
         s"wrong survivor set: $streamed")
     } finally q.stop()
   }
+
+  test("streaming dedup probe matches the batch persisted-index verdicts") {
+    import graft.dedup.MinHashDedup
+    import graft.streaming.StreamDedupProbe
+    implicit val sql = spark.sqlContext
+    // index = the even half of a 32-doc corpus; the stream delivers the
+    // odd half across TWO micro-batches
+    val docs = (0L until 32L).map(i =>
+      (i, s"shared variant ${(i / 2) % 4} sentence alpha beta gamma " +
+        s"delta epsilon zeta eta theta tail $i"))
+    val corpus = docs.toDF("doc_id", "text")
+    MinHashDedup.writeIndex(
+      MinHashDedup.signatures(corpus.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", 3, 128, 16), "graft_stream_probe_idx", 8)
+    val base = java.nio.file.Files
+      .createTempDirectory("stream_probe").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamDedupProbe.start(mem.toDF().toDF("doc_id", "text"),
+      "graft_stream_probe_idx", "doc_id", "text",
+      s"$base/out", s"$base/ckpt", minJaccardPct = 5)
+    try {
+      val odd = docs.filter(_._1 % 2 == 1)
+      mem.addData(odd.take(8): _*)
+      q.processAllAvailable()
+      mem.addData(odd.drop(8): _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getBoolean(3))).toSet
+      val streamed = rows(spark.read.parquet(s"$base/out"))
+      val batch = rows(StreamDedupProbe.probeBatch("graft_stream_probe_idx",
+        corpus.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        minJaccardPct = 5))
+      assert(streamed == batch,
+        s"stream verdicts must equal the one-shot batch probe:\n" +
+          s"stream $streamed\nbatch  $batch")
+      assert(streamed.exists(!_._4), "shared-variant docs must match")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_stream_probe_idx_buckets")
+      spark.sql("DROP TABLE IF EXISTS graft_stream_probe_idx_sigs")
+    }
+  }
 }
