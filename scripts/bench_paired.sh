@@ -45,7 +45,11 @@ run_bench() {
 }
 
 if [ -n "$BASE_REF" ]; then
-  dirty=$(git status --porcelain | wc -l)
+  # count TRACKED changes only: untracked files (e.g. the bench jsons
+  # themselves) don't block a checkout, and `git stash push` ignores
+  # them — counting them made dirty>0 with an EMPTY stash, so the later
+  # pop failed and set -e killed the run between baseline and HEAD
+  dirty=$(git status --porcelain -uno | wc -l)
   [ "$dirty" -gt 0 ] && git stash push -q -m bench_paired
   cur=$(git rev-parse --abbrev-ref HEAD)
   restore() {
