@@ -2095,12 +2095,17 @@ object SparkEntry {
     // (q110), the feed q134 discovered carries the NEWEST items with
     // timestamps, the cheapest recrawl signal a crawler gets (feeds
     // compose with q128's change-rate estimator). Fixture assembles
-    // RSS for even ids / Atom for odd, 2-4 items each, RFC-822 vs
-    // ISO-8601 dates (Spark genuinely parses both calendars), a
-    // missing-pubDate item variant, an attribute-reordered Atom link,
-    // a torn body yielding ZERO rows, and the gzip wire form riding
-    // the q110 sniff+inflate kernel. The oracle regenerates items by
-    // arithmetic. Map-side parse + posexplode, zero shuffles.
+    // RSS for even ids / Atom for odd, 2-4 items each, with pubDate in
+    // ALL the conventional RFC-822 wire shapes: the day-of-week-
+    // prefixed `EEE, dd MMM yyyy HH:mm:ss GMT` virtually every real
+    // feed emits (id%6=0), the prefix-free legacy shape, a numeric
+    // `+0200` zone whose offset must be HONORED (pub_hour proves the
+    // UTC conversion, not a mere strip), a missing-pubDate variant,
+    // an attribute-reordered Atom link, a torn body yielding ZERO
+    // rows, and the gzip wire form riding the q110 sniff+inflate
+    // kernel. Day names are the TRUE weekday of the planted date. The
+    // oracle regenerates items by arithmetic. Map-side parse +
+    // posexplode, zero shuffles.
     "q135_feed_parse" -> ((s, dir) => {
       val id = col("doc_id")
       val site = concat(lit("http://site"),
@@ -2108,13 +2113,21 @@ object SparkEntry {
       val n = (lit(2) + id % 3).cast("int")
       def dd(i: Column) =
         lpad((lit(1) + (id + i) % 28).cast("string"), 2, "0")
+      def dow(i: Column) = date_format(
+        make_date(lit(2024), lit(1), (lit(1) + (id + i) % 28).cast("int")),
+        "EEE")
       val rssItems = array_join(transform(sequence(lit(0), n - 1), i =>
         concat(lit("<item><title>Post "), id.cast("string"), lit("-"),
           i.cast("string"), lit("</title><link>"), site, lit("/post/"),
           id.cast("string"), lit("/"), i.cast("string"), lit("</link>"),
           when(id % 6 === 4, lit(""))
-            .otherwise(concat(lit("<pubDate>"), dd(i),
-              lit(" Jan 2024 08:00:00 GMT</pubDate>"))),
+            .when(id % 6 === 0, concat(lit("<pubDate>"), dow(i),
+              lit(", "), dd(i), lit(" Jan 2024 08:00:00 GMT</pubDate>")))
+            .otherwise(when((id + i) % 2 === 0,
+              concat(lit("<pubDate>"), dd(i),
+                lit(" Jan 2024 08:00:00 GMT</pubDate>")))
+              .otherwise(concat(lit("<pubDate>"), dow(i), lit(", "),
+                dd(i), lit(" Jan 2024 07:00:00 +0200</pubDate>")))),
           lit("</item>"))), "")
       val atomEntries = array_join(transform(sequence(lit(0), n - 1), i =>
         concat(lit("<entry><title>Post "), id.cast("string"), lit("-"),
@@ -2145,7 +2158,8 @@ object SparkEntry {
           .select(id, graft.sources.Sitemap.bodyText(body).as("xml")),
         "doc_id", "xml")
         .select(id, col("feed_format"), col("item_idx"), col("title"),
-          col("url"), col("pub_ts").cast("date").as("pub_date"))
+          col("url"), col("pub_ts").cast("date").as("pub_date"),
+          hour(col("pub_ts")).as("pub_hour"))
     }),
 
     // 26ai. per-domain contribution capping (C4/FineWeb-class head-
@@ -2216,6 +2230,25 @@ object SparkEntry {
         Sampling.sample(docs, "doc_id", 9000), docs, "doc_id", "text")
     }),
 
+    // 22e. SQ8 asymmetric search — the serve leg of q145's prep
+    // (prep without serve is half the story): the corpus side is the
+    // int8 code rows alone — the integer dot product of the exact
+    // milli-unit query against the codes ranks candidates (score =
+    // floor(dot·scale·10⁴/norm), all BIGINT, engine-portable), the
+    // top-50 shortlist re-ranks with true-vector cosine, and the
+    // output is per-query recall@5 vs the exact top-k (the q22/q32/
+    // q65 mold). FULL oracle: DuckDB replays the quantization, the
+    // integer ADC sums, the shortlist, and the IEEE re-rank cosines
+    // bit-for-bit. Broadcast queries, one distributed pass over the
+    // 4×-smaller code rows, bounded per-query windows.
+    "q147_sq8_ann" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val queries = e.where(col("vec_id") < 50)
+      LshAnn.recallAtK(
+        graft.ann.VectorPrep.sq8TopK(e, queries, k = 5, rerank = 50),
+        BruteForce.topK(e, queries, k = 5), k = 5)
+    }),
+
     // 29s. feed → recrawl composition: the q128 estimator's cold start
     // solved with the channel q134 discovers and q135 parses — URLs
     // whose fetch history is thinner than 3 observations take their
@@ -2223,8 +2256,10 @@ object SparkEntry {
     // ≤7d warm, ≤30d cool, else cold); thick history always wins, and
     // a thin URL with no feed keeps its history verdict. The fixture
     // thins the q128 plant on a known URL subset and plants per-URL
-    // Atom feeds (some gzipped) whose newest item ages url_id·3 days;
-    // Spark genuinely decodes + parses the feeds via the SHARED
+    // feeds (some gzipped) whose newest item ages url_id·3 days —
+    // RSS with the conventional day-of-week-prefixed RFC-822 pubDate
+    // (GMT for url%4=0, numeric +0000 for url%4=2) on even urls, Atom
+    // ISO on odd; Spark genuinely decodes + parses via the SHARED
     // Feeds.items/Sitemap kernels while the oracle replays the plant
     // arithmetic. Two url-keyed aggs + one co-partitioned join.
     "q144_feed_recrawl" -> ((s, dir) => {
@@ -2251,10 +2286,22 @@ object SparkEntry {
           lit("\"/><updated>"),
           date_format(date_sub(newest, i * 40), "yyyy-MM-dd"),
           lit("T08:00:00Z</updated></entry>"))), "")
-      val xml = concat(
-        lit("<?xml version=\"1.0\"?>" +
-          "<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>F</title>"),
-        entries, lit("</feed>"))
+      val rssItems = array_join(transform(sequence(lit(0), nit - 1), i =>
+        concat(lit("<item><title>I</title><link>http://f.example/"),
+          u.cast("string"), lit("/"), i.cast("string"),
+          lit("</link><pubDate>"),
+          date_format(date_sub(newest, i * 40), "EEE, dd MMM yyyy"),
+          when(u % 4 === 0, lit(" 08:00:00 GMT"))
+            .otherwise(lit(" 08:00:00 +0000")),
+          lit("</pubDate></item>"))), "")
+      val xml = when(u % 2 === 0, concat(
+          lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+            "<title>F</title>"),
+          rssItems, lit("</channel></rss>")))
+        .otherwise(concat(
+          lit("<?xml version=\"1.0\"?>" +
+            "<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>F</title>"),
+          entries, lit("</feed>")))
       val body = when(u % 4 === 2, graft.sources.Sitemap.gzipUtf8(xml))
         .otherwise(xml.cast("binary"))
       val feedDocs = docs.select((id % 20).as("url_id")).distinct()
@@ -3442,6 +3489,66 @@ object SparkEntry {
     * evaluates FLOAT-FLOAT in single precision while the JVM kernels
     * upconvert per element.
     */
+  /** q147 oracle: the SQ8 asymmetric search replayed END-TO-END — the
+    * milli-unit quantization (floor(v·1000), the q145 arithmetic), the
+    * exact floor(qi·127/max|qi|) codes via subtract-positive-mod
+    * division, the integer dot-product ADC score with its floor
+    * division, the top-50 shortlist under (score DESC, nid), and the
+    * exact-cosine re-rank via [[duckCosine]] — so recall_pct derives
+    * from the same approx top-k the engine computed, not assumed.
+    */
+  private lazy val q147OracleSql: String = {
+    val nq = 50; val k = 5; val rerank = 50
+    s"""WITH ${annExactCtes(nq, k)},
+       |mill AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embd
+       |),
+       |enc AS (
+       |  SELECT vec_id AS nid, q,
+       |    list_max(list_transform(q, x -> abs(x))) AS maxq,
+       |    CAST(floor(sqrt(CAST(list_sum(list_transform(q, x -> x*x))
+       |      AS DOUBLE))) AS BIGINT) AS nrm
+       |  FROM mill
+       |),
+       |codes AS (
+       |  SELECT nid, maxq, nrm,
+       |    list_transform(q, x -> CASE WHEN maxq = 0 THEN 0
+       |      ELSE (x*127 - ((x*127 % maxq + maxq) % maxq)) // maxq
+       |      END) AS cm
+       |  FROM enc
+       |),
+       |scored AS (
+       |  SELECT qid, nid,
+       |    (ds - ((ds % nz + nz) % nz)) // nz AS score
+       |  FROM (
+       |    SELECT q.vec_id AS qid, c.nid,
+       |      CAST(list_sum(list_transform(generate_series(1, len(c.cm)),
+       |        i -> c.cm[i] * q.q[i])) AS BIGINT) * c.maxq * 10000 AS ds,
+       |      CASE WHEN c.nrm < 1 THEN 1 ELSE c.nrm END AS nz
+       |    FROM codes c, mill q
+       |    WHERE q.vec_id < $nq AND q.vec_id <> c.nid)
+       |),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $rerank
+       |),
+       |approx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT s.qid, s.nid,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY ${duckCosine("q.v", "n.v")} DESC, s.nid) AS rnk
+       |    FROM short s JOIN embd q ON q.vec_id = s.qid
+       |      JOIN embd n ON n.vec_id = s.nid)
+       |  WHERE rnk <= $k
+       |)
+       |${annRecallSelect(k)}""".stripMargin
+  }
+
   private lazy val q65OracleSql: String = {
     val m = 8; val ksub = 16; val subDim = 8; val nq = 50; val k = 5
     val rerank = 50
@@ -3947,6 +4054,9 @@ object SparkEntry {
     "q22_ann_lsh" -> q22OracleSql,
     "q32_ann_ivf" -> q32OracleSql,
     "q65_pq_ann" -> q65OracleSql,
+    // q147: SQ8 ADC search replayed end-to-end — quantization, integer
+    // dot-product scores, shortlist, and IEEE re-rank cosines
+    "q147_sq8_ann" -> q147OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,
@@ -5054,8 +5164,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // q135: the oracle regenerates items by arithmetic (torn id%9=8
     // bodies contribute ZERO rows); Spark must genuinely inflate the
-    // gzip wire form, split item/entry blocks, and parse RFC-822 vs
-    // ISO-8601 dates back to the same calendar days
+    // gzip wire form, split item/entry blocks, strip the RFC-822
+    // day-of-week prefix, honor the +0200 numeric zone (pub_hour 5,
+    // not 7), and parse RFC-822 vs ISO-8601 back to the same days
     "q135_feed_parse" ->
       """WITH d AS (
         |  SELECT doc_id, 2 + doc_id % 3 AS n, (doc_id % 50) % 10 AS h
@@ -5074,7 +5185,11 @@ object SparkEntry {
         |    AS url,
         |  CASE WHEN doc_id % 2 = 0 AND doc_id % 6 = 4 THEN NULL
         |    ELSE make_date(2024, 1, CAST(1 + (doc_id + i) % 28
-        |      AS INTEGER)) END AS pub_date
+        |      AS INTEGER)) END AS pub_date,
+        |  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 6 = 4 THEN NULL
+        |    WHEN doc_id % 2 = 0 AND doc_id % 6 = 2
+        |      AND (doc_id + i) % 2 = 1 THEN 5
+        |    ELSE 8 END AS INTEGER) AS pub_hour
         |FROM i""".stripMargin,
     // q136: both engines genuinely run the capped selection — the same
     // hash order (DuckDB hash(BIGINT) == murmur64), the same per-host

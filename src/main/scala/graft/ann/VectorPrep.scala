@@ -1,6 +1,7 @@
 package graft.ann
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector storage preparation — the leg between raw embeddings and the
@@ -69,5 +70,79 @@ object VectorPrep {
             a + abs(x - recon)
           })).as("quant_mae_sum"),
         (col("max_abs_q") === 0L).as("is_zero"))
+  }
+
+  /** SQ8-encoded serving rows — the layout a production vector store
+    * scans instead of float32: idCol→nid, `codes` (the exact
+    * floor(qi·127/max|qi|) values, int8 range, kept as LONG in-plan so
+    * every downstream product is exact BIGINT), the `max_abs_q` scale
+    * and `norm_x1e3` the asymmetric distance needs. Same milli-unit
+    * determinism contract as [[sq8Report]]; a degenerate all-zero
+    * vector encodes to all-zero codes. One map-side pass, zero
+    * shuffles.
+    */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = transform(col(vecCol),
+      v => floor(v.cast("double") * 1000).cast("long"))
+    df.select(col(idCol).as("nid"), q.as("_q"),
+        aggregate(q, lit(0L), (a, x) => greatest(a, abs(x)))
+          .as("max_abs_q"))
+      .select(col("nid"),
+        transform(col("_q"), x => when(col("max_abs_q") === 0L, lit(0L))
+          .otherwise(floorDiv(x * 127L, col("max_abs_q")))).as("codes"),
+        col("max_abs_q"),
+        floor(sqrt(aggregate(col("_q"), lit(0L),
+          (a, x) => a + x * x).cast("double"))).cast("long")
+          .as("norm_x1e3"))
+  }
+
+  /** SQ8 asymmetric search — the consumer of [[sq8Encode]]'s codes (the
+    * q22/q32/q65 mold): the corpus side never touches a float — the
+    * integer dot product Σ qq_i·code_i of the EXACT milli-unit query
+    * against the int8 codes ranks candidates (score =
+    * floor(dot·max_abs_q·10⁴ / norm), all BIGINT — ADC against a
+    * scalar-quantized corpus), then the top-`rerank` shortlist alone
+    * re-ranks with true-vector cosine (|q|·rerank float ops total, the
+    * standard recall buy-back).
+    *
+    * Scale shape: queries broadcast in milli-units; the corpus scan is
+    * one distributed pass over the 4×-smaller code rows, zero
+    * corpus-side shuffle before the bounded per-query window. Zero
+    * vectors (norm 0) score 0 — ranked last, never divided by.
+    * Output: (qid, nid, rnk), BruteForce-comparable.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val enc = sq8Encode(corpus, idCol, vecCol)
+    val qm = broadcast(queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), v => floor(v.cast("double") * 1000)
+        .cast("long")).as("q_m"),
+      col(vecCol).as("q_vec")))
+    val dot = aggregate(
+      zip_with(col("codes"), col("q_m"), (c, q) => c * q),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    val short = enc.crossJoin(qm.select("qid", "q_m"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("score", floorDiv(dot * col("max_abs_q") * 10000L,
+        greatest(col("norm_x1e3"), lit(1L))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= math.max(rerank, k))
+    if (rerank <= 0) short.select("qid", "nid", "rnk")
+    else {
+      val wx = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      short.select("qid", "nid")
+        .join(corpus.select(col(idCol).as("nid"),
+          col(vecCol).as("n_vec")), "nid")
+        .join(qm.select("qid", "q_vec"), "qid")
+        .withColumn("cos",
+          graft.functions.F.cosine(col("q_vec"), col("n_vec")))
+        .withColumn("rnk", row_number().over(wx).cast("long"))
+        .where(col("rnk") <= k)
+        .select("qid", "nid", "rnk")
+    }
   }
 }

@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * Subset bounds (documented, mirrored by the oracle): well-formed
   * item/entry blocks located by non-greedy block regexes; RSS
-  * `<pubDate>` in the RFC 822 `dd MMM yyyy HH:mm:ss GMT` shape and Atom
-  * `<updated>` in ISO `yyyy-MM-dd'T'HH:mm:ss'Z'`; a torn or non-feed
-  * document yields zero rows (`feed_format` NULL routes it). Everything
+  * `<pubDate>` in the conventional RFC 822 shapes — an OPTIONAL
+  * `EEE, ` day-of-week prefix (stripped without validation, the lenient
+  * posture every feed reader takes) followed by `dd MMM yyyy HH:mm:ss`
+  * and either the `GMT` zone name or a numeric `+hhmm`/`-hhmm` offset
+  * (honored: the instant converts to UTC, not merely stripped) — and
+  * Atom `<updated>` in ISO `yyyy-MM-dd'T'HH:mm:ss'Z'`. Still outside
+  * the subset: single-digit days (`2 Jun`), two-digit years, and the
+  * obsolete alphabetic zones (`UT`, `EST`) RFC 2822 deprecates — those
+  * degrade to NULL pub_ts, never a throw. A torn or non-feed document
+  * yields zero rows (`feed_format` NULL routes it). Everything
   * is one map-side pass of codegen'd regex/timestamp built-ins — zero
   * shuffles, zero UDFs; at 100 TB the feed corpus rides the same
   * partition-parallel scan as any text column.
@@ -48,12 +55,22 @@ object Feeds {
           nullif(regexp_extract(b,
             "(?i)<link\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\"", 1),
             lit(""))).as("url"),
-        coalesce(
-          try_to_timestamp(nullif(regexp_extract(b,
-            "<pubDate>([^<]*)</pubDate>", 1), lit("")),
-            lit("dd MMM yyyy HH:mm:ss 'GMT'")),
-          try_to_timestamp(nullif(regexp_extract(b,
-            "<updated>([^<]*)</updated>", 1), lit("")),
-            lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))).as("pub_ts"))
+        {
+          // Spark (Java time) forbids `E` in PARSE patterns, so the
+          // optional RFC-822 day-of-week prefix is stripped by regex
+          // first; the two residual shapes (zone name vs numeric
+          // offset) then coalesce. `Z` parses `+0000`-style offsets to
+          // the true instant (session tz is UTC throughout graft).
+          val rfc822 = regexp_replace(
+            nullif(trim(regexp_extract(b,
+              "<pubDate>([^<]*)</pubDate>", 1)), lit("")),
+            lit("^[A-Za-z]{3},\\s*"), lit(""))
+          coalesce(
+            try_to_timestamp(rfc822, lit("dd MMM yyyy HH:mm:ss 'GMT'")),
+            try_to_timestamp(rfc822, lit("dd MMM yyyy HH:mm:ss Z")),
+            try_to_timestamp(nullif(regexp_extract(b,
+              "<updated>([^<]*)</updated>", 1), lit("")),
+              lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))).as("pub_ts")
+        })
   }
 }

@@ -158,4 +158,37 @@ class AnnSpec extends SparkSpec {
     assert(e.getAs[Long]("n_dims") == 0 && e.isNullAt(e.fieldIndex("argmax_dim")),
       "empty vector: no argmax to report")
   }
+
+  test("SQ8 search clears a recall floor (avg 90%) vs exact top-5 on sf0.001") {
+    import graft.ann.VectorPrep
+    val e = Tables(spark, sf0001).embeddings
+    val queries = e.where(col("vec_id") < 50)
+    val recall = LshAnn.recallAtK(
+      VectorPrep.sq8TopK(e, queries, k = 5, rerank = 50),
+      BruteForce.topK(e, queries, k = 5), k = 5)
+      .as[(Long, Long)].collect()
+    assert(recall.length == 50)
+    val avg = recall.map(_._2).sum / 50.0
+    // int8 quantization + 50-deep exact re-rank should be nearly exact
+    assert(avg >= 90.0, s"avg SQ8 recall $avg below floor")
+    assert(recall.forall(_._2 >= 60),
+      s"per-query floor breached: ${recall.filter(_._2 < 60).mkString(",")}")
+  }
+
+  test("SQ8 search without re-rank still ranks by the integer ADC score") {
+    import graft.ann.VectorPrep
+    // axis-aligned fixture: integer scores are hand-checkable
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(10f, 0.1f, 0f, 0f),
+      2L -> Array(1f, 1f, 0f, 0f),
+      3L -> Array(0f, 1f, 0f, 0f),
+      4L -> Array(-1f, 0f, 0f, 0f)
+    ).toDF("vec_id", "embedding")
+    val res = VectorPrep.sq8TopK(vecs, vecs.where(col("vec_id") === 0),
+        k = 4, rerank = 0)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(res.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L),
+      s"ADC order diverged: ${res.mkString(",")}")
+  }
 }

@@ -42,4 +42,36 @@ class SitemapSpec extends SparkSpec {
     val xml = "<urlset><url><loc>http://h.example/ż–✓</loc></url></urlset>"
     assert(roundtrip(xml) == xml)
   }
+
+  test("RSS pubDate parses every conventional RFC-822 wire shape") {
+    import spark.implicits._
+    def rss(d: String) = "<?xml version=\"1.0\"?><rss version=\"2.0\">" +
+      "<channel><item><title>t</title><link>http://h/x</link>" +
+      s"<pubDate>$d</pubDate></item></channel></rss>"
+    val shapes = Seq(
+      // the conventional shape virtually every real feed emits
+      1L -> rss("Tue, 10 Jun 2003 04:00:00 GMT"),
+      // prefix-free legacy (the pre-r15 subset)
+      2L -> rss("10 Jun 2003 04:00:00 GMT"),
+      // numeric zone, zero offset
+      3L -> rss("Wed, 10 Jun 2003 04:00:00 +0000"),
+      // nonzero offset that crosses midnight: the instant must CONVERT
+      // (2024-01-01 01:00 +0300 is 2023-12-31 22:00 UTC), not strip
+      4L -> rss("Mon, 01 Jan 2024 01:00:00 +0300"),
+      // surrounding whitespace tolerated
+      5L -> rss(" Tue, 10 Jun 2003 04:00:00 GMT "),
+      // still outside the subset: obsolete alphabetic zone -> NULL
+      6L -> rss("Tue, 10 Jun 2003 04:00:00 EST"))
+    val out = graft.sources.Feeds.items(
+        shapes.toDF("id", "xml"), "id", "xml")
+      .select(col("id"), col("pub_ts").cast("string"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == "2003-06-10 04:00:00")
+    assert(out(2L) == "2003-06-10 04:00:00")
+    assert(out(3L) == "2003-06-10 04:00:00")
+    assert(out(4L) == "2023-12-31 22:00:00")
+    assert(out(5L) == "2003-06-10 04:00:00")
+    assert(out(6L) == null)
+  }
 }
