@@ -2249,6 +2249,43 @@ object SparkEntry {
         BruteForce.topK(e, queries, k = 5), k = 5)
     }),
 
+    // 27g. image perceptual-hash near-dup — the image leg of dedup (a
+    // multimodal corpus dedups images before anything else): dHash +
+    // aHash over REALLY-decoded pixels (PHash via StaticInvoke riding
+    // the q95 BMP/PNG decoder), near-dup pairs via the SAME 16-bit
+    // pigeonhole Hamming blocking as q31, folded into per-doc rows
+    // (hashes, dup count, best partner). Fixture: 4-doc motif groups —
+    // a base, a +3-brightness twin (hash-identical BY CONSTRUCTION,
+    // the invariance perceptual hashing exists for), a one-pixel flip
+    // (Hamming ≤ 2), an independently-salted far image — with corrupt
+    // bytes at doc%8=1 (NULL hashes, observable as missing twins in
+    // the counts). Pattern bits are murmur64 parity == DuckDB hash()
+    // parity, so the FULL oracle regenerates every hash bit, the
+    // Hamming pairs, and the counts while Spark genuinely decodes the
+    // containers it assembled. One map-side decode+hash pass, the
+    // narrow (chunk, id, hash) blocking shuffle, bounded buckets.
+    "q148_image_phash" -> ((s, dir) => {
+      val hp = F.perceptualHashes(F.patternImageFixture(col("doc_id")))
+      val hashed = Tables(s, dir).documents
+        .select(col("doc_id"), hp.as("_hp"))
+        .select(col("doc_id"),
+          element_at(col("_hp"), 1).as("dhash"),
+          element_at(col("_hp"), 2).as("ahash"))
+      val pairs = SimHashDedup.hammingPairs(hashed, "doc_id", "dhash",
+        maxHamming = 3)
+      val sided = pairs.select(explode(array(
+          struct(col("id_a").as("doc_id"), col("id_b").as("partner")),
+          struct(col("id_b").as("doc_id"), col("id_a").as("partner"))))
+          .as("s"))
+        .select(col("s.doc_id"), col("s.partner"))
+      val agg = sided.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dups"), min(col("partner")).as("min_partner"))
+      hashed.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dhash"), col("ahash"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("min_partner"))
+    }),
+
     // 29s. feed → recrawl composition: the q128 estimator's cold start
     // solved with the channel q134 discovers and q135 parses — URLs
     // whose fetch history is thinner than 3 observations take their
@@ -3497,6 +3534,85 @@ object SparkEntry {
     * exact-cosine re-rank via [[duckCosine]] — so recall_pct derives
     * from the same approx top-k the engine computed, not assumed.
     */
+  /** q148 oracle: the PHash fixture's hash bits regenerated from pure
+    * doc_id arithmetic (the jitter variant is provably hash-invariant,
+    * so the replay skips it), packed to signed 64-bit via HUGEINT
+    * shifts, then the full Hamming-pair/count fold.
+    */
+  private lazy val q148OracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id // 4 AS m, doc_id % 4 AS v FROM documents
+       |),
+       |g AS (
+       |  SELECT CAST(a.range AS BIGINT) AS x, CAST(b.range AS BIGINT) AS y
+       |  FROM range(9) a, range(8) b
+       |),
+       |bits AS (
+       |  SELECT doc_id, x, y,
+       |    CASE WHEN v = 2 AND x = m % 7 AND y = m % 8
+       |      THEN 1 - pb ELSE pb END AS b
+       |  FROM (
+       |    SELECT d.doc_id, d.m, d.v, g.x, g.y,
+       |      CAST(hash(73*d.m + CASE WHEN d.v = 3 THEN 997907 ELSE 0 END
+       |        + 9*g.y + g.x) % 2 AS BIGINT) AS pb
+       |    FROM d, g)
+       |),
+       |dh AS (
+       |  SELECT l.doc_id,
+       |    SUM(CASE WHEN r.b = 1 AND l.b = 0
+       |      THEN CAST(1 AS HUGEINT) << CAST(l.y*8 + l.x AS INTEGER)
+       |      ELSE CAST(0 AS HUGEINT) END) AS dhu
+       |  FROM bits l JOIN bits r
+       |    ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+       |  WHERE l.x < 8
+       |  GROUP BY 1
+       |),
+       |cells AS (
+       |  SELECT l.doc_id, l.x AS cx, l.y AS cy,
+       |    CASE WHEN l.x < 7 THEN 40 + 160*l.b
+       |         ELSE 40 + 80*(l.b + r.b) END AS cell
+       |  FROM bits l JOIN bits r
+       |    ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = 8
+       |  WHERE l.x < 8
+       |),
+       |am AS (
+       |  SELECT doc_id, CAST(SUM(cell) AS BIGINT) // 64 AS mean
+       |  FROM cells GROUP BY 1
+       |),
+       |ah AS (
+       |  SELECT c.doc_id,
+       |    SUM(CASE WHEN c.cell > am.mean
+       |      THEN CAST(1 AS HUGEINT) << CAST(c.cy*8 + c.cx AS INTEGER)
+       |      ELSE CAST(0 AS HUGEINT) END) AS ahu
+       |  FROM cells c JOIN am USING (doc_id)
+       |  GROUP BY 1
+       |),
+       |hashes AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 8 = 1 THEN NULL
+       |      ELSE ${toSigned64("dh.dhu")} END AS dhash,
+       |    CASE WHEN d.doc_id % 8 = 1 THEN NULL
+       |      ELSE ${toSigned64("ah.ahu")} END AS ahash
+       |  FROM d JOIN dh USING (doc_id) JOIN ah USING (doc_id)
+       |),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |  WHERE a.dhash IS NOT NULL AND b.dhash IS NOT NULL
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= 3
+       |),
+       |sided AS (
+       |  SELECT id_a AS doc_id, id_b AS partner FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr
+       |),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_dups, MIN(partner) AS min_partner
+       |  FROM sided GROUP BY 1
+       |)
+       |SELECT h.doc_id, h.dhash, h.ahash,
+       |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
+       |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   private lazy val q147OracleSql: String = {
     val nq = 50; val k = 5; val rerank = 50
     s"""WITH ${annExactCtes(nq, k)},
@@ -4057,6 +4173,13 @@ object SparkEntry {
     // q147: SQ8 ADC search replayed end-to-end — quantization, integer
     // dot-product scores, shortlist, and IEEE re-rank cosines
     "q147_sq8_ann" -> q147OracleSql,
+    // q148: every perceptual-hash bit regenerated from doc_id
+    // arithmetic (pattern bit = hash(73m + salt + 9y + x) % 2 — DuckDB
+    // hash == murmur64; dHash bit = right AND NOT left; aHash cells
+    // 40+160b with the double-width edge cell and the floor-mean), the
+    // Hamming-ball pairs via bit_count(xor), counts and best partner —
+    // while Spark genuinely decodes the BMP/PNG containers
+    "q148_image_phash" -> q148OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,

@@ -319,19 +319,32 @@ object SimHashDedup {
     * nothing wide ever shuffles.
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame =
+    hammingPairs(hashes(docs, idCol, textCol), idCol, "simhash",
+      maxHamming, maxBucket)
+
+  /** The pigeonhole Hamming-ball pair machinery on ANY 64-bit hash
+    * column — shared by text SimHash (q18/q31) and image perceptual
+    * hashes (q148): block on 16-bit chunks (a pair within distance 3
+    * must agree on ≥1 of 4 chunks), verify exact distance inside the
+    * bucket explode on 8-byte hashes, so nothing wide ever shuffles.
+    * Null-hash rows (e.g. undecodable images) drop before blocking.
+    */
+  def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     // 4 chunks guarantee a shared chunk only for distance < 4; a larger
     // radius would silently lose pairs the blocking never co-buckets.
     require(maxHamming < 4, "4-chunk pigeonhole blocking is complete only for maxHamming <= 3")
-    val h = hashes(docs, idCol, textCol)
-    val chunked = h.select(
-      col(idCol).as("id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk_no"),
-          shiftrightunsigned(col("simhash"), i * 16)
-            .bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
+    val chunked = hashed
+      .where(col(hashCol).isNotNull)
+      .select(
+        col(idCol).as("id"), col(hashCol).as("_h"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("chunk_no"),
+            shiftrightunsigned(col(hashCol), i * 16)
+              .bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("c"))
       .select(col("c.chunk_no"), col("c.chunk"),
-        struct(col("id"), col("simhash")).as("x"))
+        struct(col("id"), col("_h")).as("x"))
     chunked
       .groupBy(col("chunk_no"), col("chunk"))
       .agg(sort_array(collect_list(col("x"))).as("xs"))
@@ -340,7 +353,7 @@ object SimHashDedup {
         flatten(transform(col("xs"), (a, i) =>
           transform(slice(col("xs"), i + 2, lit(maxBucket)), b =>
             struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-              F.hamming(a.getField("simhash"), b.getField("simhash"))
+              F.hamming(a.getField("_h"), b.getField("_h"))
                 .as("hamming")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)

@@ -223,6 +223,26 @@ object F {
       ArrayType(LongType, containsNull = false), "stats", Seq(ex(blob)),
       Nil, propagateNull = true, returnNullable = true))
 
+  /** q148 fixture encoder: deterministic 9×8 gray-pattern BMP / PNG /
+    * corrupt bytes from a doc_id ([[graft.multimodal.PHash
+    * .makePatternImage]] — pattern bits are murmur64 parity the oracle
+    * recomputes via DuckDB hash()).
+    */
+  def patternImageFixture(docId: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.PHash.type], BinaryType,
+      "makePatternImage", Seq(ex(docId)), Nil, propagateNull = true,
+      returnNullable = false))
+
+  /** Perceptual image hashes over a decoded blob: [dhash64, ahash64]
+    * (difference / average hash, 8×8 grid, LSB-first bits) or NULL on
+    * corrupt/unsupported bytes. StaticInvoke — whole-stage codegen,
+    * never a UDF.
+    */
+  def perceptualHashes(blob: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.PHash.type],
+      ArrayType(LongType, containsNull = false), "hashes", Seq(ex(blob)),
+      Nil, propagateNull = true, returnNullable = true))
+
   /** Unicode NFC canonical form ([[UnicodeNorm.nfc]] — UAX #15): the
     * normalization every content hash should see first.
     */

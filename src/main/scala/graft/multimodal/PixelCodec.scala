@@ -56,11 +56,19 @@ object PixelCodec {
     */
   private def makeBmp(docId: Long): Array[Byte] = {
     val (w, h) = dims(docId)
+    encodeBmp(w, h, docId % 2 == 1, pv(docId, _, _, _))
+  }
+
+  /** Generalized BMP encoder — `f(x, y, c)` supplies channel c∈{0 R,
+    * 1 G, 2 B} of pixel (x, y). Shared by the q95 fixture above and the
+    * q148 perceptual-hash fixture ([[PHash.makePatternImage]]).
+    */
+  def encodeBmp(w: Int, h: Int, topDown: Boolean,
+      f: (Int, Int, Int) => Int): Array[Byte] = {
     val stride = (3 * w + 3) & ~3
     val fileSize = 54 + stride * h
     val out = new Array[Byte](fileSize)
     val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
-    val topDown = docId % 2 == 1
     bb.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
     bb.putInt(40).putInt(w).putInt(if (topDown) -h else h)
       .putShort(1).putShort(24).putInt(0).putInt(stride * h)
@@ -71,9 +79,9 @@ object PixelCodec {
       val base = 54 + r * stride
       var x = 0
       while (x < w) {
-        out(base + 3 * x) = pv(docId, x, y, 2).toByte // B
-        out(base + 3 * x + 1) = pv(docId, x, y, 1).toByte // G
-        out(base + 3 * x + 2) = pv(docId, x, y, 0).toByte // R
+        out(base + 3 * x) = f(x, y, 2).toByte // B
+        out(base + 3 * x + 1) = f(x, y, 1).toByte // G
+        out(base + 3 * x + 2) = f(x, y, 0).toByte // R
         x += 1
       }
       r += 1
@@ -106,6 +114,14 @@ object PixelCodec {
     */
   private def makePng(docId: Long): Array[Byte] = {
     val (w, h) = dims(docId)
+    encodePng(w, h, y => ((docId + y) % 5).toInt, pv(docId, _, _, _))
+  }
+
+  /** Generalized PNG encoder — `filterOf(y)` picks the scanline filter,
+    * `f(x, y, c)` the pixel channels (see [[encodeBmp]]).
+    */
+  def encodePng(w: Int, h: Int, filterOf: Int => Int,
+      f: (Int, Int, Int) => Int): Array[Byte] = {
     val rowLen = 1 + 3 * w
     val raw = new Array[Byte](rowLen * h)
     val cur = new Array[Int](3 * w)
@@ -114,19 +130,19 @@ object PixelCodec {
     while (y < h) {
       var x = 0
       while (x < w) {
-        cur(3 * x) = pv(docId, x, y, 0)
-        cur(3 * x + 1) = pv(docId, x, y, 1)
-        cur(3 * x + 2) = pv(docId, x, y, 2)
+        cur(3 * x) = f(x, y, 0)
+        cur(3 * x + 1) = f(x, y, 1)
+        cur(3 * x + 2) = f(x, y, 2)
         x += 1
       }
-      val f = ((docId + y) % 5).toInt
-      raw(y * rowLen) = f.toByte
+      val flt = filterOf(y)
+      raw(y * rowLen) = flt.toByte
       var i = 0
       while (i < 3 * w) {
         val left = if (i >= 3) cur(i - 3) else 0
         val up = prev(i)
         val ul = if (i >= 3) prev(i - 3) else 0
-        val fv = f match {
+        val fv = flt match {
           case 0 => cur(i)
           case 1 => cur(i) - left
           case 2 => cur(i) - up
@@ -173,7 +189,18 @@ object PixelCodec {
     * bpp / palette BMPs return null (unsupported, not an error path the
     * fixture exercises).
     */
-  private def decodeBmp(b: Array[Byte]): Array[Int] = {
+  private[multimodal] final case class Img(w: Int, h: Int, px: Array[Int])
+
+  /** Decoded RGB image (dims + flat R,G,B triples in image order), or
+    * null on any malformation — the shared decode entry [[statsRaw]] and
+    * [[PHash]] both consume.
+    */
+  private[multimodal] def decodeRgb(b: Array[Byte]): Img =
+    if (b == null) null
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else decodePng(b)
+
+  private def decodeBmp(b: Array[Byte]): Img = {
     if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return null
     val off = le32(b, 10)
     val dib = le32(b, 14)
@@ -207,14 +234,14 @@ object PixelCodec {
       }
       r += 1
     }
-    px
+    Img(w, h, px)
   }
 
   /** Flat R,G,B triples, or null. In scope: 8-bit truecolor (color type
     * 2), no interlace — the dominant training-corpus shape; every IDAT
     * chunk CRC is verified before the bytes reach the inflater.
     */
-  private def decodePng(b: Array[Byte]): Array[Int] = {
+  private def decodePng(b: Array[Byte]): Img = {
     if (b.length < 8) return null
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     var i = 0
@@ -293,7 +320,7 @@ object PixelCodec {
       }
       y += 1
     }
-    px
+    Img(w, h, px)
   }
 
   /** Per-image integer pixel statistics:
@@ -310,10 +337,9 @@ object PixelCodec {
   def statsRaw(b: Array[Byte]): Array[Long] =
     try {
       if (b == null) return null
-      val px =
-        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
-        else decodePng(b)
-      if (px == null) return null
+      val img = decodeRgb(b)
+      if (img == null) return null
+      val px = img.px
       val n = px.length / 3
       var sr = 0L; var sg = 0L; var sb = 0L; var nz = 0L
       var i = 0

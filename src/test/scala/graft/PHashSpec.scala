@@ -1,0 +1,92 @@
+package graft
+
+import graft.multimodal.{PHash, PixelCodec}
+
+/** Perceptual-hash kernel invariants the q148 fixture can't isolate:
+  * the REAL box downscale (the fixture's 9×8 images hit the identity
+  * grid), brightness invariance, locality, and damage totality.
+  */
+class PHashSpec extends SparkSpec {
+
+
+  /** A w×h equal-channel image from a gray function. */
+  private def bmp(w: Int, h: Int, g: (Int, Int) => Int): Array[Byte] =
+    PixelCodec.encodeBmp(w, h, topDown = false, (x, y, _) => g(x, y))
+
+  private def png(w: Int, h: Int, g: (Int, Int) => Int): Array[Byte] =
+    PixelCodec.encodePng(w, h, y => y % 5, (x, y, _) => g(x, y))
+
+  test("box downscale: a 2x upscale preserves the hash whose grid aligns") {
+    def pat(x: Int, y: Int): Int =
+      if (((x * 7 + y * 13) % 5) < 2) 200 else 40
+    // dHash grid is 9×8: 9|18 and 8|16, so every 18×16 cell box is an
+    // exact 2×2-constant block and the 9×8 original must reproduce
+    val small = PHash.hashesRaw(bmp(9, 8, pat))
+    val big = PHash.hashesRaw(bmp(18, 16, (x, y) => pat(x / 2, y / 2)))
+    val bigPng = PHash.hashesRaw(png(18, 16, (x, y) => pat(x / 2, y / 2)))
+    assert(small != null && big != null)
+    assert(small(0) == big(0), "2x upscale must not move a dHash bit")
+    assert(big.toSeq == bigPng.toSeq, "container must not matter")
+    // aHash grid is 8×8: align on 16×16 vs its exact 2x upscale — cell
+    // sums quadruple and counts quadruple, so every floor-mean is equal
+    val base16 = PHash.hashesRaw(bmp(16, 16, pat))
+    val up32 = PHash.hashesRaw(bmp(32, 32, (x, y) => pat(x / 2, y / 2)))
+    assert(base16(1) == up32(1), "2x upscale must not move an aHash bit")
+  }
+
+  test("uniform brightness shift moves no dHash or aHash bit") {
+    def pat(x: Int, y: Int): Int = if ((x + 2 * y) % 3 == 0) 180 else 60
+    val a = PHash.hashesRaw(bmp(20, 14, pat))
+    val b = PHash.hashesRaw(bmp(20, 14, (x, y) => pat(x, y) + 9))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("one flipped pixel is local: ≤2 dHash bits, small aHash drift") {
+    def pat(x: Int, y: Int): Int =
+      if (graft.functions.Hashing.murmur64(9L * y + x) % 2 == 0) 200 else 40
+    val base = PHash.hashesRaw(bmp(9, 8, pat))
+    val flip = PHash.hashesRaw(bmp(9, 8,
+      (x, y) => if (x == 3 && y == 4) 240 - pat(x, y) else pat(x, y)))
+    // the flip touches exactly two horizontal comparisons
+    assert(graft.functions.Hashing.hamming(base(0), flip(0)) <= 2)
+    // aHash: the flipped cell, plus any 120-valued edge cell the ≤3
+    // floor-mean shift crosses — bounded by 1 + the 8 edge cells
+    assert(graft.functions.Hashing.hamming(base(1), flip(1)) <= 9)
+  }
+
+  test("degenerate sizes hash: 1x1, 3x2 (narrower than the grid)") {
+    val tiny = PHash.hashesRaw(bmp(1, 1, (_, _) => 128))
+    assert(tiny != null && tiny(0) == 0L,
+      "a constant image has no gradients: dhash 0")
+    assert(tiny(1) == 0L, "no cell exceeds the mean of a constant image")
+    val narrow = PHash.hashesRaw(bmp(3, 2,
+      (x, y) => if ((x + y) % 2 == 0) 220 else 20))
+    assert(narrow != null, "images narrower than the grid must still hash")
+  }
+
+  test("corrupt and unsupported bytes yield null, never a throw") {
+    assert(PHash.hashesRaw(null) == null)
+    assert(PHash.hashesRaw(Array[Byte](0x42, 0x4d, 1, 2, 3)) == null)
+    assert(PHash.hashesRaw(PHash.makePatternImage(9L)) == null,
+      "doc%8=1 plants corrupt bytes")
+    assert(PHash.hashesRaw(PHash.makePatternImage(8L)) != null)
+  }
+
+  test("fixture variant laws: twin identical, flip close, salted far") {
+    // motif groups 4m..4m+3; skip groups whose twin (4m+1) is the
+    // corrupt plant (m even)
+    for (m <- Seq(1L, 3L, 5L, 7L, 9L)) {
+      val v0 = PHash.hashesRaw(PHash.makePatternImage(4 * m))
+      val v1 = PHash.hashesRaw(PHash.makePatternImage(4 * m + 1))
+      val v2 = PHash.hashesRaw(PHash.makePatternImage(4 * m + 2))
+      val v3 = PHash.hashesRaw(PHash.makePatternImage(4 * m + 3))
+      assert(v0.toSeq == v1.toSeq, s"group $m: twin must be hash-identical")
+      assert(graft.functions.Hashing.hamming(v0(0), v2(0)) <= 2,
+        s"group $m: one flipped pixel touches ≤2 dHash comparisons")
+      assert(graft.functions.Hashing.hamming(v0(1), v2(1)) <= 9,
+        s"group $m: flip cell + mean-shift-crossed edge cells only")
+      assert(graft.functions.Hashing.hamming(v0(0), v3(0)) > 3,
+        s"group $m: salted variant must be far")
+    }
+  }
+}
