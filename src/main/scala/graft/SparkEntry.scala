@@ -2396,6 +2396,44 @@ object SparkEntry {
       bestProbeMatch(inc, cand)
     }),
 
+    // 20i-c. index LIFECYCLE: build → absorb a day → absorb another →
+    // accretion audit → compact → probe. Every absorb appends one file
+    // generation per bucket; the manifest gauge reads the accretion and
+    // trips the compaction, whose rebuild collapses the index back to
+    // one generation with IDENTICAL probe semantics — the monthly
+    // maintenance loop a daily 100 TB pipeline lives by. Fixture:
+    // docs < 32 reach the index in three installments (evens≡0 mod 4
+    // at build, evens≡2 mod 4 then odds absorbed); docs [32, 48) are
+    // the post-compaction crawl. The oracle replays the probe against
+    // ALL of < 32 — any row the lifecycle lost or duplicated shifts a
+    // verdict. File-count gauges stay spec-gated (DedupSpec): they
+    // depend on write parallelism, verdicts don't.
+    "q149_index_lifecycle" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.where(col("doc_id") < 48)
+      def sigsOf(pred: Column) = MinHashDedup.signatures(
+        docs.where(pred), "doc_id", "text", ShingleK, NumPerms, Bands)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val id = col("doc_id")
+      val tableBase = memoized(s, s"minhash_idx_lifecycle|$dir") {
+        val base = "graft_q149_idx"
+        MinHashDedup.writeIndex(sigsOf(id < 32 && id % 4 === 0), base,
+          numBuckets = 8)
+        MinHashDedup.absorbIndex(sigsOf(id < 32 && id % 4 === 2), base,
+          numBuckets = 8)
+        MinHashDedup.absorbIndex(sigsOf(id < 32 && id % 2 === 1), base,
+          numBuckets = 8)
+        // the audit → compact trigger: two absorbs accreted the layout
+        val gauge = MinHashDedup.indexManifest(s, base, compactAfter = 2)
+        if (!gauge.where(col("needs_compaction")).isEmpty)
+          MinHashDedup.compactIndex(s, base, numBuckets = 8)
+        base
+      }
+      val inc = sigsOf(id >= 32)
+      val cand = MinHashDedup.probePersisted(s, tableBase, inc,
+        NumPerms, minJaccardPct = 5)
+      bestProbeMatch(inc, cand)
+    }),
+
     // 26aj. HTML → Markdown conversion — structure-preserving corpus
     // text (the markdown-corpus convention of recent public pipeline
     // work): headings, emphasis, links and lists carry signal flat
@@ -3759,7 +3797,13 @@ object SparkEntry {
     * band buckets `bk`) — the CTE chain both the q17 within-corpus
     * oracle and the q137 incremental-probe oracle build on.
     */
-  private lazy val minhashCtes: String = {
+  private lazy val minhashCtes: String = minhashCtesN(32)
+
+  /** The minhash CTE chain over `doc_id < limit` — 32 for the q17/q137
+    * fixtures, 48 for q149's lifecycle fixture (whose probe docs live
+    * in [32, 48)).
+    */
+  private def minhashCtesN(limit: Int): String = {
     val np = NumPerms; val bands = Bands; val rpb = np / bands
     val prime = "1099511628211"
     var h = s"xor(CAST(${u64("cbf29ce484222325")} AS HUGEINT), CAST(b AS HUGEINT))"
@@ -3769,7 +3813,7 @@ object SparkEntry {
       s"xor(th, (CAST(${u64("9e3779b97f4a7c15")} AS HUGEINT) * (p+1)) % $m64)")
     s"""d32 AS (
        |  SELECT doc_id, text FROM documents
-       |  WHERE doc_id < 32 AND text IS NOT NULL AND trim(text) <> ''
+       |  WHERE doc_id < $limit AND text IS NOT NULL AND trim(text) <> ''
        |),
        |toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM d32
@@ -3864,6 +3908,50 @@ object SparkEntry {
        |SELECT n.doc_id, bi.best_match, bi.best_jaccard_pct,
        |  bi.best_match IS NULL AS is_novel
        |FROM (SELECT doc_id FROM d32 WHERE doc_id % 2 = 1) n
+       |LEFT JOIN bestid bi ON bi.id_new = n.doc_id""".stripMargin
+  }
+
+  /** q149: the q137 replay over the LIFECYCLE fixture — after build +
+    * two absorbs + compaction the physical index must hold exactly the
+    * docs < 32, so the oracle probes [32, 48) against ALL of < 32 with
+    * the same banded machinery; any row the lifecycle lost or
+    * duplicated would shift a verdict.
+    */
+  private lazy val q149OracleSql: String = {
+    val np = NumPerms
+    s"""WITH ${minhashCtesN(48)},
+       |bkI AS (SELECT doc_id, b, bucket FROM bk WHERE doc_id < 32),
+       |bkN AS (SELECT doc_id, b, bucket FROM bk WHERE doc_id >= 32),
+       |okb AS (
+       |  SELECT b, bucket FROM bkI GROUP BY b, bucket
+       |  HAVING COUNT(*) <= 256
+       |),
+       |cand AS (
+       |  SELECT DISTINCT o.doc_id AS id_new, e.doc_id AS id_idx
+       |  FROM bkN o JOIN okb USING (b, bucket) JOIN bkI e USING (b, bucket)
+       |),
+       |scored AS (
+       |  SELECT c.id_new, c.id_idx,
+       |    CAST((len(list_filter(generate_series(1, $np),
+       |      q -> a.sig[q] = e.sig[q])) * 100) // $np AS BIGINT) AS est
+       |  FROM cand c JOIN sigl a ON a.doc_id = c.id_new
+       |    JOIN sigl e ON e.doc_id = c.id_idx
+       |),
+       |pos AS (SELECT * FROM scored WHERE est >= 5),
+       |best AS (
+       |  SELECT id_new, max(est) AS best_jaccard_pct FROM pos
+       |  GROUP BY id_new
+       |),
+       |bestid AS (
+       |  SELECT s.id_new, bst.best_jaccard_pct,
+       |    min(s.id_idx) AS best_match
+       |  FROM pos s JOIN best bst ON s.id_new = bst.id_new
+       |    AND s.est = bst.best_jaccard_pct
+       |  GROUP BY s.id_new, bst.best_jaccard_pct
+       |)
+       |SELECT n.doc_id, bi.best_match, bi.best_jaccard_pct,
+       |  bi.best_match IS NULL AS is_novel
+       |FROM (SELECT doc_id FROM d32 WHERE doc_id >= 32) n
        |LEFT JOIN bestid bi ON bi.id_new = n.doc_id""".stripMargin
   }
 
@@ -4187,6 +4275,10 @@ object SparkEntry {
     // index, so the oracle is q137's verbatim — the probe result must
     // be layout-invariant
     "q137b_dedup_probe_persisted" -> q137OracleSql,
+    // q149: the lifecycle (build + 2 absorbs + compact) must leave an
+    // index physically equal to "all docs < 32" — the oracle probes
+    // [32,48) against that set with the full minhash replay
+    "q149_index_lifecycle" -> q149OracleSql,
     "q23_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

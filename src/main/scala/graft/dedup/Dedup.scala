@@ -218,20 +218,17 @@ object MinHashDedup {
     // rebuild must be idempotent ACROSS sessions: drop a registered
     // table (which clears its managed location), then clear any
     // UNREGISTERED leftover location a previous session's catalog took
-    // with it — saveAsTable refuses a non-empty managed location
+    // with it — saveAsTable refuses a non-empty managed location. The
+    // sweep goes through the Hadoop FileSystem resolved FROM the
+    // warehouse path, so it works identically on local disk, HDFS, or
+    // an object store (a java.io.File walk would silently no-op on any
+    // non-local filesystem and leave the rebuild refusing).
     def reset(name: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val loc = new java.io.File(wh, name)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(); ()
-        }
-        rm(loc)
-      }
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
     }
     reset(s"${tableBase}_buckets")
     reset(s"${tableBase}_sigs")
@@ -276,6 +273,72 @@ object MinHashDedup {
       .write.mode("append")
       .bucketBy(numBuckets, "id").sortBy("id")
       .format("parquet").saveAsTable(s"${tableBase}_sigs")
+  }
+
+  /** Accretion audit over a persisted index — the lifecycle gauge a
+    * daily absorb pipeline reads before deciding to compact: every
+    * [[absorbIndex]] call appends ONE file set per touched bucket, so
+    * `max_files_per_bucket` ≈ absorb generations since the last
+    * rebuild, and `needs_compaction` trips once it crosses
+    * `compactAfter`. One row per physical table. The listing runs on
+    * the driver through the table's own Hadoop FileSystem (exactly
+    * what Spark's scan planner lists anyway — a manifest query is
+    * O(files), never O(rows)); file COUNTS depend on write parallelism,
+    * so this frame is an operational gauge, not an oracle-comparable
+    * result (DedupSpec gates it; the q149 oracle gates the verdicts).
+    */
+  def indexManifest(spark: org.apache.spark.sql.SparkSession,
+      tableBase: String, compactAfter: Int = 4): DataFrame = {
+    import spark.implicits._
+    val bucketOf = "_(\\d{5})\\.".r
+    val rows = Seq("buckets", "sigs").flatMap { suffix =>
+      val name = s"${tableBase}_$suffix"
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map { f =>
+          val b = bucketOf.findFirstMatchIn(f.getPath.getName)
+            .map(_.group(1).toInt).getOrElse(-1)
+          (name, b, f.getLen)
+        }
+    }
+    rows.toDF("table_name", "bucket_id", "bytes")
+      .groupBy(col("table_name"), col("bucket_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+      .groupBy(col("table_name"))
+      .agg(sum(col("n_files")).as("n_files"),
+        count(lit(1)).as("n_buckets"),
+        max(col("n_files")).as("max_files_per_bucket"),
+        sum(col("bytes")).as("bytes"))
+      .withColumn("needs_compaction",
+        col("max_files_per_bucket") > compactAfter)
+  }
+
+  /** Rewrite an accreted index back to one file generation per bucket —
+    * the compaction [[absorbIndex]]'s per-absorb file sets eventually
+    * demand (the [[graft.etl.PartitionedSink.compact]] posture, applied
+    * to the bucketed two-table layout): reassemble the logical (id,
+    * sig, buckets) rows from the physical tables, snapshot them OFF the
+    * table locations (localCheckpoint — the rebuild is about to drop
+    * those locations), then [[writeIndex]] fresh. Re-absorbed ids
+    * collapse via the set/distinct fold, so compaction is also the
+    * repair step for a violated absorb-once contract. Probe verdicts
+    * are invariant across compaction (DedupSpec + the q149 oracle).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      tableBase: String, numBuckets: Int = 32): Unit = {
+    val b = spark.table(s"${tableBase}_buckets")
+    val sigs = b.groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_set(struct(col("band"), col("bucket")))),
+        x => x.getField("bucket")).as("buckets"))
+      .join(spark.table(s"${tableBase}_sigs").distinct(), "id")
+      .select(col("id"), col("sig"), col("buckets"))
+      .localCheckpoint(true)
+    writeIndex(sigs, tableBase, numBuckets)
   }
 
   /** [[probePairs]] against a [[writeIndex]]-persisted index: identical

@@ -387,6 +387,60 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("manifest reads absorb accretion; compaction collapses it, verdicts invariant") {
+    import spark.implicits._
+    val docs = (0L until 48L).map(i =>
+      (i, s"shared variant ${(i / 2) % 4} sentence alpha beta gamma " +
+        s"delta epsilon zeta eta theta tail $i"))
+      .toDF("doc_id", "text")
+    def sigsOf(cond: org.apache.spark.sql.Column) = MinHashDedup
+      .signatures(docs.where(cond), "doc_id", "text", 3, 128, 16)
+    val base = "graft_test_lifecycle_idx"
+    try {
+      MinHashDedup.writeIndex(sigsOf(col("doc_id") < 12), base, 8)
+      MinHashDedup.absorbIndex(
+        sigsOf(col("doc_id") >= 12 && col("doc_id") < 22), base, 8)
+      MinHashDedup.absorbIndex(
+        sigsOf(col("doc_id") >= 22 && col("doc_id") < 32), base, 8)
+      def gauge() = MinHashDedup.indexManifest(spark, base,
+        compactAfter = 2).collect()
+        .map(r => r.getAs[String]("table_name") -> r).toMap
+      val before = gauge()
+      assert(before.size == 2, "one gauge row per physical table")
+      val bb = before(s"${base}_buckets")
+      // three write generations → a bucket holding rows from each
+      assert(bb.getAs[Long]("max_files_per_bucket") >= 3,
+        s"two absorbs must accrete visible file generations: $bb")
+      assert(bb.getAs[Boolean]("needs_compaction"),
+        "the compactAfter=2 trigger must trip after two absorbs")
+      val probe = sigsOf(col("doc_id") >= 32)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val pre = rows(MinHashDedup.probePersisted(spark, base, probe,
+        128, 5))
+      assert(pre.nonEmpty, "fixture must produce real candidates")
+      MinHashDedup.compactIndex(spark, base, 8)
+      val after = gauge()
+      assert(!after(s"${base}_buckets").getAs[Boolean]("needs_compaction")
+        && !after(s"${base}_sigs").getAs[Boolean]("needs_compaction"),
+        s"compaction must clear the trigger: $after")
+      assert(after(s"${base}_buckets").getAs[Long]("n_files") <
+        bb.getAs[Long]("n_files"),
+        "compaction must reduce the physical file count")
+      assert(rows(MinHashDedup.probePersisted(spark, base, probe,
+        128, 5)) == pre, "compaction must not move a verdict")
+      // compaction also repairs a violated absorb-once contract:
+      // re-absorbing an already-indexed slice then compacting dedups
+      MinHashDedup.absorbIndex(sigsOf(col("doc_id") < 12), base, 8)
+      MinHashDedup.compactIndex(spark, base, 8)
+      assert(rows(MinHashDedup.probePersisted(spark, base, probe,
+        128, 5)) == pre, "re-absorbed rows must collapse, not double")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_buckets")
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_sigs")
+    }
+  }
+
   test("dup-paragraph fraction scores shared paragraphs and gates at 30%") {
     val docs = Seq(
       (1L, "shared para\n\nunique A text here"),   // 11 + 18 chars
