@@ -363,4 +363,83 @@ object StreamDedupProbe {
           .write.mode("append").parquet(outPath)
       }
       .start()
+
+  /** The absorb leg of the streaming loop: append the batch's NOVEL
+    * docs' signatures into the index so the NEXT micro-batch dedups
+    * against them. Replay-safe by construction: ids already present in
+    * the index anti-join away before the append, so a foreachBatch
+    * replay (or an at-least-once source redelivering a batch) absorbs
+    * NOTHING the first run already absorbed — the absorb is effectively
+    * exactly-once even though the engine's contract is at-least-once.
+    * The anti-join reads only the id column of the id-bucketed payload
+    * table (the batch side, small, shuffles into its layout). The
+    * candidate frame snapshots via localCheckpoint BEFORE the append
+    * mutates the very tables it read.
+    */
+  def absorbNovel(tableBase: String,
+      sigs: org.apache.spark.sql.DataFrame,
+      verdicts: org.apache.spark.sql.DataFrame,
+      numBuckets: Int = 32): Unit = {
+    import graft.dedup.MinHashDedup
+    val novel = verdicts.where(col("is_novel"))
+      .select(col("doc_id").as("id"))
+    val existing = sigs.sparkSession
+      .table(s"${tableBase}_sigs").select(col("id"))
+    val toAbsorb = sigs.join(novel, "id")
+      .join(existing, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    if (!toAbsorb.isEmpty)
+      MinHashDedup.absorbIndex(toAbsorb, tableBase, numBuckets)
+  }
+
+  /** [[probeBatch]] + [[absorbNovel]] in one per-micro-batch body: the
+    * verdicts are computed against the index AS OF the batch start
+    * (docs within one batch never match each other — intra-batch pairs
+    * are q17's job, not the gate's), then the novel docs join the index
+    * for every batch after. Self-matches (a replayed doc finding its
+    * own absorbed signature) are excluded from the verdicts so a replay
+    * reports the doc against OTHER index entries, mirroring its first
+    * run wherever the original index decided; the verdict SINK stays
+    * at-least-once (downstream dedups by doc_id — the standard
+    * foreachBatch posture), while the absorb itself is replay-proof.
+    */
+  def probeAndAbsorbBatch(tableBase: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, numPerms: Int = 128,
+      bands: Int = 16, minJaccardPct: Int = 50, maxBucket: Int = 256,
+      numBuckets: Int = 32): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.MinHashDedup
+    val sigs = MinHashDedup.signatures(docs, idCol, textCol, shingleK,
+      numPerms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = MinHashDedup.probePersisted(docs.sparkSession,
+        tableBase, sigs, numPerms, minJaccardPct, maxBucket)
+        .where(col("id_new") =!= col("id_idx"))
+      val verdicts = MinHashDedup.bestMatch(sigs, cand)
+        .localCheckpoint(true)
+      absorbNovel(tableBase, sigs, verdicts, numBuckets)
+      verdicts
+    } finally sigs.unpersist(false)
+  }
+
+  /** Wire a document stream through [[probeAndAbsorbBatch]] — the
+    * CLOSED streaming loop: probe, emit verdicts, absorb novelties, so
+    * the index grows with the stream and near-dups across micro-batches
+    * are caught without any rebuild.
+    */
+  def startWithAbsorb(stream: org.apache.spark.sql.DataFrame,
+      tableBase: String, idCol: String, textCol: String, outPath: String,
+      checkpoint: String, shingleK: Int = 3, numPerms: Int = 128,
+      bands: Int = 16, minJaccardPct: Int = 50, maxBucket: Int = 256,
+      numBuckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        probeAndAbsorbBatch(tableBase, batch, idCol, textCol, shingleK,
+          numPerms, bands, minJaccardPct, maxBucket, numBuckets)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
 }

@@ -455,4 +455,84 @@ class StreamingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_stream_probe_idx_sigs")
     }
   }
+
+  test("streaming absorb closes the loop: novelties join the index, replay-safe") {
+    import graft.dedup.MinHashDedup
+    import graft.streaming.StreamDedupProbe
+    implicit val sql = spark.sqlContext
+    val base = "graft_stream_absorb_idx"
+    // families carry DISJOINT vocabularies, so cross-family Jaccard is
+    // ~0 and within-family ~70% — verdicts separate cleanly at 50.
+    // index = families 0..3 (ids 0..7); batch 1 introduces NOVEL
+    // families 100/101; batch 2 delivers their near-dups (102, 112) —
+    // matchable ONLY via the absorb
+    def doc(i: Long, fam: Long) =
+      (i, (0 until 12).map(k => s"w${fam}x$k").mkString(" ") +
+        s" tail${i % 2}")
+    val corpus = (0L until 8L).map(i => doc(i, (i / 2) % 4))
+    MinHashDedup.writeIndex(
+      MinHashDedup.signatures(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 128, 16), base, 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream_absorb").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamDedupProbe.startWithAbsorb(
+      mem.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+      s"$dir/out", s"$dir/ckpt", minJaccardPct = 50, numBuckets = 8)
+    try {
+      mem.addData(doc(100L, 100), doc(110L, 101))
+      q.processAllAvailable()
+      mem.addData(doc(102L, 100), doc(112L, 101), doc(120L, 102))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(s"$dir/out").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(verdicts(100L) == -1L && verdicts(110L) == -1L,
+        s"batch-1 novelties must verdict novel: $verdicts")
+      assert(verdicts(102L) == 100L,
+        s"batch-2 near-dup must match the ABSORBED batch-1 doc: $verdicts")
+      assert(verdicts(112L) == 110L, s"got $verdicts")
+      assert(verdicts(120L) == -1L, "a fresh variant stays novel")
+      // the physical index is now corpus + the absorbed NOVELTIES only
+      // (102/112 matched, so they never absorb — the gate keeps one
+      // representative per near-dup family)
+      val ids = spark.table(s"${base}_sigs").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == (0L until 8L).toSet ++ Set(100L, 110L, 120L),
+        s"index ids after absorb: $ids")
+      // ≡ a one-shot rebuild over the same union: probe a fresh doc set
+      val probeDocs = Seq(doc(200L, 100), doc(201L, 4)).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          r.getBoolean(3))).toSet
+      val viaAbsorbed = rows(StreamDedupProbe.probeBatch(base, probeDocs,
+        "doc_id", "text", minJaccardPct = 50))
+      MinHashDedup.writeIndex(
+        MinHashDedup.signatures(
+          (corpus ++ Seq(doc(100L, 100), doc(110L, 101), doc(120L, 102)))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", 3, 128, 16), s"${base}_rebuilt", 8)
+      assert(viaAbsorbed == rows(StreamDedupProbe.probeBatch(
+        s"${base}_rebuilt", probeDocs, "doc_id", "text",
+        minJaccardPct = 50)),
+        "absorbed index must probe exactly like a one-shot rebuild")
+      assert(viaAbsorbed.exists(t => t._1 == 200L && t._2 == 100L),
+        "the probe must actually hit an absorbed doc (non-vacuous)")
+      // replay safety: re-running batch 1 (whose docs WERE absorbed and
+      // now verdict novel again under self-exclusion) must be stopped
+      // by the anti-join — nothing re-absorbs
+      val nBefore = spark.table(s"${base}_sigs").count()
+      val replayed = StreamDedupProbe.probeAndAbsorbBatch(base,
+        Seq(doc(100L, 100), doc(110L, 101)).toDF("doc_id", "text"),
+        "doc_id", "text", minJaccardPct = 50, numBuckets = 8).collect()
+      assert(replayed.length == 2)
+      assert(spark.table(s"${base}_sigs").count() == nBefore,
+        "a replayed batch must not re-absorb its docs")
+    } finally {
+      q.stop()
+      for (t <- Seq(s"${base}_buckets", s"${base}_sigs",
+        s"${base}_rebuilt_buckets", s"${base}_rebuilt_sigs"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
