@@ -2286,6 +2286,46 @@ object SparkEntry {
           col("min_partner"))
     }),
 
+    // 22f. IVF + SQ8 composed persisted index — the two classical scale
+    // levers stacked (the "IVF-SQ" layout of public ANN libraries): a
+    // search touches only nProbe cell DIRECTORIES (partition pruning)
+    // and reads 4×-smaller int8 rows inside them; integer ADC scores,
+    // exact re-rank of the top-50, recall@5 vs exact. Build is one
+    // assignment + encode pass, memoized per (session, sf) — the
+    // IvfAnn.buildIndex / Bpe.train protocol. FULL oracle: the IVF
+    // probe replay (q32) composed with the SQ8 code replay (q147).
+    "q151_ivf_sq8" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val queries = e.where(col("vec_id") < 50)
+      val path = memoized(s, s"ivfsq|$dir") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfsq").toString
+        graft.ann.IvfSqAnn.buildIndex(e, p, nCentroids = 16)
+        p
+      }
+      LshAnn.recallAtK(
+        graft.ann.IvfSqAnn.searchIndex(s, path, e, queries, k = 5,
+          nProbe = 8, rerank = 50),
+        BruteForce.topK(e, queries, k = 5), k = 5)
+    }),
+
+    // 27h. image near-dup CLUSTERS — the keep-one-per-cluster key over
+    // q148's pairs (the q37 policy applied to images): dHash Hamming
+    // edges feed the shared hash-min label propagation; undecodable
+    // images are honest singletons. The full oracle replays the hash
+    // bits and folds reachability in a recursive CTE (the q37 mold).
+    // Same pigeonhole shuffle as q148 + the per-round narrow CC joins.
+    "q150_image_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val hashed = docs.select(col("doc_id"),
+        element_at(F.perceptualHashes(
+          F.patternImageFixture(col("doc_id"))), 1).as("dhash"))
+      val pairs = SimHashDedup.hammingPairs(hashed, "doc_id", "dhash",
+        maxHamming = 3)
+      DedupClusters.connectedComponents(docs.select("doc_id"), "doc_id",
+        pairs)
+    }),
+
     // 29s. feed → recrawl composition: the q128 estimator's cold start
     // solved with the channel q134 discovers and q135 parses — URLs
     // whose fetch history is thinner than 3 observations take their
@@ -3502,10 +3542,13 @@ object SparkEntry {
     * assignment is argmax (cos, cid), probes rank (cos DESC, cell), and
     * the candidate ranking replays via [[duckCosine]].
     */
-  private lazy val q32OracleSql: String = {
-    val nc = 16; val np = 8; val nq = 50; val k = 5
-    s"""WITH ${annExactCtes(nq, k)},
-       |fnv AS (
+  /** The IVF replay CTE chain shared by the q32 and q151 oracles:
+    * `fnv` (the centroid-sample hash rank), `cents`, `assigned` (one
+    * Voronoi cell per corpus vector) and `probes` (the nProbe nearest
+    * cells per query) — all cosines via [[duckCosine]], bit-identical.
+    */
+  private def ivfCtes(nc: Int, np: Int, nq: Int): String =
+    s"""fnv AS (
        |  WITH RECURSIVE r AS (
        |    SELECT vec_id, CAST(vec_id AS VARCHAR) AS s, 1 AS pos,
        |      CAST(${u64("cbf29ce484222325")} AS HUGEINT) AS h
@@ -3537,7 +3580,12 @@ object SparkEntry {
        |        ORDER BY ${duckCosine("e.v", "c.c_vec")} DESC, c.cid) AS pr
        |    FROM embd e CROSS JOIN cents c WHERE e.vec_id < $nq)
        |  WHERE pr <= $np
-       |),
+       |)""".stripMargin
+
+  private lazy val q32OracleSql: String = {
+    val nc = 16; val np = 8; val nq = 50; val k = 5
+    s"""WITH ${annExactCtes(nq, k)},
+       |${ivfCtes(nc, np, nq)},
        |approx AS (
        |  SELECT qid, nid FROM (
        |    SELECT p.qid, a.nid,
@@ -3572,13 +3620,14 @@ object SparkEntry {
     * exact-cosine re-rank via [[duckCosine]] — so recall_pct derives
     * from the same approx top-k the engine computed, not assumed.
     */
-  /** q148 oracle: the PHash fixture's hash bits regenerated from pure
-    * doc_id arithmetic (the jitter variant is provably hash-invariant,
-    * so the replay skips it), packed to signed 64-bit via HUGEINT
-    * shifts, then the full Hamming-pair/count fold.
+  /** q148/q150 shared replay: the PHash fixture's hash bits
+    * regenerated from pure doc_id arithmetic (the jitter variant is
+    * provably hash-invariant, so the replay skips it), packed to signed
+    * 64-bit via HUGEINT shifts — the CTE chain ends at `hashes`
+    * (doc_id, dhash, ahash with NULLs at the corrupt plant).
     */
-  private lazy val q148OracleSql: String =
-    s"""WITH d AS (
+  private lazy val phashCtes: String =
+    s"""d AS (
        |  SELECT doc_id, doc_id // 4 AS m, doc_id % 4 AS v FROM documents
        |),
        |g AS (
@@ -3632,7 +3681,11 @@ object SparkEntry {
        |    CASE WHEN d.doc_id % 8 = 1 THEN NULL
        |      ELSE ${toSigned64("ah.ahu")} END AS ahash
        |  FROM d JOIN dh USING (doc_id) JOIN ah USING (doc_id)
-       |),
+       |)""".stripMargin
+
+  /** q148 oracle: [[phashCtes]] + the Hamming-pair/count fold. */
+  private lazy val q148OracleSql: String =
+    s"""WITH $phashCtes,
        |pr AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
@@ -3651,10 +3704,36 @@ object SparkEntry {
        |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
        |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
 
-  private lazy val q147OracleSql: String = {
-    val nq = 50; val k = 5; val rerank = 50
-    s"""WITH ${annExactCtes(nq, k)},
-       |mill AS (
+  /** q150 oracle: [[phashCtes]] + the q37-style recursive reachability
+    * fold over the Hamming-ball edges — component = min reachable id;
+    * undecodable docs (NULL hash) are singletons by construction.
+    */
+  private lazy val q150OracleSql: String =
+    s"""WITH RECURSIVE $phashCtes,
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |  WHERE a.dhash IS NOT NULL AND b.dhash IS NOT NULL
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= 3
+       |),
+       |e AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION SELECT id_b, id_a FROM pr
+       |),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS comp FROM documents
+       |  UNION
+       |  SELECT e.src, reach.comp FROM e JOIN reach ON e.dst = reach.id
+       |)
+       |SELECT id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin
+
+  /** The SQ8 quantization replay shared by the q147 and q151 oracles:
+    * `mill` (exact milli-unit components), `enc` (scale + norm), and
+    * `codes` (the exact int8 codes via subtract-positive-mod division —
+    * the q145 arithmetic).
+    */
+  private lazy val sq8CodeCtes: String =
+    s"""mill AS (
        |  SELECT vec_id,
        |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
        |  FROM embd
@@ -3672,7 +3751,12 @@ object SparkEntry {
        |      ELSE (x*127 - ((x*127 % maxq + maxq) % maxq)) // maxq
        |      END) AS cm
        |  FROM enc
-       |),
+       |)""".stripMargin
+
+  private lazy val q147OracleSql: String = {
+    val nq = 50; val k = 5; val rerank = 50
+    s"""WITH ${annExactCtes(nq, k)},
+       |$sq8CodeCtes,
        |scored AS (
        |  SELECT qid, nid,
        |    (ds - ((ds % nz + nz) % nz)) // nz AS score
@@ -3683,6 +3767,48 @@ object SparkEntry {
        |      CASE WHEN c.nrm < 1 THEN 1 ELSE c.nrm END AS nz
        |    FROM codes c, mill q
        |    WHERE q.vec_id < $nq AND q.vec_id <> c.nid)
+       |),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $rerank
+       |),
+       |approx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT s.qid, s.nid,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY ${duckCosine("q.v", "n.v")} DESC, s.nid) AS rnk
+       |    FROM short s JOIN embd q ON q.vec_id = s.qid
+       |      JOIN embd n ON n.vec_id = s.nid)
+       |  WHERE rnk <= $k
+       |)
+       |${annRecallSelect(k)}""".stripMargin
+  }
+
+  /** q151 oracle: the COMPOSED replay — [[ivfCtes]] confines candidates
+    * to each query's probed cells, [[sq8CodeCtes]] supplies the int8
+    * codes, the integer ADC scores and floor division replay exactly,
+    * and the shortlist re-ranks with [[duckCosine]].
+    */
+  private lazy val q151OracleSql: String = {
+    val nc = 16; val np = 8; val nq = 50; val k = 5; val rerank = 50
+    s"""WITH ${annExactCtes(nq, k)},
+       |${ivfCtes(nc, np, nq)},
+       |$sq8CodeCtes,
+       |scored AS (
+       |  SELECT qid, nid,
+       |    (ds - ((ds % nz + nz) % nz)) // nz AS score
+       |  FROM (
+       |    SELECT p.qid, a.nid,
+       |      CAST(list_sum(list_transform(generate_series(1, len(c.cm)),
+       |        i -> c.cm[i] * q.q[i])) AS BIGINT) * c.maxq * 10000 AS ds,
+       |      CASE WHEN c.nrm < 1 THEN 1 ELSE c.nrm END AS nz
+       |    FROM probes p JOIN assigned a ON a.cell = p.cell
+       |      JOIN codes c ON c.nid = a.nid
+       |      JOIN mill q ON q.vec_id = p.qid
+       |    WHERE p.qid <> a.nid)
        |),
        |short AS (
        |  SELECT qid, nid FROM (
@@ -4268,6 +4394,12 @@ object SparkEntry {
     // Hamming-ball pairs via bit_count(xor), counts and best partner —
     // while Spark genuinely decodes the BMP/PNG containers
     "q148_image_phash" -> q148OracleSql,
+    // q150: the replayed hash bits + recursive reachability — component
+    // = min id reachable through the Hamming ball
+    "q150_image_clusters" -> q150OracleSql,
+    // q151: the IVF probe replay composed with the SQ8 code replay —
+    // candidates confined to probed cells, integer ADC, IEEE re-rank
+    "q151_ivf_sq8" -> q151OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,

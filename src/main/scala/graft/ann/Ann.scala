@@ -104,7 +104,7 @@ object IvfAnn {
   /** Nearest-centroid cell per corpus vector — map-side partial
     * max(struct), only narrow (nid, cell) rows shuffle.
     */
-  private def assign(corpus: DataFrame, cents: DataFrame, idCol: String,
+  private[ann] def assign(corpus: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val assigned = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("n_vec"))
@@ -121,7 +121,7 @@ object IvfAnn {
   /** nProbe nearest cells per query — the query set is small by contract,
     * result broadcast.
     */
-  private def probes(queries: DataFrame, cents: DataFrame, nProbe: Int,
+  private[ann] def probes(queries: DataFrame, cents: DataFrame, nProbe: Int,
       idCol: String, vecCol: String): DataFrame = {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("p_cos").desc, col("cell"))
@@ -368,5 +368,84 @@ object PqAnn {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (cb, codes) = train(corpus, m, ksub, dim, lloydIters, idCol, vecCol)
     search(cb, codes, corpus, queries, k, m, dim, rerank, idCol, vecCol)
+  }
+}
+
+/** IVF + SQ8 — the composed production index (the "IVF-SQ" layout of
+  * public ANN libraries): the corpus partitions into Voronoi cells
+  * (IvfAnn's deterministic hash-sampled centroids) AND each vector is
+  * stored as int8 SQ8 codes (VectorPrep's exact quantization), so a
+  * search touches only nProbe cell directories (partition pruning) and
+  * reads 4×-smaller rows inside them — the two classical scale levers
+  * stacked. Scoring inside the probed cells is the integer ADC of
+  * [[VectorPrep.sq8TopK]]; the top-`rerank` shortlist re-ranks with
+  * true-vector cosine.
+  *
+  * Scale shape: build is one assignment pass + one encode pass, landed
+  * `partitionBy(cell)`; search collects |queries|·nProbe cell ids
+  * (bounded) into a partition filter, broadcasts the milli-unit query
+  * table, and never shuffles the index.
+  */
+object IvfSqAnn {
+
+  /** Persist the composed index: SQ8 rows partitioned by IVF cell,
+    * centroids beside (the [[IvfAnn.buildIndex]] layout with encoded
+    * payloads).
+    */
+  def buildIndex(corpus: DataFrame, path: String, nCentroids: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = IvfAnn.centroids(corpus, nCentroids, idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val cells = IvfAnn.assign(corpus, cents, idCol, vecCol)
+      .select("nid", "cell")
+    VectorPrep.sq8Encode(corpus, idCol, vecCol)
+      .join(cells, "nid")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+  }
+
+  /** Search the persisted composed index. `corpus` is touched only for
+    * the exact re-rank of the |queries|·rerank shortlist (rerank = 0
+    * returns the raw integer-ADC ranking). Output: (qid, nid, rnk).
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 8,
+      rerank: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val pr = IvfAnn.probes(queries, cents, nProbe, idCol, vecCol)
+    val cells = pr.select("cell").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(s"$path/index")
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+    val qm = broadcast(queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), v => floor(v.cast("double") * 1000)
+        .cast("long")).as("q_m"),
+      col(vecCol).as("q_vec")))
+    val prq = broadcast(pr.select("qid", "cell")
+      .join(qm.select("qid", "q_m"), "qid"))
+    val dot = aggregate(
+      zip_with(col("codes"), col("q_m"), (c, q) => c * q),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    val short = idx.join(prq, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("score",
+        VectorPrep.floorDiv(dot * col("max_abs_q") * 10000L,
+          greatest(col("norm_x1e3"), lit(1L))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= math.max(rerank, k))
+    if (rerank <= 0) short.select("qid", "nid", "rnk")
+    else {
+      val wx = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      short.select("qid", "nid")
+        .join(corpus.select(col(idCol).as("nid"),
+          col(vecCol).as("n_vec")), "nid")
+        .join(qm.select("qid", "q_vec"), "qid")
+        .withColumn("cos", F.cosine(col("q_vec"), col("n_vec")))
+        .withColumn("rnk", row_number().over(wx).cast("long"))
+        .where(col("rnk") <= k)
+        .select("qid", "nid", "rnk")
+    }
   }
 }

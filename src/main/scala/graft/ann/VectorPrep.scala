@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
 object VectorPrep {
 
   /** Exact floor(a/b) for BIGINT columns, b > 0. */
-  private def floorDiv(a: org.apache.spark.sql.Column,
+  private[ann] def floorDiv(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column) =
     ((a - pmod(a, b)) / b).cast("long")
 

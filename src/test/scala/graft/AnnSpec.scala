@@ -175,6 +175,31 @@ class AnnSpec extends SparkSpec {
       s"per-query floor breached: ${recall.filter(_._2 < 60).mkString(",")}")
   }
 
+  test("IVF+SQ8 composed index: recall floor, partition pruning, rerank=0 honesty") {
+    import graft.ann.IvfSqAnn
+    val e = Tables(spark, sf0001).embeddings
+    val queries = e.where(col("vec_id") < 50)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfsq_idx").toString + "/ix"
+    IvfSqAnn.buildIndex(e, path, nCentroids = 16)
+    val res = IvfSqAnn.searchIndex(spark, path, e, queries, k = 5,
+      nProbe = 8, rerank = 50)
+    // the scan must read only the probed cell directories
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      s"no partition pruning on the index scan:\n${plan.take(1200)}")
+    val recall = LshAnn.recallAtK(res, BruteForce.topK(e, queries, k = 5),
+      k = 5).as[(Long, Long)].collect()
+    assert(recall.length == 50)
+    val avg = recall.map(_._2).sum / 50.0
+    // bounded below by the IVF cell choice (the SQ8 rank error is
+    // bought back by the 50-deep exact re-rank)
+    assert(avg >= 70.0, s"avg IVF+SQ8 recall $avg below floor")
+    // rerank=0 must return the raw integer-ADC ranking, not throw
+    assert(IvfSqAnn.searchIndex(spark, path, e, queries, k = 5,
+      nProbe = 8, rerank = 0).count() > 0)
+  }
+
   test("SQ8 search without re-rank still ranks by the integer ADC score") {
     import graft.ann.VectorPrep
     // axis-aligned fixture: integer scores are hand-checkable
