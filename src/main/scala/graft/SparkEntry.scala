@@ -2266,11 +2266,17 @@ object SparkEntry {
     // narrow (chunk, id, hash) blocking shuffle, bounded buckets.
     "q148_image_phash" -> ((s, dir) => {
       val hp = F.perceptualHashes(F.patternImageFixture(col("doc_id")))
+      // decode+hash ONCE: the pair blocking and the final report both
+      // read this frame, and at 100 TB of images the decode is the
+      // dominant cost while the hash rows are 24 bytes/doc — so the
+      // narrow frame materializes (localCheckpoint) instead of running
+      // the decode twice
       val hashed = Tables(s, dir).documents
         .select(col("doc_id"), hp.as("_hp"))
         .select(col("doc_id"),
           element_at(col("_hp"), 1).as("dhash"),
           element_at(col("_hp"), 2).as("ahash"))
+        .localCheckpoint(true)
       val pairs = SimHashDedup.hammingPairs(hashed, "doc_id", "dhash",
         maxHamming = 3)
       val sided = pairs.select(explode(array(
@@ -2307,6 +2313,30 @@ object SparkEntry {
         graft.ann.IvfSqAnn.searchIndex(s, path, e, queries, k = 5,
           nProbe = 8, rerank = 50),
         BruteForce.topK(e, queries, k = 5), k = 5)
+    }),
+
+    // 22g. IVF index DRIFT audit — the rebuild-when gauge closing the
+    // ANN lifecycle (q149's manifest posture applied to vectors): the
+    // fixture drifts a fifth of the corpus (vec_id%5=0 vectors reverse
+    // sign — cosine to every build-time centroid negates exactly) and
+    // the audit assigns the CURRENT corpus to the FROZEN centroids,
+    // reporting per-cell population and mean member→centroid cosine
+    // with the stale verdict. Per-vector cosines DECIMAL(18,9)-
+    // quantized before the exact-BIGINT mean. FULL oracle: centroid
+    // sample + assignment + quantized means replayed bit-for-bit.
+    "q152_ivf_drift" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val path = memoized(s, s"ivfsq|$dir") {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfsq").toString
+        graft.ann.IvfSqAnn.buildIndex(e, p, nCentroids = 16)
+        p
+      }
+      val drifted = e.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      IvfAnn.driftAudit(s, path, drifted, "vec_id", "embedding")
     }),
 
     // 27h. image near-dup CLUSTERS — the keep-one-per-cluster key over
@@ -3829,6 +3859,46 @@ object SparkEntry {
        |${annRecallSelect(k)}""".stripMargin
   }
 
+  /** q152 oracle: the frozen-centroid sample ([[ivfCtes]]; assigned/
+    * probes prune away unreferenced), the sign-reversed drift plant,
+    * the assignment of the DRIFTED corpus with the same (cos DESC, cid
+    * DESC) tie-break, DECIMAL(18,9)-quantized cosines, and the exact
+    * floor-division mean with the stale verdict.
+    */
+  private lazy val q152OracleSql: String = {
+    s"""WITH ${annExactCtes(50, 5)},
+       |${ivfCtes(16, 8, 50)},
+       |embd2 AS (
+       |  SELECT vec_id, CASE WHEN vec_id % 5 = 0
+       |    THEN list_transform(v, x -> -x) ELSE v END AS v
+       |  FROM embd
+       |),
+       |a2 AS (
+       |  SELECT nid, cell, cos9 FROM (
+       |    SELECT e.vec_id AS nid, c.cid AS cell,
+       |      CAST(CAST(CAST(${duckCosine("e.v", "c.c_vec")}
+       |        AS DECIMAL(18,9)) AS DECIMAL(28,9))
+       |        * 1000000000 AS HUGEINT) AS cos9,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCosine("e.v", "c.c_vec")} DESC, c.cid DESC)
+       |        AS rn
+       |    FROM embd2 e CROSS JOIN cents c)
+       |  WHERE rn = 1
+       |),
+       |pc AS (
+       |  SELECT cell, COUNT(*) AS nm, SUM(cos9) AS s9 FROM a2 GROUP BY 1
+       |)
+       |SELECT cell, n_members, mean_cos_x1e9,
+       |  (mean_cos_x1e9 IS NULL OR mean_cos_x1e9 < 700000000) AS is_stale
+       |FROM (
+       |  SELECT c.cid AS cell,
+       |    CAST(COALESCE(pc.nm, 0) AS BIGINT) AS n_members,
+       |    CASE WHEN pc.nm IS NULL THEN NULL
+       |      ELSE CAST((pc.s9 - ((pc.s9 % pc.nm + pc.nm) % pc.nm))
+       |        // pc.nm AS BIGINT) END AS mean_cos_x1e9
+       |  FROM cents c LEFT JOIN pc ON pc.cell = c.cid)""".stripMargin
+  }
+
   private lazy val q65OracleSql: String = {
     val m = 8; val ksub = 16; val subDim = 8; val nq = 50; val k = 5
     val rerank = 50
@@ -4400,6 +4470,9 @@ object SparkEntry {
     // q151: the IVF probe replay composed with the SQ8 code replay —
     // candidates confined to probed cells, integer ADC, IEEE re-rank
     "q151_ivf_sq8" -> q151OracleSql,
+    // q152: frozen centroids + drifted-corpus assignment + quantized
+    // per-cell means — the rebuild-when verdicts replay exactly
+    "q152_ivf_drift" -> q152OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,

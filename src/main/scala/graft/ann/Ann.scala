@@ -170,6 +170,49 @@ object IvfAnn {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
   }
 
+  /** Drift audit over a persisted index — the rebuild-when gauge for
+    * the vector side (the [[graft.dedup.MinHashDedup.indexManifest]]
+    * posture applied to ANN): assign the CURRENT corpus to the
+    * centroids frozen at build time and report, per cell, how many
+    * vectors still land there and how well they fit (mean member→
+    * centroid cosine). A corpus that drifted since the build shows
+    * falling means and emptying cells; `is_stale` trips below
+    * `staleBelowX1e9` (cosine × 10⁹) or on an emptied cell.
+    *
+    * Determinism: per-vector cosines quantize to DECIMAL(18,9) ×10⁹
+    * BIGINT BEFORE the sum (merge-order-independent — the Perplexity
+    * NLL trick) and the mean is the exact floor division. Scale shape:
+    * centroids broadcast, one map-side assignment pass, one narrow
+    * (cell, cos9) shuffle. Output: (cell, n_members, mean_cos_x1e9,
+    * is_stale) for EVERY build-time cell.
+    */
+  def driftAudit(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      staleBelowX1e9: Long = 700000000L): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("n_vec"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("nid"))
+      .agg(max(struct(F.cosine(col("n_vec"), col("c_vec")).as("cos"),
+        col("cid").as("cid"))).as("m"))
+      .select(col("m.cid").as("cell"),
+        (col("m.cos").cast(org.apache.spark.sql.types.DecimalType(18, 9))
+          * 1000000000L).cast("long").as("cos9"))
+    val perCell = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sum(col("cos9")).as("sum9"))
+    cents.select(col("cid").as("cell"))
+      .join(perCell, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        when(col("n_members").isNull, lit(null).cast("long"))
+          .otherwise(VectorPrep.floorDiv(col("sum9"), col("n_members")))
+          .as("mean_cos_x1e9"))
+      .withColumn("is_stale", col("mean_cos_x1e9").isNull ||
+        col("mean_cos_x1e9") < staleBelowX1e9)
+  }
+
   /** Search a persisted index. The probe cells collect to the driver
     * (bounded: |queries| × nProbe ids) and become an `isin` partition
     * filter — the scan reads ONLY the probed cell directories.

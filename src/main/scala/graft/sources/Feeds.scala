@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * `EEE, ` day-of-week prefix (stripped without validation, the lenient
   * posture every feed reader takes) followed by `dd MMM yyyy HH:mm:ss`
   * and either the `GMT` zone name or a numeric `+hhmm`/`-hhmm` offset
-  * (honored: the instant converts to UTC, not merely stripped) — and
-  * Atom `<updated>` in ISO `yyyy-MM-dd'T'HH:mm:ss'Z'`. Still outside
-  * the subset: single-digit days (`2 Jun`), two-digit years, and the
-  * obsolete alphabetic zones (`UT`, `EST`) RFC 2822 deprecates — those
-  * degrade to NULL pub_ts, never a throw. A torn or non-feed document
+  * (honored: the instant converts to UTC, not merely stripped); the day
+  * may be one or two digits (`2 Jun` and `02 Jun` both parse — the `d`
+  * pattern). Atom `<updated>` is ISO `yyyy-MM-dd'T'HH:mm:ss'Z'`. Still
+  * outside the subset: two-digit years and the obsolete alphabetic
+  * zones (`UT`, `EST`) RFC 2822 deprecates — those degrade to NULL
+  * pub_ts, never a throw. A torn or non-feed document
   * yields zero rows (`feed_format` NULL routes it). Everything
   * is one map-side pass of codegen'd regex/timestamp built-ins — zero
   * shuffles, zero UDFs; at 100 TB the feed corpus rides the same
@@ -66,8 +67,8 @@ object Feeds {
               "<pubDate>([^<]*)</pubDate>", 1)), lit("")),
             lit("^[A-Za-z]{3},\\s*"), lit(""))
           coalesce(
-            try_to_timestamp(rfc822, lit("dd MMM yyyy HH:mm:ss 'GMT'")),
-            try_to_timestamp(rfc822, lit("dd MMM yyyy HH:mm:ss Z")),
+            try_to_timestamp(rfc822, lit("d MMM yyyy HH:mm:ss 'GMT'")),
+            try_to_timestamp(rfc822, lit("d MMM yyyy HH:mm:ss Z")),
             try_to_timestamp(nullif(regexp_extract(b,
               "<updated>([^<]*)</updated>", 1), lit("")),
               lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))).as("pub_ts")

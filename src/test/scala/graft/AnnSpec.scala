@@ -200,6 +200,31 @@ class AnnSpec extends SparkSpec {
       nProbe = 8, rerank = 0).count() > 0)
   }
 
+  test("IVF drift audit: populations conserve, full reversal trips every cell") {
+    import graft.ann.IvfSqAnn
+    val e = Tables(spark, sf0001).embeddings
+    val n = e.count()
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_drift").toString + "/ix"
+    IvfSqAnn.buildIndex(e, path, nCentroids = 16)
+    // the unchanged corpus: every vector lands somewhere (populations
+    // sum to the corpus) and each centroid's own cell holds it (cos 1)
+    val same = IvfAnn.driftAudit(spark, path, e).collect()
+    assert(same.length == 16)
+    assert(same.map(_.getAs[Long]("n_members")).sum == n)
+    assert(same.forall(r => r.getAs[Long]("n_members") > 0),
+      "the build corpus cannot leave a centroid's own cell empty")
+    // full sign reversal: every member→centroid cosine flips negative,
+    // so every cell's mean drops below any positive threshold
+    val reversed = e.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val drift = IvfAnn.driftAudit(spark, path, reversed).collect()
+    assert(drift.forall(_.getAs[Boolean]("is_stale")),
+      "a fully-reversed corpus must trip every cell")
+    assert(drift.map(_.getAs[Long]("n_members")).sum == n,
+      "drift must move members between cells, never lose them")
+  }
+
   test("SQ8 search without re-rank still ranks by the integer ADC score") {
     import graft.ann.VectorPrep
     // axis-aligned fixture: integer scores are hand-checkable

@@ -61,7 +61,10 @@ class SitemapSpec extends SparkSpec {
       // surrounding whitespace tolerated
       5L -> rss(" Tue, 10 Jun 2003 04:00:00 GMT "),
       // still outside the subset: obsolete alphabetic zone -> NULL
-      6L -> rss("Tue, 10 Jun 2003 04:00:00 EST"))
+      6L -> rss("Tue, 10 Jun 2003 04:00:00 EST"),
+      // single-digit day, with and without the prefix
+      7L -> rss("Mon, 2 Jun 2003 04:00:00 GMT"),
+      8L -> rss("2 Jun 2003 04:00:00 +0000"))
     val out = graft.sources.Feeds.items(
         shapes.toDF("id", "xml"), "id", "xml")
       .select(col("id"), col("pub_ts").cast("string"))
@@ -73,5 +76,7 @@ class SitemapSpec extends SparkSpec {
     assert(out(4L) == "2023-12-31 22:00:00")
     assert(out(5L) == "2003-06-10 04:00:00")
     assert(out(6L) == null)
+    assert(out(7L) == "2003-06-02 04:00:00")
+    assert(out(8L) == "2003-06-02 04:00:00")
   }
 }
