@@ -100,6 +100,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "query side not broadcast")
   }
 
+  test("SQ8 search: milli-unit queries broadcast, corpus never sort-merges pre-window") {
+    val p = plan("q147_sq8_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the query table must ride a broadcast against the code scan:\n" +
+        p.take(1200))
+  }
+
   test("perplexity joins exploded tokens to a broadcast LM, not a shuffle") {
     // The token⋈LM join keys on Zipf-skewed terms; the default broadcastLm
     // path must keep the hot terms out of any exchange.
