@@ -2339,6 +2339,54 @@ object SparkEntry {
       IvfAnn.driftAudit(s, path, drifted, "vec_id", "embedding")
     }),
 
+    // 22h. ANN index MAINTENANCE — q152's audit wired to its ACTION
+    // (the q149 lifecycle posture applied to vectors): build the
+    // composed IVF+SQ8 index over the base three-quarters of the
+    // corpus, ABSORB the day's quarter into the frozen-centroid cell
+    // partitions (append — untouched cells never rewrite, the index
+    // never exchanges), then let the drift audit TRIP the
+    // retrain-and-rebuild on the sign-reversed fifth. Output: the
+    // audit at all three lifecycle points — "absorbed" audits the
+    // index's OWN membership (a lost or doubled absorb row shifts
+    // n_members), "drifted" shows the frozen centroids failing,
+    // "rebuilt" shows retrained centroids healthy again. FULL oracle:
+    // the base-subset and full-drifted centroid samples plus all
+    // three DECIMAL-quantized-mean audits replayed bit-for-bit.
+    "q153_ann_lifecycle" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val drifted = e.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      val (p1, p2) = memoized(s, s"annlc|$dir") {
+        val a = java.nio.file.Files
+          .createTempDirectory("graft_annlc").toString
+        graft.ann.IvfSqAnn.buildIndex(
+          e.where(col("vec_id") % 4 =!= 3), a, nCentroids = 16)
+        graft.ann.IvfSqAnn.absorbVectors(s, a,
+          e.where(col("vec_id") % 4 === 3))
+        val b = java.nio.file.Files
+          .createTempDirectory("graft_annlc_reb").toString
+        // the audit → rebuild trigger (the q149 gauge→compact mold);
+        // rebuilt out of place so the query can audit BOTH states —
+        // maintainIndex is the in-place production wrapper (AnnSpec)
+        if (!IvfAnn.driftAudit(s, a, drifted)
+            .where(col("is_stale")).isEmpty)
+          graft.ann.IvfSqAnn.buildIndex(drifted, b, nCentroids = 16)
+        (a, b)
+      }
+      val members = e.join(
+        s.read.parquet(s"$p1/index").select(col("nid").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      IvfAnn.driftAudit(s, p1, members)
+        .withColumn("stage", lit("absorbed"))
+        .unionByName(IvfAnn.driftAudit(s, p1, drifted)
+          .withColumn("stage", lit("drifted")))
+        .unionByName(IvfAnn.driftAudit(s, p2, drifted)
+          .withColumn("stage", lit("rebuilt")))
+        .select("stage", "cell", "n_members", "mean_cos_x1e9", "is_stale")
+    }),
+
     // 27h. image near-dup CLUSTERS — the keep-one-per-cluster key over
     // q148's pairs (the q37 policy applied to images): dHash Hamming
     // edges feed the shared hash-min label propagation; undecodable
@@ -3577,7 +3625,11 @@ object SparkEntry {
     * Voronoi cell per corpus vector) and `probes` (the nProbe nearest
     * cells per query) — all cosines via [[duckCosine]], bit-identical.
     */
-  private def ivfCtes(nc: Int, np: Int, nq: Int): String =
+  /** The IvfAnn.centroids hash rank (Hashing.hash64 of the id's decimal
+    * string: FNV-1a folded through the splitmix finalizer) replayed for
+    * every embeddings id — shared by [[ivfCtes]] and the q153 oracle.
+    */
+  private def fnvCte: String =
     s"""fnv AS (
        |  WITH RECURSIVE r AS (
        |    SELECT vec_id, CAST(vec_id AS VARCHAR) AS s, 1 AS pos,
@@ -3589,7 +3641,10 @@ object SparkEntry {
        |    FROM r WHERE pos <= length(s)
        |  )
        |  SELECT vec_id, ${toSigned64(splitmixSql("h"))} AS hr FROM r WHERE pos = length(s) + 1
-       |),
+       |)""".stripMargin
+
+  private def ivfCtes(nc: Int, np: Int, nq: Int): String =
+    s"""$fnvCte,
        |cents AS (
        |  SELECT e.vec_id AS cid, e.v AS c_vec
        |  FROM embd e JOIN fnv f ON f.vec_id = e.vec_id
@@ -3897,6 +3952,66 @@ object SparkEntry {
        |      ELSE CAST((pc.s9 - ((pc.s9 % pc.nm + pc.nm) % pc.nm))
        |        // pc.nm AS BIGINT) END AS mean_cos_x1e9
        |  FROM cents c LEFT JOIN pc ON pc.cell = c.cid)""".stripMargin
+  }
+
+  /** q153 oracle: the ANN lifecycle replayed — `cents1` is the hash-rank
+    * centroid sample over the BASE subset (vec_id%4≠3, what buildIndex
+    * saw), `cents2` the sample over the full DRIFTED corpus (what the
+    * rebuild retrained on — the same winning ids, since the rank hashes
+    * the id alone, but drifted values), and the three stages replay
+    * q152's DECIMAL-quantized-mean audit over (full, cents1),
+    * (drifted, cents1), (drifted, cents2). The "absorbed" stage's
+    * corpus is ALL ids only because absorb worked — a row the absorb
+    * lost or doubled shifts that stage's n_members and reddens it.
+    */
+  private lazy val q153OracleSql: String = {
+    def audit(corpus: String, cents: String, stage: String) =
+      s"""SELECT '$stage' AS stage, cell, n_members, mean_cos_x1e9,
+         |  (mean_cos_x1e9 IS NULL OR mean_cos_x1e9 < 700000000) AS is_stale
+         |FROM (
+         |  SELECT c.cid AS cell,
+         |    CAST(COALESCE(pc.nm, 0) AS BIGINT) AS n_members,
+         |    CASE WHEN pc.nm IS NULL THEN NULL
+         |      ELSE CAST((pc.s9 - ((pc.s9 % pc.nm + pc.nm) % pc.nm))
+         |        // pc.nm AS BIGINT) END AS mean_cos_x1e9
+         |  FROM $cents c LEFT JOIN (
+         |    SELECT cell, COUNT(*) AS nm, SUM(cos9) AS s9 FROM (
+         |      SELECT cell, cos9 FROM (
+         |        SELECT e.vec_id AS nid, c.cid AS cell,
+         |          CAST(CAST(CAST(${duckCosine("e.v", "c.c_vec")}
+         |            AS DECIMAL(18,9)) AS DECIMAL(28,9))
+         |            * 1000000000 AS HUGEINT) AS cos9,
+         |          row_number() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${duckCosine("e.v", "c.c_vec")} DESC,
+         |              c.cid DESC) AS rn
+         |        FROM $corpus e CROSS JOIN $cents c)
+         |      WHERE rn = 1)
+         |    GROUP BY 1) pc ON pc.cell = c.cid)""".stripMargin
+    s"""WITH embd AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |$fnvCte,
+       |cents1 AS (
+       |  SELECT e.vec_id AS cid, e.v AS c_vec
+       |  FROM embd e JOIN fnv f ON f.vec_id = e.vec_id
+       |  WHERE e.vec_id % 4 <> 3
+       |  ORDER BY f.hr LIMIT 16
+       |),
+       |drift AS (
+       |  SELECT vec_id, CASE WHEN vec_id % 5 = 0
+       |    THEN list_transform(v, x -> -x) ELSE v END AS v FROM embd
+       |),
+       |cents2 AS (
+       |  SELECT d.vec_id AS cid, d.v AS c_vec
+       |  FROM drift d JOIN fnv f ON f.vec_id = d.vec_id
+       |  ORDER BY f.hr LIMIT 16
+       |)
+       |${audit("embd", "cents1", "absorbed")}
+       |UNION ALL
+       |${audit("drift", "cents1", "drifted")}
+       |UNION ALL
+       |${audit("drift", "cents2", "rebuilt")}""".stripMargin
   }
 
   private lazy val q65OracleSql: String = {
@@ -4473,6 +4588,9 @@ object SparkEntry {
     // q152: frozen centroids + drifted-corpus assignment + quantized
     // per-cell means — the rebuild-when verdicts replay exactly
     "q152_ivf_drift" -> q152OracleSql,
+    // q153: the lifecycle's three audits replayed — base-subset and
+    // drifted-corpus centroid samples, membership via the absorbed index
+    "q153_ann_lifecycle" -> q153OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,

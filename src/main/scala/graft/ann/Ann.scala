@@ -446,6 +446,51 @@ object IvfSqAnn {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
   }
 
+  /** Absorb new vectors into a persisted [[buildIndex]] index — the
+    * daily-append step closing the ANN lifecycle (the
+    * [[graft.dedup.MinHashDedup.absorbIndex]] posture applied to
+    * vectors): assign the batch to the FROZEN build-time centroids
+    * (broadcast, map-side), SQ8-encode, and APPEND into the existing
+    * `partitionBy(cell)` layout. Existing cell directories gain one
+    * file set; untouched cells are never rewritten and the index side
+    * never exchanges — at 100 TB a day's batch costs one batch-sized
+    * pass, not an index rewrite. Frozen centroids keep probe pruning
+    * valid for every absorbed row; [[IvfAnn.driftAudit]] is the gauge
+    * that says when freezing stopped being a good idea, and
+    * [[maintainIndex]] the rebuild that answers it. The caller absorbs
+    * each id at most once (the index is a set keyed by nid — the
+    * absorbIndex contract).
+    */
+  def absorbVectors(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cells = IvfAnn.assign(newVectors, cents, idCol, vecCol)
+      .select("nid", "cell")
+    VectorPrep.sq8Encode(newVectors, idCol, vecCol)
+      .join(cells, "nid")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/index")
+  }
+
+  /** Audit-then-rebuild maintenance — the q149 gauge→compaction loop
+    * applied to the vector index: run [[IvfAnn.driftAudit]] of the
+    * CURRENT corpus against the frozen centroids; if any cell is stale
+    * (emptied, or mean member→centroid cosine below the floor), retrain
+    * centroids from the current corpus and rebuild the index in place.
+    * Returns whether the rebuild fired. Idempotent: a healthy index is
+    * never touched, and a rebuilt index re-audits healthy (the spec
+    * pins both). Absorb daily, maintain on the audit's cadence.
+    */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, nCentroids: Int = 64,
+      staleBelowX1e9: Long = 700000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val stale = !IvfAnn.driftAudit(spark, path, corpus, idCol, vecCol,
+      staleBelowX1e9).where(col("is_stale")).isEmpty
+    if (stale) buildIndex(corpus, path, nCentroids, idCol, vecCol)
+    stale
+  }
+
   /** Search the persisted composed index. `corpus` is touched only for
     * the exact re-rank of the |queries|·rerank shortlist (rerank = 0
     * returns the raw integer-ADC ranking). Output: (qid, nid, rnk).

@@ -225,6 +225,102 @@ class AnnSpec extends SparkSpec {
       "drift must move members between cells, never lose them")
   }
 
+  test("absorbVectors appends into frozen cells: old files intact, stored assignment exact") {
+    import graft.ann.IvfSqAnn
+    val e = Tables(spark, sf0001).embeddings
+    val base = e.where(col("vec_id") % 4 =!= 3)
+    val day = e.where(col("vec_id") % 4 === 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_absorb").toString + "/ix"
+    IvfSqAnn.buildIndex(base, path, nCentroids = 16)
+    def partFiles(): Set[String] = {
+      val root = new java.io.File(s"$path/index")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(_.getPath).filter(_.contains("part-")).toSet
+    }
+    val before = partFiles()
+    IvfSqAnn.absorbVectors(spark, path, day)
+    // append-only: every pre-absorb file generation survives untouched
+    assert(before.subsetOf(partFiles()),
+      "absorb rewrote existing cell files — the append contract is broken")
+    // membership: the absorbed index holds exactly base ∪ day, once each
+    val stored = spark.read.parquet(s"$path/index")
+      .select(col("nid"), col("cell"))
+    assert(stored.groupBy("nid").count().where(col("count") > 1).isEmpty,
+      "absorb duplicated an id")
+    assert(stored.count() == e.count())
+    // the day batch's STORED cells equal the frozen-centroid assignment
+    val cents = spark.read.parquet(s"$path/centroids")
+    val expected = day.select(col("vec_id").as("nid"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("nid"))
+      .agg(max(struct(graft.functions.F.cosine(col("embedding"), col("c_vec"))
+        .as("cos"), col("cid").as("cid"))).as("m"))
+      .select(col("nid"), col("m.cid").as("cell"))
+    assert(stored.join(expected, Seq("nid"))
+      .where(stored("cell") =!= expected("cell")).isEmpty,
+      "an absorbed row landed in a cell the frozen centroids don't assign")
+  }
+
+  test("absorb ≡ rebuild where recall-equivalent: full-probe searches agree exactly") {
+    import graft.ann.IvfSqAnn
+    // with nProbe = nCentroids both indexes degenerate to exact search,
+    // so the absorbed index (frozen base-sample centroids) and a full
+    // rebuild (full-corpus-sample centroids) must return IDENTICAL
+    // top-k — the lifecycle changes layout, never results
+    val e = Tables(spark, sf0001).embeddings
+    val queries = e.where(col("vec_id") < 20)
+    val pa = java.nio.file.Files
+      .createTempDirectory("ivf_lc_a").toString + "/ix"
+    IvfSqAnn.buildIndex(e.where(col("vec_id") % 4 =!= 3), pa, nCentroids = 16)
+    IvfSqAnn.absorbVectors(spark, pa, e.where(col("vec_id") % 4 === 3))
+    val pb = java.nio.file.Files
+      .createTempDirectory("ivf_lc_b").toString + "/ix"
+    IvfSqAnn.buildIndex(e, pb, nCentroids = 16)
+    val a = IvfSqAnn.searchIndex(spark, pa, e, queries, k = 5,
+      nProbe = 16, rerank = 50).as[(Long, Long, Long)].collect().toSet
+    val b = IvfSqAnn.searchIndex(spark, pb, e, queries, k = 5,
+      nProbe = 16, rerank = 50).as[(Long, Long, Long)].collect().toSet
+    val exact = BruteForce.topK(e, queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "absorbed and rebuilt indexes diverge under full probing")
+    assert(a == exact, "full-probe lifecycle search is not exact")
+  }
+
+  test("maintainIndex: healthy no-op, stale rebuild in place, rebuilt re-audits healthy") {
+    import graft.ann.IvfSqAnn
+    // sixteen orthogonal axis vectors and nCentroids = 16: the centroid
+    // sample IS the corpus, every vector self-assigns at cosine 1, so
+    // the healthy audit is exactly clean; after a full reversal every
+    // best cosine is ≤ 0 (self → −1, cross → 0) and every cell trips
+    val e = (0L until 16L).map { i =>
+      val v = Array.fill(16)(0f)
+      v(i.toInt) = 1f
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_maint").toString + "/ix"
+    IvfSqAnn.buildIndex(e, path, nCentroids = 16)
+    val centsBefore = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.getLong(0)).toSet
+    // healthy corpus: audit clean, nothing rebuilt
+    assert(!IvfSqAnn.maintainIndex(spark, path, e, nCentroids = 16),
+      "a healthy index must not rebuild")
+    assert(spark.read.parquet(s"$path/centroids")
+      .collect().map(_.getLong(0)).toSet == centsBefore)
+    // full reversal trips every cell → rebuild fires in place
+    val reversed = e.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    assert(IvfSqAnn.maintainIndex(spark, path, reversed, nCentroids = 16),
+      "a fully-reversed corpus must trip the rebuild")
+    // the rebuilt index re-audits healthy against the corpus it trained
+    // on: reversed members vs reversed centroids restore the ≥0.95 means
+    val after = IvfAnn.driftAudit(spark, path, reversed).collect()
+    assert(after.length == 16 && after.forall(!_.getAs[Boolean]("is_stale")),
+      "the rebuild did not restore a healthy audit")
+  }
+
   test("SQ8 search without re-rank still ranks by the integer ADC score") {
     import graft.ann.VectorPrep
     // axis-aligned fixture: integer scores are hand-checkable
