@@ -2387,6 +2387,40 @@ object SparkEntry {
         .select("stage", "cell", "n_members", "mean_cos_x1e9", "is_stale")
     }),
 
+    // 27i. audio CONTENT near-dup — the q148 economics for sound:
+    // decode the PCM data chunk the engine assembled, hash the energy
+    // contour (65 boxes, bit = exact cross-multiplied mean comparison —
+    // gain-invariant BY CONSTRUCTION), pair via the SAME pigeonhole
+    // Hamming blocking as text SimHash and image pHash. Fixture: 4-doc
+    // motif groups — a base contour, a ×2 uniform-GAIN twin
+    // (fingerprint-identical), a one-box +17 bump (Hamming ≤ 2), an
+    // independently salted far contour — with corrupt bytes at doc%8=1
+    // (NULL, observable as missing twins). Levels are murmur64 & 63 ==
+    // DuckDB hash() parity, so the FULL oracle regenerates every
+    // fingerprint bit, the Hamming pairs, and the counts while Spark
+    // genuinely walks the RIFF containers and decodes 16-bit frames.
+    // One map-side decode+hash pass, the narrow blocking shuffle.
+    "q154_audio_fingerprint" -> ((s, dir) => {
+      val hashed = Tables(s, dir).documents
+        .select(col("doc_id"),
+          F.audioFingerprint(F.fpWavFixture(col("doc_id"))).as("afp"))
+        .localCheckpoint(true)
+      val pairs = SimHashDedup.hammingPairs(hashed, "doc_id", "afp",
+        maxHamming = 3)
+      val sided = pairs.select(explode(array(
+          struct(col("id_a").as("doc_id"), col("id_b").as("partner")),
+          struct(col("id_b").as("doc_id"), col("id_a").as("partner"))))
+          .as("s"))
+        .select(col("s.doc_id"), col("s.partner"))
+      val agg = sided.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("partner")).as("min_partner"))
+      hashed.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("afp"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("min_partner"))
+    }),
+
     // 27h. image near-dup CLUSTERS — the keep-one-per-cluster key over
     // q148's pairs (the q37 policy applied to images): dHash Hamming
     // edges feed the shared hash-min label propagation; undecodable
@@ -3789,6 +3823,63 @@ object SparkEntry {
        |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
        |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** q154 oracle: the audio fingerprint replayed from doc_id arithmetic
+    * — levels hash(131m + salt + k) % 64 (+17 at the v2 bump box), bit
+    * k = lvl(k+1) > lvl(k) (the engine's exact cross-multiplied mean
+    * comparison reduces to level ordering because every box holds equal
+    * frame counts of the constant amplitude (37·lvl + 5)·gain — and the
+    * ×2 gain twin cancels BY CONSTRUCTION), HUGEINT bit packing, then
+    * the same Hamming-pair/count fold as q148. The all-pairs Hamming
+    * join replays hammingPairs' semantics exactly at oracle SFs; the
+    * engine's ≤1024-per-16-bit-chunk occupancy cap is a documented
+    * scale guard that cannot bind below ~10⁶ docs per chunk value.
+    */
+  private lazy val q154OracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id // 4 AS m, doc_id % 4 AS v FROM documents
+       |),
+       |lv AS (
+       |  SELECT d.doc_id, CAST(k.range AS BIGINT) AS k,
+       |    CAST(hash(131*d.m
+       |        + CASE WHEN d.v = 3 THEN 424243 ELSE 0 END
+       |        + k.range) % 64 AS BIGINT)
+       |      + CASE WHEN d.v = 2 AND k.range = d.m % 65
+       |        THEN 17 ELSE 0 END AS lvl
+       |  FROM d, range(65) k
+       |),
+       |fp AS (
+       |  SELECT l.doc_id,
+       |    SUM(CASE WHEN r.lvl > l.lvl
+       |      THEN CAST(1 AS HUGEINT) << CAST(l.k AS INTEGER)
+       |      ELSE CAST(0 AS HUGEINT) END) AS fpu
+       |  FROM lv l JOIN lv r ON r.doc_id = l.doc_id AND r.k = l.k + 1
+       |  WHERE l.k < 64
+       |  GROUP BY 1
+       |),
+       |hashes AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 8 = 1 THEN NULL
+       |      ELSE ${toSigned64("fp.fpu")} END AS afp
+       |  FROM d JOIN fp USING (doc_id)
+       |),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |  WHERE a.afp IS NOT NULL AND b.afp IS NOT NULL
+       |    AND bit_count(xor(a.afp, b.afp)) <= 3
+       |),
+       |sided AS (
+       |  SELECT id_a AS doc_id, id_b AS partner FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr
+       |),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_dups, MIN(partner) AS min_partner
+       |  FROM sided GROUP BY 1
+       |)
+       |SELECT h.doc_id, h.afp,
+       |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
+       |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** q150 oracle: [[phashCtes]] + the q37-style recursive reachability
     * fold over the Hamming-ball edges — component = min reachable id;
     * undecodable docs (NULL hash) are singletons by construction.
@@ -4591,6 +4682,10 @@ object SparkEntry {
     // q153: the lifecycle's three audits replayed — base-subset and
     // drifted-corpus centroid samples, membership via the absorbed index
     "q153_ann_lifecycle" -> q153OracleSql,
+    // q154: every audio fingerprint bit regenerated from doc_id
+    // arithmetic (levels = hash % 64) while Spark walks real RIFF
+    // containers; Hamming pairs + counts like q148
+    "q154_audio_fingerprint" -> q154OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,

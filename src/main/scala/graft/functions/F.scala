@@ -269,6 +269,26 @@ object F {
       ArrayType(LongType, containsNull = false), "wavMeta", Seq(ex(blob)),
       Nil, propagateNull = true, returnNullable = true))
 
+  /** q154 fixture encoder: a deterministic per-doc PCM WAV whose energy
+    * contour the oracle replays from doc_id arithmetic
+    * ([[graft.multimodal.AudioFingerprint.makeFpWav]]).
+    */
+  def fpWavFixture(docId: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.AudioFingerprint.type],
+      BinaryType, "makeFpWav", Seq(ex(docId)), Nil, propagateNull = true,
+      returnNullable = false))
+
+  /** 64-bit audio energy-contour fingerprint over a PCM WAV blob —
+    * exactly gain-invariant (cross-multiplied mean comparison), NULL on
+    * corrupt/non-integer-PCM bytes ([[graft.multimodal
+    * .AudioFingerprint.fingerprint]]). StaticInvoke — whole-stage
+    * codegen, never a UDF.
+    */
+  def audioFingerprint(blob: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.AudioFingerprint.type],
+      LongType, "fingerprint", Seq(ex(blob)), Nil, propagateNull = true,
+      returnNullable = true))
+
   /** q123 fixture encoder: a deterministic per-doc PDF (uncompressed /
     * FlateDecode / encrypted / torn / no-text by doc_id arithmetic) whose
     * expected extraction the oracle recomputes (graft.sources.PdfText

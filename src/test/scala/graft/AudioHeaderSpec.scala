@@ -61,4 +61,62 @@ class AudioHeaderSpec extends SparkSpec {
     val ragged = wav(fmt(1, 2, 8000, 16) ++ data(5))
     assert(meta(ragged).isEmpty)
   }
+
+  // ---- AudioFingerprint (q154) -----------------------------------------
+
+  import graft.multimodal.AudioFingerprint
+
+  private def pcm16(samples: Seq[Int], ch: Int = 1): Array[Byte] = {
+    val body = samples.flatMap(s => Seq.fill(ch)(le16(s & 0xffff).toSeq)
+      .flatten).toArray
+    wav(fmt(1, ch, 8000, 16) ++ "data".getBytes ++
+      le32(samples.length * 2 * ch) ++ body)
+  }
+
+  private def fp(b: Array[Byte]): Option[Long] =
+    Option(AudioFingerprint.fingerprint(b)).map(_.longValue)
+
+  test("fingerprint is EXACTLY invariant under uniform integer gain") {
+    val samples = (0 until 260).map(i => (i * i * 7) % 123 - 61)
+    val a = fp(pcm16(samples))
+    val b = fp(pcm16(samples.map(_ * 3)))
+    assert(a.nonEmpty && a == b,
+      "a x3 gain moved the energy contour — cross-multiplication broke")
+  }
+
+  test("8-bit unsigned and 16-bit signed of the same amplitudes agree") {
+    val samples = (0 until 130).map(i => (i * 31) % 200 - 100)
+    val b8body = samples.map(s => ((s + 128) & 0xff).toByte).toArray
+    val b8 = wav(fmt(1, 1, 8000, 8) ++ "data".getBytes ++
+      le32(samples.length) ++ b8body)
+    assert(fp(b8).nonEmpty && fp(b8) == fp(pcm16(samples)))
+  }
+
+  test("stereo mixes by channel sum: duplicating the channel is a pure gain") {
+    val samples = (0 until 195).map(i => (i * 17) % 90 - 45)
+    assert(fp(pcm16(samples, ch = 2)) == fp(pcm16(samples, ch = 1)))
+  }
+
+  test("non-integer-PCM and corrupt bytes are NULL, never a throw") {
+    // IEEE float (code 3) parses as a header but is not fingerprintable
+    val f32 = wav(fmt(3, 1, 8000, 32) ++ data(8))
+    assert(fp(f32).isEmpty)
+    assert(fp("JUNKJUNKJUNKJUNK".getBytes).isEmpty)
+    assert(fp(null).isEmpty)
+    assert(fp(pcm16(Seq.empty)).isEmpty, "zero frames cannot contour")
+  }
+
+  test("q154 fixture contract: gain twin identical, bump within the Hamming ball, far far") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (m <- Seq(1L, 3L, 5L)) { // odd motifs: the v1 twin is not corrupt
+      val v0 = fp(AudioFingerprint.makeFpWav(4 * m)).get
+      val v1 = fp(AudioFingerprint.makeFpWav(4 * m + 1)).get
+      val v2 = fp(AudioFingerprint.makeFpWav(4 * m + 2)).get
+      val v3 = fp(AudioFingerprint.makeFpWav(4 * m + 3)).get
+      assert(v0 == v1, s"motif $m: the x2 gain twin drifted")
+      assert(ham(v0, v2) <= 2, s"motif $m: the bump left the Hamming ball")
+      assert(ham(v0, v3) > 3, s"motif $m: the salted contour is too near")
+    }
+    assert(fp(AudioFingerprint.makeFpWav(9L)).isEmpty, "doc%8==1 is corrupt")
+  }
 }
