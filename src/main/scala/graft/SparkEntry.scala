@@ -1158,15 +1158,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
     }),
 
-    // 35. multimodal frame-sampling plumbing (stub decode, real batch
-    // shape) — frame arithmetic is oracle-checkable from octet lengths
+    // 35. REAL frame sampling — the last multimodal stub retired: the
+    // engine genuinely walks the APNG animation it assembled (acTL /
+    // fcTL / fdAT chunk walk, per-chunk CRC-32, one zlib stream per
+    // frame, unfilter) and keeps every 2nd frame up to 4, emitting
+    // decoded RGB bytes. The oracle replays the frame-count arithmetic
+    // (2–4 frames per clip, 9×8×3 bytes each); corrupt clips yield 0
+    // frames, observably. mapPartitions batch shape, bounded explosion.
     "q35_frame_sample" -> ((s, dir) => {
-      val blobs = BinaryPipeline.withBlob(Tables(s, dir).documents, "doc_id", "text")
-      BinaryPipeline.extractFrames(s, blobs, frameSize = 64, maxFrames = 4)
+      val docs = Tables(s, dir).documents
+      val blobs = docs.select(col("doc_id"),
+        F.clipFixture(col("doc_id")).as("blob"))
+      val f = BinaryPipeline.extractFrames(s, blobs, every = 2, maxFrames = 4)
         .toDF()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_bytes"))).as("total_frame_bytes"))
+      docs.select("doc_id").join(f, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          coalesce(col("total_frame_bytes"), lit(0L))
+            .as("total_frame_bytes"))
     }),
 
     // 27c. REAL image-container header decode (PNG IHDR / JPEG SOF marker
@@ -2417,6 +2429,63 @@ object SparkEntry {
           min(col("partner")).as("min_partner"))
       hashed.join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"), col("afp"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("min_partner"))
+    }),
+
+    // 27j. clip near-dup — frames → q148 hashes → near-dup CLIP
+    // detection: decode every APNG frame (real walk), dHash each with
+    // the still-image construction, block candidate clips on the
+    // frame-0 hash (the shared pigeonhole machinery — complete, since
+    // a clip pair needs EVERY frame within the ball), then verify
+    // equal frame counts and max aligned-frame Hamming ≤ 3. Output per
+    // doc: frame count, the xor-fold clip signature (pins every frame
+    // hash), dup count, best partner; corrupt clips are honest NULLs.
+    // FULL oracle: every frame hash bit replays from doc_id arithmetic
+    // (murmur64 parity == DuckDB hash()) while Spark genuinely decodes
+    // the animation containers it assembled. Scale shape: one decode
+    // pass into a ~40-byte/doc hash frame (localCheckpoint), the
+    // narrow blocking shuffle, frame-aligned verify joins on candidate
+    // pairs only.
+    "q155_clip_neardup" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val fh = docs.select(col("doc_id"),
+          F.clipFrameHashes(F.clipFixture(col("doc_id"))).as("fhs"))
+        .localCheckpoint(true)
+      val flat = fh.where(col("fhs").isNotNull)
+        .select(col("doc_id"), size(col("fhs")).cast("long").as("nf"),
+          posexplode(col("fhs")).as(Seq("frame_no", "dhash")))
+      val f0 = flat.where(col("frame_no") === 0)
+        .select(col("doc_id"), col("dhash"))
+      val cand = SimHashDedup.hammingPairs(f0, "doc_id", "dhash",
+        maxHamming = 3)
+      val fa = flat.select(col("doc_id").as("id_a"), col("nf").as("nf_a"),
+        col("frame_no"), col("dhash").as("h_a"))
+      val fb = flat.select(col("doc_id").as("id_b"), col("nf").as("nf_b"),
+        col("frame_no"), col("dhash").as("h_b"))
+      val pairs = cand.join(fa, Seq("id_a")).join(fb, Seq("id_b", "frame_no"))
+        .where(col("nf_a") === col("nf_b"))
+        .groupBy(col("id_a"), col("id_b"), col("nf_a"))
+        .agg(max(expr("bit_count(h_a ^ h_b)")).as("max_ham"),
+          count(lit(1)).as("n_aligned"))
+        .where(col("max_ham") <= 3 && col("n_aligned") === col("nf_a"))
+        .select("id_a", "id_b")
+      val sided = pairs.select(explode(array(
+          struct(col("id_a").as("doc_id"), col("id_b").as("partner")),
+          struct(col("id_b").as("doc_id"), col("id_a").as("partner"))))
+          .as("s"))
+        .select(col("s.doc_id"), col("s.partner"))
+      val agg = sided.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("partner")).as("min_partner"))
+      fh.select(col("doc_id"),
+          when(col("fhs").isNotNull, size(col("fhs")).cast("long"))
+            .as("n_frames"),
+          when(col("fhs").isNotNull,
+            aggregate(col("fhs"), lit(0L), (a, x) => a.bitwiseXOR(x)))
+            .as("clip_sig"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"), col("clip_sig"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"),
           col("min_partner"))
     }),
@@ -3880,6 +3949,80 @@ object SparkEntry {
        |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
        |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** q155 oracle: every frame's dHash bits regenerated from the clip
+    * fixture arithmetic (pattern bit = hash(521m + salt + 73fr +
+    * 9y + x) parity, one flipped pixel in the v2 frame — the jitter
+    * twin is provably hash-invariant so the replay skips it), packed
+    * per (doc, frame), xor-folded to the clip signature, and paired by
+    * the engine's exact rule: equal frame counts and EVERY aligned
+    * frame within Hamming 3 (frame-0 blocking is complete for that
+    * conjunction). Corrupt clips (doc%8==1) are NULL rows.
+    */
+  private lazy val q155OracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id // 4 AS m, doc_id % 4 AS v,
+       |    2 + (doc_id // 4) % 3 AS nf
+       |  FROM documents
+       |),
+       |frames AS (
+       |  SELECT d.*, CAST(f.range AS BIGINT) AS fr
+       |  FROM d, range(4) f WHERE f.range < d.nf
+       |),
+       |g AS (
+       |  SELECT CAST(a.range AS BIGINT) AS x, CAST(b.range AS BIGINT) AS y
+       |  FROM range(9) a, range(8) b
+       |),
+       |bits AS (
+       |  SELECT doc_id, fr, x, y,
+       |    CASE WHEN v = 2 AND fr = m % nf AND x = m % 7 AND y = m % 8
+       |      THEN 1 - pb ELSE pb END AS b
+       |  FROM (
+       |    SELECT t.doc_id, t.m, t.v, t.nf, t.fr, g.x, g.y,
+       |      CAST(hash(521*t.m + CASE WHEN t.v = 3 THEN 777781 ELSE 0 END
+       |        + 73*t.fr + 9*g.y + g.x) % 2 AS BIGINT) AS pb
+       |    FROM frames t, g)
+       |),
+       |dh AS (
+       |  SELECT l.doc_id, l.fr,
+       |    SUM(CASE WHEN r.b = 1 AND l.b = 0
+       |      THEN CAST(1 AS HUGEINT) << CAST(l.y*8 + l.x AS INTEGER)
+       |      ELSE CAST(0 AS HUGEINT) END) AS dhu
+       |  FROM bits l JOIN bits r
+       |    ON r.doc_id = l.doc_id AND r.fr = l.fr AND r.y = l.y
+       |      AND r.x = l.x + 1
+       |  WHERE l.x < 8
+       |  GROUP BY 1, 2
+       |),
+       |fh AS (
+       |  SELECT doc_id, fr, ${toSigned64("dhu")} AS dhash
+       |  FROM dh WHERE doc_id % 8 <> 1
+       |),
+       |nfv AS (
+       |  SELECT doc_id, COUNT(*) AS nf, bit_xor(dhash) AS clip_sig
+       |  FROM fh GROUP BY 1
+       |),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM nfv a JOIN nfv b ON a.doc_id < b.doc_id AND a.nf = b.nf
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM fh x JOIN fh y
+       |      ON y.doc_id = b.doc_id AND y.fr = x.fr
+       |    WHERE x.doc_id = a.doc_id
+       |      AND bit_count(xor(x.dhash, y.dhash)) > 3)
+       |),
+       |sided AS (
+       |  SELECT id_a AS doc_id, id_b AS partner FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr
+       |),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_dups, MIN(partner) AS min_partner
+       |  FROM sided GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(n.nf AS BIGINT) AS n_frames, n.clip_sig,
+       |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
+       |FROM d LEFT JOIN nfv n USING (doc_id)
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** q150 oracle: [[phashCtes]] + the q37-style recursive reachability
     * fold over the Hamming-ball edges — component = min reachable id;
     * undecodable docs (NULL hash) are singletons by construction.
@@ -4686,6 +4829,9 @@ object SparkEntry {
     // arithmetic (levels = hash % 64) while Spark walks real RIFF
     // containers; Hamming pairs + counts like q148
     "q154_audio_fingerprint" -> q154OracleSql,
+    // q155: every frame hash replayed from arithmetic while Spark
+    // decodes real APNG animations; all-frames-aligned pairing rule
+    "q155_clip_neardup" -> q155OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,
@@ -4811,10 +4957,15 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    // q35: real APNG frame walk — every-2nd-of-nf sampling and the
+    // 9x8x3-byte decoded frame size replay from doc_id arithmetic
     "q35_frame_sample" ->
       """SELECT doc_id,
-        | least(4, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)) AS n_frames,
-        | least(256, CAST(octet_length(encode(text)) AS BIGINT)) AS total_frame_bytes
+        | CASE WHEN doc_id % 8 = 1 THEN 0
+        |   ELSE least(4, (2 + (doc_id // 4) % 3 + 1) // 2) END AS n_frames,
+        | CASE WHEN doc_id % 8 = 1 THEN 0
+        |   ELSE least(4, (2 + (doc_id // 4) % 3 + 1) // 2) * 216 END
+        |   AS total_frame_bytes
         |FROM documents""".stripMargin,
     // q91: the identical blocked window replayed in SQL — same
     // (key, id) tie-break, same lead offsets, same levenshtein verify

@@ -243,6 +243,26 @@ object F {
       ArrayType(LongType, containsNull = false), "hashes", Seq(ex(blob)),
       Nil, propagateNull = true, returnNullable = true))
 
+  /** q35/q155 fixture encoder: a deterministic per-doc APNG clip (2–4
+    * pattern frames, all five scanline filters, corrupt bytes at
+    * doc%8==1) whose frame hashes the oracle recomputes
+    * ([[graft.multimodal.PHash.makeClip]]).
+    */
+  def clipFixture(docId: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.PHash.type], BinaryType,
+      "makeClip", Seq(ex(docId)), Nil, propagateNull = true,
+      returnNullable = false))
+
+  /** Per-frame dHashes of an APNG clip (real frame walk: chunk CRC
+    * audit, per-frame zlib inflate, unfilter, the q148 dHash per
+    * frame), NULL on undecodable bytes ([[graft.multimodal.PHash
+    * .frameHashes]]). StaticInvoke — whole-stage codegen, never a UDF.
+    */
+  def clipFrameHashes(blob: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.PHash.type],
+      ArrayType(LongType, containsNull = false), "frameHashes",
+      Seq(ex(blob)), Nil, propagateNull = true, returnNullable = true))
+
   /** Unicode NFC canonical form ([[UnicodeNorm.nfc]] — UAX #15): the
     * normalization every content hash should see first.
     */

@@ -94,23 +94,43 @@ object PHash {
     if (h == null) null else new GenericArrayData(h)
   }
 
+  /** dHash of a decoded image — factored out so the APNG clip path
+    * ([[frameHashes]]) hashes each frame with EXACTLY the still-image
+    * construction.
+    */
+  private[multimodal] def dhashOf(img: PixelCodec.Img): Long = {
+    val d = cells(img, 9, 8)
+    var dh = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (d(cy * 9 + cx + 1) > d(cy * 9 + cx))
+          dh |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    dh
+  }
+
+  /** Per-frame dHashes of an APNG clip ([[PixelCodec.decodeApngFrames]]
+    * → [[dhashOf]] per frame), or null on undecodable/unsupported
+    * bytes — the clip-level signature q155 pairs on.
+    */
+  def frameHashes(b: Array[Byte]): ArrayData =
+    try {
+      val frames = PixelCodec.decodeApngFrames(b)
+      if (frames == null) null
+      else new GenericArrayData(frames.map(dhashOf))
+    } catch { case _: Exception => null }
+
   /** JVM-native form of [[hashes]] for direct (non-Catalyst) callers. */
   def hashesRaw(b: Array[Byte]): Array[Long] =
     try {
       val img = PixelCodec.decodeRgb(b)
       if (img == null) return null
-      val d = cells(img, 9, 8)
-      var dh = 0L
-      var cy = 0
-      while (cy < 8) {
-        var cx = 0
-        while (cx < 8) {
-          if (d(cy * 9 + cx + 1) > d(cy * 9 + cx))
-            dh |= 1L << (cy * 8 + cx)
-          cx += 1
-        }
-        cy += 1
-      }
+      val dh = dhashOf(img)
       val a = cells(img, 8, 8)
       var sum = 0L
       var i = 0
@@ -165,4 +185,44 @@ object PHash {
       if (docId % 2 == 0) PixelCodec.encodeBmp(W, H, docId % 4 == 0, f)
       else PixelCodec.encodePng(W, H, y => ((docId + y) % 5).toInt, f)
     }
+
+  // ---- q35/q155 clip fixture -------------------------------------------
+
+  /** Frames-per-clip for motif m — shared by the fixture and both
+    * oracles (q35 frame counts, q155 equal-length pairing).
+    */
+  @inline private def clipFrames(m: Long): Int = 2 + (m % 3).toInt
+
+  /** Gray value of pixel (x, y) in frame fr of clip doc d: the q148
+    * gray() construction with a 73-per-frame stride (within-frame
+    * offsets 9y + x ≤ 71 < 73, frames ≤ 4 so 73·fr ≤ 219 < 521 —
+    * motifs never overlap). v1 = +3 brightness twin (every frame's
+    * dHash invariant), v2 = one flipped pattern pixel in frame
+    * m mod nf alone (that frame Hamming ≤ 2, the others identical),
+    * v3 = independently salted far clip (salt 777781).
+    */
+  private def clipGray(d: Long, fr: Int, x: Int, y: Int): Int = {
+    val m = d / 4; val v = (d % 4).toInt
+    val salt = if (v == 3) 777781L else 0L
+    var bit = (graft.functions.Hashing.murmur64(
+      521L * m + salt + 73L * fr + 9L * y + x) & 1L).toInt
+    if (v == 2 && fr == (m % clipFrames(m)).toInt &&
+      x == (m % 7).toInt && y == (m % 8).toInt) bit = 1 - bit
+    val base = if (bit == 1) 200 else 40
+    if (v == 1) base + 3 else base
+  }
+
+  /** q35/q155 fixture: a 9×8 APNG clip of 2–4 frames (scanline filters
+    * cycle per (doc, frame, row) so all five appear), corrupt truncated
+    * bytes for doc % 8 == 1 — the [[makePatternImage]] plant pattern
+    * extended along the time axis.
+    */
+  def makeClip(docId: Long): Array[Byte] =
+    if (docId % 8 == 1)
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0)
+        .map(_.toByte)
+    else
+      PixelCodec.encodeApng(W, H, clipFrames(docId / 4),
+        (fr, y) => ((docId + fr + y) % 5).toInt,
+        (fr, x, y, _) => clipGray(docId, fr, x, y))
 }

@@ -117,10 +117,11 @@ object PixelCodec {
     encodePng(w, h, y => ((docId + y) % 5).toInt, pv(docId, _, _, _))
   }
 
-  /** Generalized PNG encoder — `filterOf(y)` picks the scanline filter,
-    * `f(x, y, c)` the pixel channels (see [[encodeBmp]]).
+  /** Filtered scanline buffer for one w×h RGB frame (the pre-deflate
+    * PNG/APNG payload): `filterOf(y)` picks the per-row filter,
+    * `f(x, y, c)` the pixel channels.
     */
-  def encodePng(w: Int, h: Int, filterOf: Int => Int,
+  private def filteredRows(w: Int, h: Int, filterOf: Int => Int,
       f: (Int, Int, Int) => Int): Array[Byte] = {
     val rowLen = 1 + 3 * w
     val raw = new Array[Byte](rowLen * h)
@@ -155,24 +156,82 @@ object PixelCodec {
       System.arraycopy(cur, 0, prev, 0, 3 * w)
       y += 1
     }
-    val defl = new Deflater(6, false) // zlib wrapper: header + Adler-32
+    raw
+  }
+
+  /** One complete zlib stream (header + Adler-32) over `raw`. */
+  private def zlib(raw: Array[Byte]): Array[Byte] = {
+    val defl = new Deflater(6, false)
     defl.setInput(raw); defl.finish()
     val buf = new Array[Byte](raw.length + 64)
     var zn = 0
     while (!defl.finished()) zn += defl.deflate(buf, zn, buf.length - zn)
     defl.end()
-    val z = java.util.Arrays.copyOf(buf, zn)
+    java.util.Arrays.copyOf(buf, zn)
+  }
+
+  private def ihdrBytes(w: Int, h: Int): Array[Byte] = {
     val ihdr = new Array[Byte](13)
-    val ib = ByteBuffer.wrap(ihdr)
-    ib.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+    ByteBuffer.wrap(ihdr).putInt(w).putInt(h).put(8.toByte).put(2.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte)
-    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
-      .map(_.toByte)
+    ihdr
+  }
+
+  private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  /** Generalized PNG encoder — `filterOf(y)` picks the scanline filter,
+    * `f(x, y, c)` the pixel channels (see [[encodeBmp]]).
+    */
+  def encodePng(w: Int, h: Int, filterOf: Int => Int,
+      f: (Int, Int, Int) => Int): Array[Byte] = {
+    val z = zlib(filteredRows(w, h, filterOf, f))
+    val zn = z.length
     val mid = zn / 2
-    sig ++ chunk("IHDR", ihdr) ++
+    pngSig ++ chunk("IHDR", ihdrBytes(w, h)) ++
       chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, mid)) ++
       chunk("IDAT", java.util.Arrays.copyOfRange(z, mid, zn)) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** APNG encoder (the animated-PNG extension, public Mozilla spec, now
+    * PNG 3rd-edition): `acTL` declares the frame count after IHDR, each
+    * frame gets an `fcTL` control chunk, frame 0's pixels ride the
+    * default-image IDAT stream and later frames ride `fdAT` chunks
+    * (sequence number + data, one SEPARATE zlib stream per frame).
+    * Full-frame frames only — every fcTL is w×h at (0,0), dispose NONE,
+    * blend SOURCE — the shape a frame-sampling corpus pipeline reads.
+    * `f(fr, x, y, c)` supplies pixel channels per frame.
+    */
+  def encodeApng(w: Int, h: Int, nFrames: Int,
+      filterOf: (Int, Int) => Int,
+      f: (Int, Int, Int, Int) => Int): Array[Byte] = {
+    require(nFrames >= 1)
+    val actl = new Array[Byte](8)
+    ByteBuffer.wrap(actl).putInt(nFrames).putInt(0) // num_frames, infinite
+    def fctl(seq: Int): Array[Byte] = {
+      val d = new Array[Byte](26)
+      ByteBuffer.wrap(d).putInt(seq).putInt(w).putInt(h).putInt(0).putInt(0)
+        .putShort(1).putShort(10) // delay 1/10 s
+        .put(0.toByte).put(0.toByte) // dispose NONE, blend SOURCE
+      d
+    }
+    var out = pngSig ++ chunk("IHDR", ihdrBytes(w, h)) ++ chunk("acTL", actl)
+    var seq = 0
+    var fr = 0
+    while (fr < nFrames) {
+      out = out ++ chunk("fcTL", fctl(seq)); seq += 1
+      val z = zlib(filteredRows(w, h, y => filterOf(fr, y), f(fr, _, _, _)))
+      if (fr == 0) out = out ++ chunk("IDAT", z)
+      else {
+        val d = new Array[Byte](4 + z.length)
+        ByteBuffer.wrap(d).putInt(seq)
+        System.arraycopy(z, 0, d, 4, z.length)
+        out = out ++ chunk("fdAT", d); seq += 1
+      }
+      fr += 1
+    }
+    out ++ chunk("IEND", Array.emptyByteArray)
   }
 
   // ---- decode --------------------------------------------------------------
@@ -281,10 +340,18 @@ object PixelCodec {
       pos += 12 + len.toInt
     }
     if (w < 0 || idat.isEmpty) return null
+    inflateFrame(w, h, idat)
+  }
+
+  /** Inflate one complete zlib stream into a w×h frame and unfilter it
+    * (RFC 2083 §6.2-6.6) — shared by the PNG still path and every APNG
+    * frame. Null on truncation, trailing garbage, or a bad filter id.
+    */
+  private def inflateFrame(w: Int, h: Int, z: Array[Byte]): Img = {
     val rowLen = 1 + 3 * w
     val raw = new Array[Byte](rowLen * h)
     val inf = new Inflater(false)
-    inf.setInput(idat)
+    inf.setInput(z)
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
@@ -297,7 +364,7 @@ object PixelCodec {
       (inf.finished() || inf.inflate(new Array[Byte](1)) == 0)
     inf.end()
     if (!complete) return null
-    // unfilter (RFC 2083 §6.2-6.6); prev row is zeros for y = 0
+    // unfilter; prev row is zeros for y = 0
     val px = new Array[Int](3 * w * h)
     var y = 0
     while (y < h) {
@@ -321,6 +388,95 @@ object PixelCodec {
       y += 1
     }
     Img(w, h, px)
+  }
+
+  /** REAL APNG frame walk — the decoder [[encodeApng]] round-trips (and
+    * the retirement of BinaryPipeline's byte-slicing frame stub): walk
+    * the chunk stream with per-chunk CRC-32 verification, collect the
+    * acTL frame count, one zlib stream per frame (frame 0 from the
+    * IDAT run, later frames from their fdAT runs), audit APNG sequence
+    * numbers for gaps, then inflate + unfilter every frame. In scope:
+    * full-frame frames only (fcTL at (0,0) with the canvas dims,
+    * dispose NONE, blend SOURCE) — offset/blended sub-frames, like
+    * palette BMPs, are an unsupported variant that returns null, never
+    * a throw (the q95 damage posture). Null also on: missing acTL, a
+    * frame-count mismatch, torn chunks, CRC damage, or any broken
+    * frame stream.
+    */
+  private[multimodal] def decodeApngFrames(b: Array[Byte]): Array[Img] = {
+    if (b == null || b.length < 8) return null
+    var i = 0
+    while (i < 8) { if (u8(b, i) != (pngSig(i) & 0xff)) return null; i += 1 }
+    var pos = 8
+    var w = -1; var h = -1
+    var nFrames = -1
+    var expectSeq = 0
+    val streams = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var curStream = Array.emptyByteArray
+    var inFrame = false
+    var done = false
+    while (!done) {
+      if (pos + 12 > b.length) return null
+      val len = be32(b, pos)
+      if (len < 0 || len > Int.MaxValue - 12 || pos + 12 + len > b.length)
+        return null
+      val typ = new String(b, pos + 4, 4, "US-ASCII")
+      val crc = new CRC32
+      crc.update(b, pos + 4, 4 + len.toInt)
+      if (crc.getValue != (be32(b, pos + 8 + len.toInt) & 0xffffffffL))
+        return null
+      val body = pos + 8
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return null
+          w = be32(b, body).toInt; h = be32(b, body + 4).toInt
+          val depth = u8(b, body + 8); val color = u8(b, body + 9)
+          val interlace = u8(b, body + 12)
+          if (depth != 8 || color != 2 || interlace != 0) return null
+          if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+            3L * w * h > (1L << 26)) return null
+        case "acTL" =>
+          if (len != 8) return null
+          nFrames = be32(b, body).toInt
+          if (nFrames <= 0 || nFrames > (1 << 16)) return null
+        case "fcTL" =>
+          if (len != 26 || w < 0) return null
+          if (be32(b, body).toInt != expectSeq) return null // seq gap
+          expectSeq += 1
+          // full-frame geometry only
+          if (be32(b, body + 4).toInt != w || be32(b, body + 8).toInt != h ||
+            be32(b, body + 12) != 0 || be32(b, body + 16) != 0 ||
+            u8(b, body + 24) != 0 || u8(b, body + 25) != 0) return null
+          if (inFrame) { streams += curStream; curStream = Array.emptyByteArray }
+          inFrame = true
+        case "IDAT" =>
+          if (!inFrame) return null // a default image outside the animation
+          curStream = curStream ++
+            java.util.Arrays.copyOfRange(b, body, body + len.toInt)
+        case "fdAT" =>
+          if (!inFrame || len < 4) return null
+          if (be32(b, body).toInt != expectSeq) return null // seq gap
+          expectSeq += 1
+          curStream = curStream ++
+            java.util.Arrays.copyOfRange(b, body + 4, body + len.toInt)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos += 12 + len.toInt
+    }
+    if (w < 0 || nFrames < 0) return null
+    if (inFrame) streams += curStream
+    if (streams.length != nFrames) return null
+    val out = new Array[Img](nFrames)
+    var k = 0
+    while (k < nFrames) {
+      if (streams(k).isEmpty) return null
+      val img = inflateFrame(w, h, streams(k))
+      if (img == null) return null
+      out(k) = img
+      k += 1
+    }
+    out
   }
 
   /** Per-image integer pixel statistics:

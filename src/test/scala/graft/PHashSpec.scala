@@ -89,4 +89,91 @@ class PHashSpec extends SparkSpec {
         s"group $m: salted variant must be far")
     }
   }
+
+  // ---- APNG frame walk (q35/q155) ----------------------------------------
+
+  private def fhs(b: Array[Byte]): Option[Seq[Long]] =
+    Option(PHash.frameHashes(b)).map(_.toLongArray().toSeq)
+
+  test("APNG round trip: frame hashes equal the per-frame still hashes") {
+    // encode each frame standalone as a PNG too — the clip walk must
+    // reproduce exactly the still-image dHash per frame
+    val f = (fr: Int, x: Int, y: Int, c: Int) =>
+      (40 + 20 * fr + 13 * x + 7 * y + c) % 256
+    val clip = PixelCodec.encodeApng(9, 8, 3, (fr, y) => (fr + y) % 5, f)
+    val got = fhs(clip).get
+    val want = (0 until 3).map { fr =>
+      PHash.hashesRaw(PixelCodec.encodePng(9, 8, y => (fr + y) % 5,
+        f(fr, _, _, _)))(0)
+    }
+    assert(got == want)
+  }
+
+  test("APNG damage: CRC flip, sequence gap, offset frame, truncation → null") {
+    val clip = PixelCodec.encodeApng(4, 3, 2, (_, _) => 0,
+      (fr, x, y, _) => (fr * 50 + x + y) % 256)
+    assert(fhs(clip).nonEmpty)
+    // flip one payload byte mid-file: some chunk's CRC must fail
+    val crcBad = clip.clone
+    crcBad(crcBad.length / 2) = (crcBad(crcBad.length / 2) ^ 0x41).toByte
+    assert(fhs(crcBad).isEmpty, "a corrupted chunk must fail its CRC audit")
+    assert(fhs(java.util.Arrays.copyOf(clip, clip.length - 16)).isEmpty,
+      "a torn tail must not half-decode")
+    // an offset (non-full-frame) fcTL is an unsupported variant → null:
+    // patch frame 1's fcTL x_offset and re-CRC the chunk so ONLY the
+    // geometry check can reject it
+    val idx = {
+      // find the second fcTL (the first follows acTL)
+      def find(): Int = {
+        var p = 8
+        var seen = 0
+        while (p + 12 <= clip.length) {
+          val len = ((clip(p) & 0xff) << 24) | ((clip(p + 1) & 0xff) << 16) |
+            ((clip(p + 2) & 0xff) << 8) | (clip(p + 3) & 0xff)
+          val typ = new String(clip, p + 4, 4, "US-ASCII")
+          if (typ == "fcTL") { seen += 1; if (seen == 2) return p }
+          p += 12 + len
+        }
+        -1
+      }
+      find()
+    }
+    assert(idx > 0)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val p = clip.clone
+      f(p)
+      val crc = new java.util.zip.CRC32
+      crc.update(p, idx + 4, 4 + 26)
+      val cv = crc.getValue
+      var i = 0
+      while (i < 4) {
+        p(idx + 8 + 26 + i) = ((cv >> (8 * (3 - i))) & 0xff).toByte; i += 1
+      }
+      p
+    }
+    assert(fhs(patched(p => p(idx + 8 + 15) = 1)).isEmpty,
+      "offset sub-frames are out of scope → null")
+    assert(fhs(patched(p => p(idx + 8 + 3) = 9)).isEmpty,
+      "an APNG sequence-number gap must desync to null")
+  }
+
+  test("clip fixture laws: twin identical, bump flips ONE frame, far far, corrupt null") {
+    for (m <- Seq(1L, 3L, 5L, 7L)) {
+      val v0 = fhs(PHash.makeClip(4 * m)).get
+      val v1 = fhs(PHash.makeClip(4 * m + 1)).get
+      val v2 = fhs(PHash.makeClip(4 * m + 2)).get
+      val v3 = fhs(PHash.makeClip(4 * m + 3)).get
+      val nf = 2 + (m % 3).toInt
+      assert(v0.length == nf && v1.length == nf)
+      assert(v0 == v1, s"clip $m: the brightness twin drifted")
+      val hams = v0.zip(v2).map { case (a, b) =>
+        graft.functions.Hashing.hamming(a, b) }
+      assert(hams.count(_ > 0) <= 1 && hams.max <= 2,
+        s"clip $m: the bump must touch one frame within Hamming 2, got $hams")
+      assert(v0.zip(v3).map { case (a, b) =>
+        graft.functions.Hashing.hamming(a, b) }.max > 3,
+        s"clip $m: salted clip too near")
+    }
+    assert(fhs(PHash.makeClip(9L)).isEmpty, "doc%8==1 is the corrupt plant")
+  }
 }

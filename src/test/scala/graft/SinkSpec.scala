@@ -146,18 +146,24 @@ class SinkSpec extends SparkSpec {
     assert(q.head >= 450L && q.head <= 550L, s"p50=${q.head}")
   }
 
-  test("frame sampler slices blobs into bounded frames") {
-    import graft.multimodal.BinaryPipeline
-    val blob = Array.tabulate[Byte](150)(_.toByte)
-    val frames = BinaryPipeline.sampleFrames(blob, frameSize = 64, maxFrames = 4)
-    assert(frames.map(_.length) == Seq(64, 64, 22))
-    assert(BinaryPipeline.sampleFrames(blob, 64, 2).map(_.length) == Seq(64, 64))
-    assert(BinaryPipeline.sampleFrames(Array.emptyByteArray, 64, 4).isEmpty)
-    val df = Seq((7L, "x" * 100)).toDF("doc_id", "text")
-    val rows = BinaryPipeline
-      .extractFrames(spark, BinaryPipeline.withBlob(df, "doc_id", "text"), 64, 4)
-      .collect()
-    assert(rows.map(_.frame_no).sorted.toSeq == Seq(0, 1))
-    assert(rows.map(_.frame_bytes.length).sum == 100)
+  test("frame sampler DECODES real APNG frames, every-kth, bounded, damage-safe") {
+    import graft.multimodal.{BinaryPipeline, PixelCodec}
+    // 5 frames, 4x3 px; frame fr is a solid gray 10*fr + 10 so decoded
+    // bytes are hand-checkable
+    val blob = PixelCodec.encodeApng(4, 3, 5, (_, _) => 0,
+      (fr, _, _, _) => 10 * fr + 10)
+    val frames = BinaryPipeline.sampleFrames(blob, every = 2, maxFrames = 4)
+    assert(frames.map(_._1) == Seq(0, 2, 4), "every-2nd of 5 frames")
+    assert(frames.forall(_._2.length == 4 * 3 * 3), "flat RGB triples")
+    assert(frames.map(_._2.head.toInt) == Seq(10, 30, 50),
+      "decoded pixel values must come from the right frames")
+    assert(BinaryPipeline.sampleFrames(blob, 2, 2).map(_._1) == Seq(0, 2))
+    // garbage and a byte-slicing-era payload both yield ZERO frames now
+    assert(BinaryPipeline.sampleFrames(Array.tabulate[Byte](150)(_.toByte),
+      2, 4).isEmpty)
+    val df = Seq((7L, blob)).toDF("doc_id", "blob")
+    val rows = BinaryPipeline.extractFrames(spark, df, 2, 4).collect()
+    assert(rows.map(_.frame_no).sorted.toSeq == Seq(0, 2, 4))
+    assert(rows.forall(_.frame_bytes.length == 36))
   }
 }
