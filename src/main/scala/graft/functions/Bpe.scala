@@ -72,6 +72,68 @@ object Bpe {
     trainFromWords(sample.toSeq.flatMap(_.split("\\s+")), nMerges)
   }
 
+  /** DISTRIBUTED BPE training — the published scale recipe (per-
+    * iteration distributed pair counting) for corpora where even a
+    * hash-sample misrepresents the tail: the word-frequency frame is
+    * built once (one distributed groupBy over the corpus — at 100 TB
+    * the frame is vocabulary-sized, not corpus-sized), then each merge
+    * iteration runs ONE distributed (pair, count) aggregation, the
+    * driver collects exactly ONE row (the argmax under the same
+    * (-count, lhs, rhs) tie-break as [[trainFromWords]]), and the merge
+    * applies distributed as a catalyst fold over the symbol arrays
+    * (provably equivalent to the sequential left-to-right scan: the
+    * merged token a+b can never equal a, so a fold never re-merges
+    * within a pass). Lineage truncates per iteration (localCheckpoint —
+    * the PqAnn.refine discipline), so cost is nMerges × (one narrow
+    * shuffle + a one-row collect). [[train]] (the bounded hash-sample)
+    * stays the fast default; this is the exact path. Tie-breaks compare
+    * Spark UTF-8 binary order, which equals Java's String order on the
+    * ASCII-ranged symbols BPE produces from lower-cased corpus text
+    * (parity spec-pinned in BpeSpec).
+    */
+  def trainDistributed(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    var wf = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // split-by-empty-regex can emit a trailing "" under limit -1 —
+      // filter so symbols are exactly the characters
+      .select(filter(split(col("w"), ""), s => s =!= "").as("syms"),
+        col("n"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val zipped = transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("a"),
+          element_at(col("syms"), i + 1).as("b")))
+      val best = wf.where(size(col("syms")) > 1)
+        .select(explode(zipped).as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val a = best(0).getString(0); val b = best(0).getString(1)
+        merges += ((a, b))
+        // left-to-right non-overlapping merge as an array fold
+        val rewritten = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s))))
+        wf = wf.select(rewritten.as("syms"), col("n")).localCheckpoint(true)
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Serialize merges for the kernel literal ("a b\nab c\n..."). */
   def mergesToSpec(merges: Seq[(String, String)]): String =
     merges.map { case (a, b) => s"$a $b" }.mkString("\n")

@@ -103,4 +103,38 @@ class BpeSpec extends SparkSpec {
     assert(z.getAs[Long]("fertility_x1000") == 5000L &&
       z.getAs[Long]("bytes_per_bpe_x1000") == 1200L)
   }
+
+  test("distributed trainer matches the sequential trainer merge-for-merge") {
+    // fixture with repeated words, chained merges, ties, and words that
+    // exhaust to a single symbol
+    val docs = Seq(
+      (0L, "low low low lower lowest"),
+      (1L, "newest newer new nest"),
+      (2L, "Low LOWER a b ab ab"),
+      (3L, "test nest best rest"),
+      (4L, "aaaa aa a")
+    ).toDF("doc_id", "text")
+    import spark.implicits._
+    val words = docs.select(lower(col("text"))).as[String].collect().toSeq
+      .flatMap(_.split("\\s+"))
+    for (n <- Seq(1, 3, 8, 20)) {
+      val seq = Bpe.trainFromWords(words, n)
+      val dist = Bpe.trainDistributed(docs, "doc_id", "text", n)
+      assert(dist == seq, s"nMerges=$n: distributed diverged\n" +
+        s" seq  = $seq\n dist = $dist")
+    }
+    // the distributed path also stops when no pairs remain
+    val single = Seq((0L, "a b c")).toDF("doc_id", "text")
+    assert(Bpe.trainDistributed(single, "doc_id", "text", 5).isEmpty)
+  }
+
+  test("distributed trainer on the sf0.001 corpus equals a full-corpus sequential train") {
+    val docs = Tables(spark, sf0001).documents
+    import spark.implicits._
+    val words = docs.select(lower(col("text"))).as[String].collect().toSeq
+      .flatMap(_.split("\\s+"))
+    val seq = Bpe.trainFromWords(words, 12)
+    val dist = Bpe.trainDistributed(docs, "doc_id", "text", 12)
+    assert(dist == seq)
+  }
 }
