@@ -988,6 +988,23 @@ object SparkEntry {
       SemDedup.dedupWith(e, cents, eps = 0.9)
     }),
 
+    // 20e-c. SemDeDup TRAINING oracled — one Lloyd iteration from the
+    // fixed q84b init, end-to-end: assign to the init, recompute each
+    // live cell's centroid as the exact DECIMAL(27,9) per-dimension
+    // mean cast to float (the engine's reproducibility contract), then
+    // run the full drop disposition against the TRAINED centroids. The
+    // oracle composes the q84b cosine/tie-break replay with the q65
+    // exact-decimal mean replay (scale-10 half-up), so the refinement
+    // arithmetic itself is oracle-checked — only the hash-sampled init
+    // + multi-iteration composition stays spec-gated (q84).
+    "q84c_semdedup_train1" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cents0 = e.where(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
+      SemDedup.dedupWith(e, SemDedup.refine(e, cents0, iters = 1),
+        eps = 0.9)
+    }),
+
     // 21. brute-force cosine top-k (rank-only output)
     "q21_ann_bruteforce" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
@@ -3871,15 +3888,44 @@ object SparkEntry {
        |  FROM d JOIN dh USING (doc_id) JOIN ah USING (doc_id)
        |)""".stripMargin
 
+  /** Engine-faithful replay of [[graft.dedup.SimHashDedup.hammingPairs]]
+    * for the oracles that consume it (q148/q150/q154/q155): a pair must
+    * share at least one SURVIVING 16-bit-chunk bucket — occupancy
+    * within hammingPairs' `maxBucket` guard, modeled here the way the
+    * minhash oracles model their occupancy caps — and then verify
+    * bit_count(xor) ≤ maxHamming. Below the cap this is exactly the
+    * all-pairs Hamming ball; at any corpus size it is exactly what the
+    * engine computes (ADVICE r15: an unmodeled cap would diverge once a
+    * 0-biased chunk value concentrates ~maxBucket docs). Requires a
+    * `hashes` CTE exposing (doc_id, `hashCol`); emits `<out>` with
+    * (id_a, id_b).
+    */
+  private def hammingPairCtes(hashCol: String, out: String = "pr",
+      maxHamming: Int = 3, maxBucket: Int = 1024): String =
+    s"""hchunks AS (
+       |  SELECT h.doc_id, CAST(c.range AS INTEGER) AS cn,
+       |    (h.$hashCol >> (c.range * 16)) & 65535 AS chunk
+       |  FROM hashes h, range(4) c WHERE h.$hashCol IS NOT NULL
+       |),
+       |hocc AS (
+       |  SELECT cn, chunk FROM hchunks GROUP BY 1, 2
+       |  HAVING COUNT(*) <= $maxBucket
+       |),
+       |$out AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hchunks a
+       |  JOIN hocc o ON o.cn = a.cn AND o.chunk = a.chunk
+       |  JOIN hchunks b ON b.cn = a.cn AND b.chunk = a.chunk
+       |    AND a.doc_id < b.doc_id
+       |  JOIN hashes ha ON ha.doc_id = a.doc_id
+       |  JOIN hashes hb ON hb.doc_id = b.doc_id
+       |  WHERE bit_count(xor(ha.$hashCol, hb.$hashCol)) <= $maxHamming
+       |)""".stripMargin
+
   /** q148 oracle: [[phashCtes]] + the Hamming-pair/count fold. */
   private lazy val q148OracleSql: String =
     s"""WITH $phashCtes,
-       |pr AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-       |  WHERE a.dhash IS NOT NULL AND b.dhash IS NOT NULL
-       |    AND bit_count(xor(a.dhash, b.dhash)) <= 3
-       |),
+       |${hammingPairCtes("dhash")},
        |sided AS (
        |  SELECT id_a AS doc_id, id_b AS partner FROM pr
        |  UNION ALL SELECT id_b, id_a FROM pr
@@ -3898,10 +3944,8 @@ object SparkEntry {
     * comparison reduces to level ordering because every box holds equal
     * frame counts of the constant amplitude (37·lvl + 5)·gain — and the
     * ×2 gain twin cancels BY CONSTRUCTION), HUGEINT bit packing, then
-    * the same Hamming-pair/count fold as q148. The all-pairs Hamming
-    * join replays hammingPairs' semantics exactly at oracle SFs; the
-    * engine's ≤1024-per-16-bit-chunk occupancy cap is a documented
-    * scale guard that cannot bind below ~10⁶ docs per chunk value.
+    * the engine-faithful Hamming blocking ([[hammingPairCtes]]) and the
+    * q148 count fold.
     */
   private lazy val q154OracleSql: String =
     s"""WITH d AS (
@@ -3931,12 +3975,7 @@ object SparkEntry {
        |      ELSE ${toSigned64("fp.fpu")} END AS afp
        |  FROM d JOIN fp USING (doc_id)
        |),
-       |pr AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-       |  WHERE a.afp IS NOT NULL AND b.afp IS NOT NULL
-       |    AND bit_count(xor(a.afp, b.afp)) <= 3
-       |),
+       |${hammingPairCtes("afp")},
        |sided AS (
        |  SELECT id_a AS doc_id, id_b AS partner FROM pr
        |  UNION ALL SELECT id_b, id_a FROM pr
@@ -4001,13 +4040,17 @@ object SparkEntry {
        |  SELECT doc_id, COUNT(*) AS nf, bit_xor(dhash) AS clip_sig
        |  FROM fh GROUP BY 1
        |),
+       |hashes AS (SELECT doc_id, dhash FROM fh WHERE fr = 0),
+       |${hammingPairCtes("dhash", out = "pr0")},
        |pr AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM nfv a JOIN nfv b ON a.doc_id < b.doc_id AND a.nf = b.nf
+       |  SELECT p.id_a, p.id_b
+       |  FROM pr0 p
+       |  JOIN nfv a ON a.doc_id = p.id_a
+       |  JOIN nfv b ON b.doc_id = p.id_b AND a.nf = b.nf
        |  WHERE NOT EXISTS (
        |    SELECT 1 FROM fh x JOIN fh y
-       |      ON y.doc_id = b.doc_id AND y.fr = x.fr
-       |    WHERE x.doc_id = a.doc_id
+       |      ON y.doc_id = p.id_b AND y.fr = x.fr
+       |    WHERE x.doc_id = p.id_a
        |      AND bit_count(xor(x.dhash, y.dhash)) > 3)
        |),
        |sided AS (
@@ -4029,12 +4072,7 @@ object SparkEntry {
     */
   private lazy val q150OracleSql: String =
     s"""WITH RECURSIVE $phashCtes,
-       |pr AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-       |  WHERE a.dhash IS NOT NULL AND b.dhash IS NOT NULL
-       |    AND bit_count(xor(a.dhash, b.dhash)) <= 3
-       |),
+       |${hammingPairCtes("dhash")},
        |e AS (
        |  SELECT id_a AS src, id_b AS dst FROM pr
        |  UNION SELECT id_b, id_a FROM pr
@@ -6907,6 +6945,56 @@ object SparkEntry {
          |)
          |SELECT b.vec_id, b.cell, (d.xid IS NULL) AS is_kept
          |FROM best b LEFT JOIN dropped d ON b.vec_id = d.xid""".stripMargin,
+    // q84c: the q84b replay composed with ONE exact-decimal Lloyd step —
+    // assignment to the fixed init, per-cell per-dim DECIMAL(27,9) means
+    // (the q65 scale-10 half-up formula) cast to float, re-assignment to
+    // the trained centroids, then the same drop policy
+    "q84c_semdedup_train1" -> {
+      val mean10 = "CAST(CASE WHEN s10 >= 0 THEN (20*s10 + cnt) // (2*cnt) " +
+        "ELSE -((20*(-(s10)) + cnt) // (2*cnt)) END AS HUGEINT)"
+      def bestCte(name: String, cents: String) =
+        s"""$name AS (
+           |  SELECT vec_id, cid AS cell FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCosine("e.v", "c.c")} DESC, c.cid DESC) AS rn
+           |    FROM emb e CROSS JOIN $cents c) WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |cents0 AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id % 37 = 0),
+         |${bestCte("a0", "cents0")},
+         |means AS (
+         |  SELECT cell,
+         |    LIST(CAST(CAST(CAST(m10 AS DOUBLE) / 10000000000 AS FLOAT) AS DOUBLE) ORDER BY di) AS m_vec
+         |  FROM (
+         |    SELECT cell, di, $mean10 AS m10
+         |    FROM (
+         |      SELECT a.cell, d.di,
+         |        SUM(CAST(CAST(e.v[d.di] AS DECIMAL(27,9)) * 1000000000 AS HUGEINT)) AS s10,
+         |        COUNT(*) AS cnt
+         |      FROM emb e JOIN a0 a ON a.vec_id = e.vec_id
+         |      CROSS JOIN (SELECT CAST(range AS INTEGER) + 1 AS di FROM range(64)) d
+         |      GROUP BY a.cell, d.di))
+         |  GROUP BY cell
+         |),
+         |cents1 AS (
+         |  SELECT c.cid, COALESCE(m.m_vec, c.c) AS c
+         |  FROM cents0 c LEFT JOIN means m ON m.cell = c.cid
+         |),
+         |${bestCte("a1", "cents1")},
+         |dropped AS (
+         |  SELECT DISTINCT bx.vec_id AS xid
+         |  FROM a1 bx JOIN a1 b2 ON bx.cell = b2.cell AND b2.vec_id < bx.vec_id
+         |  JOIN emb ex ON ex.vec_id = bx.vec_id
+         |  JOIN emb ey ON ey.vec_id = b2.vec_id
+         |  WHERE ${duckCosine("ex.v", "ey.v")} >= 0.9
+         |)
+         |SELECT b.vec_id, b.cell, (d.xid IS NULL) AS is_kept
+         |FROM a1 b LEFT JOIN dropped d ON b.vec_id = d.xid""".stripMargin
+    },
     "q36_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -55,12 +55,27 @@ object SemDedup {
   def centroids(corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       probe: Int = 0): DataFrame = {
-    var cents = corpus
+    val init = corpus
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("c_vec"))
       .withColumn("_r", F.hash64(col("cid").cast("string")))
       // cid tie-break: a 64-bit hash collision between two ids must not
       // make the seed selection partitioning-dependent
       .orderBy(col("_r"), col("cid")).limit(k).drop("_r")
+    refine(corpus, init, iters, idCol, vecCol, probe)
+  }
+
+  /** `iters` exact-decimal Lloyd refinements of a CALLER-SUPPLIED
+    * (cid, c_vec) codebook — the training loop factored out of
+    * [[centroids]] so a fixed/external init is refinable in isolation
+    * (the q84c oracle replays one iteration of exactly this). Means
+    * accumulate in DECIMAL(27,9) then cast back to float — byte-
+    * identical across partitionings; cells that lose every member keep
+    * their previous centroid.
+    */
+  def refine(corpus: DataFrame, init: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probe: Int = 0): DataFrame = {
+    var cents = init
     for (_ <- 1 to iters) {
       val means = assignBest(corpus, cents, idCol, vecCol, probe)
         .select(col("cell"), posexplode(col("n_vec")).as(Seq("di", "x")))

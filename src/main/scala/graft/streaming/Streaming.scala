@@ -396,12 +396,18 @@ object StreamDedupProbe {
     * verdicts are computed against the index AS OF the batch start
     * (docs within one batch never match each other — intra-batch pairs
     * are q17's job, not the gate's), then the novel docs join the index
-    * for every batch after. Self-matches (a replayed doc finding its
-    * own absorbed signature) are excluded from the verdicts so a replay
-    * reports the doc against OTHER index entries, mirroring its first
-    * run wherever the original index decided; the verdict SINK stays
-    * at-least-once (downstream dedups by doc_id — the standard
-    * foreachBatch posture), while the absorb itself is replay-proof.
+    * for every batch after. Candidates whose index entry carries an id
+    * in THIS batch anti-join away — that covers a replayed doc's own
+    * absorbed signature AND the signatures of its batch-mates absorbed
+    * on the first run, so a replay reproduces the first run's verdicts
+    * for the whole batch, intra-batch near-dup groups included
+    * (ADVICE r15: self-exclusion alone let a replay report A as a dup
+    * of batch-mate B). Sound because foreachBatch replays a checkpointed
+    * batch with IDENTICAL contents — an id in both the batch and the
+    * index is always a redelivery, never fresh data. The verdict SINK
+    * stays at-least-once (downstream dedups by doc_id — the standard
+    * foreachBatch posture), and rows it holds for one doc_id now agree;
+    * the absorb itself is replay-proof.
     */
   def probeAndAbsorbBatch(tableBase: String,
       docs: org.apache.spark.sql.DataFrame, idCol: String,
@@ -415,7 +421,8 @@ object StreamDedupProbe {
     try {
       val cand = MinHashDedup.probePersisted(docs.sparkSession,
         tableBase, sigs, numPerms, minJaccardPct, maxBucket)
-        .where(col("id_new") =!= col("id_idx"))
+        .join(sigs.select(col("id").as("id_idx")), Seq("id_idx"),
+          "left_anti")
       val verdicts = MinHashDedup.bestMatch(sigs, cand)
         .localCheckpoint(true)
       absorbNovel(tableBase, sigs, verdicts, numBuckets)

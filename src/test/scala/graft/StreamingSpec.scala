@@ -528,6 +528,23 @@ class StreamingSpec extends SparkSpec {
       assert(replayed.length == 2)
       assert(spark.table(s"${base}_sigs").count() == nBefore,
         "a replayed batch must not re-absorb its docs")
+      // ADVICE r15: an INTRA-BATCH near-dup group must replay to its
+      // first-run verdicts — the batch-id anti-join keeps a replayed
+      // doc from matching the batch-mate absorbed on the first run
+      def run(df: org.apache.spark.sql.DataFrame) =
+        StreamDedupProbe.probeAndAbsorbBatch(base, df, "doc_id", "text",
+          minJaccardPct = 50, numBuckets = 8)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      val groupBatch = Seq(doc(300L, 300), doc(301L, 300))
+        .toDF("doc_id", "text")
+      val first = run(groupBatch)
+      assert(first == Map(300L -> true, 301L -> true),
+        s"intra-batch pairs are not the gate's job — both novel: $first")
+      assert(run(groupBatch) == first,
+        "a replayed intra-batch near-dup group must reproduce its " +
+          "first-run verdicts, not report one doc as the other's dup")
+      assert(spark.table(s"${base}_sigs").count() == nBefore + 2,
+        "the group absorbed once, the replay absorbed nothing")
     } finally {
       q.stop()
       for (t <- Seq(s"${base}_buckets", s"${base}_sigs",
