@@ -27,5 +27,5 @@ if [ "$ok" != "1" ]; then
 fi
 
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' > "$OUT"
+  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -1 > "$OUT"
 echo "[bench_decade] wrote $OUT" >&2

@@ -41,7 +41,7 @@ fi
 
 run_bench() {
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}'
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -1
 }
 
 if [ -n "$BASE_REF" ]; then

@@ -78,6 +78,15 @@ object Bench {
     // "runs" makes the median protocol visible in the artifact (VERDICT
     // r10 task 5): per-query values are medians of `runs` timed passes
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"guard_fixtures":$fixtures,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    // COMPACT twin, printed LAST: the full line above is ~5 KB at 155
+    // queries and a tail-of-stdout snapshot (the round driver keeps the
+    // last 2000 chars) decapitates it into unparseable JSON (VERDICT r15
+    // task 5 — two rounds of BENCH_r{N}.json carried parsed:null). This
+    // self-describing short line always fits a 2 KB tail; graft's own
+    // wrapper scripts keep the full first line (grep | head -1).
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"compact":true,"n_queries":${results.length},"queries_truncated":true,"top_queries":$top,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }
