@@ -415,9 +415,18 @@ object Perplexity {
         Seq("w1", "w2"), "left")
       .join(bc(c2.select(col("w1").as("w2"), col("w2").as("w3"),
         col("c2").as("c2bg"))), Seq("w2", "w3"), "left")
-      .join(bc(uni.select(col("w").as("w2"), col("c1").as("c1w2"))),
+      // the unigram frame is q58's Heaps-sublinear (token, count) LM —
+      // ALWAYS broadcast (the bigramScore c1 precedent): two of the
+      // dictionary's five lookup joins become map-side hash joins. On
+      // the synthetic 100× probe this is a ~5% wall win (the corpus is
+      // 98% UNIQUE trigrams, so the c3/c2 exchanges dominate either
+      // way — see SURVEY §6); on real Zipf text the vocab is far
+      // smaller relative to the corpus and the two removed exchanges
+      // matter more. A junk vocabulary that outgrows the broadcast
+      // belongs on the same escape hatch as q58: pre-filter the junk.
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1w2"))),
         Seq("w2"), "left")
-      .join(bc(uni.select(col("w").as("w3"), col("c1").as("c1w3"))),
+      .join(broadcast(uni.select(col("w").as("w3"), col("c1").as("c1w3"))),
         Seq("w3"), "left")
       .crossJoin(totals)
       .withColumn("lvl",
