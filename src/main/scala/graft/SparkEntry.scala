@@ -2450,6 +2450,22 @@ object SparkEntry {
           col("min_partner"))
     }),
 
+    // 27i-b. audio near-dup CLUSTERS — the keep-one-per-cluster key
+    // over q154's pairs (the q37/q150 policy applied to sound): energy-
+    // contour Hamming edges feed the shared hash-min label propagation;
+    // corrupt clips are honest singletons. FULL oracle: the q154
+    // fingerprint replay + the engine-faithful blocking + recursive
+    // reachability (the q150 mold).
+    "q156_audio_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val hashed = docs.select(col("doc_id"),
+        F.audioFingerprint(F.fpWavFixture(col("doc_id"))).as("afp"))
+      val pairs = SimHashDedup.hammingPairs(hashed, "doc_id", "afp",
+        maxHamming = 3)
+      DedupClusters.connectedComponents(docs.select("doc_id"), "doc_id",
+        pairs)
+    }),
+
     // 27j. clip near-dup — frames → q148 hashes → near-dup CLIP
     // detection: decode every APNG frame (real walk), dHash each with
     // the still-image construction, block candidate clips on the
@@ -3948,7 +3964,25 @@ object SparkEntry {
     * q148 count fold.
     */
   private lazy val q154OracleSql: String =
-    s"""WITH d AS (
+    s"""WITH $afpCtes,
+       |${hammingPairCtes("afp")},
+       |sided AS (
+       |  SELECT id_a AS doc_id, id_b AS partner FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr
+       |),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_dups, MIN(partner) AS min_partner
+       |  FROM sided GROUP BY 1
+       |)
+       |SELECT h.doc_id, h.afp,
+       |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
+       |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** q154's fingerprint replay (levels → bits → packed hash), shared
+    * with the q156 cluster oracle.
+    */
+  private lazy val afpCtes: String =
+    s"""d AS (
        |  SELECT doc_id, doc_id // 4 AS m, doc_id % 4 AS v FROM documents
        |),
        |lv AS (
@@ -3974,19 +4008,25 @@ object SparkEntry {
        |    CASE WHEN d.doc_id % 8 = 1 THEN NULL
        |      ELSE ${toSigned64("fp.fpu")} END AS afp
        |  FROM d JOIN fp USING (doc_id)
-       |),
+       |)""".stripMargin
+
+  /** q156 oracle: [[afpCtes]] + the engine-faithful blocking + the
+    * q150-style recursive reachability fold (component = min id
+    * reachable through the Hamming ball; corrupt docs are singletons).
+    */
+  private lazy val q156OracleSql: String =
+    s"""WITH RECURSIVE $afpCtes,
        |${hammingPairCtes("afp")},
-       |sided AS (
-       |  SELECT id_a AS doc_id, id_b AS partner FROM pr
-       |  UNION ALL SELECT id_b, id_a FROM pr
+       |e AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION SELECT id_b, id_a FROM pr
        |),
-       |agg AS (
-       |  SELECT doc_id, COUNT(*) AS n_dups, MIN(partner) AS min_partner
-       |  FROM sided GROUP BY 1
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS comp FROM documents
+       |  UNION
+       |  SELECT e.src, reach.comp FROM e JOIN reach ON e.dst = reach.id
        |)
-       |SELECT h.doc_id, h.afp,
-       |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
-       |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
+       |SELECT id, MIN(comp) AS component FROM reach GROUP BY id""".stripMargin
 
   /** q155 oracle: every frame's dHash bits regenerated from the clip
     * fixture arithmetic (pattern bit = hash(521m + salt + 73fr +
@@ -4870,6 +4910,8 @@ object SparkEntry {
     // q155: every frame hash replayed from arithmetic while Spark
     // decodes real APNG animations; all-frames-aligned pairing rule
     "q155_clip_neardup" -> q155OracleSql,
+    // q156: the q154 replay + blocking + recursive reachability
+    "q156_audio_clusters" -> q156OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,
