@@ -2416,6 +2416,23 @@ object SparkEntry {
         .select("stage", "cell", "n_members", "mean_cos_x1e9", "is_stale")
     }),
 
+    // 22i. margin-based bitext mining (Artetxe & Schwenk 2019, the
+    // CCMatrix/LASER criterion, public): raw cosine over-selects HUB
+    // vectors, so the best match per source scores by cosine relative
+    // to BOTH sides' top-k neighborhoods — margin = cos·2k/(Σx+Σy) as
+    // an exact BIGINT over DECIMAL-quantized cosines. Even ids < 1000
+    // are the mining batch (broadcast), odd ids the other-language
+    // corpus (one distributed pass); backward neighborhoods re-score
+    // only the ≤ batch·k candidates. FULL oracle: quantized cosines,
+    // both windows, the exact floor-division margin and the accept
+    // verdicts replay bit-for-bit.
+    "q157_bitext_margin" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      graft.ann.BitextMining.minePairs(
+        e.where(col("vec_id") % 2 === 0 && col("vec_id") < 1000),
+        e.where(col("vec_id") % 2 === 1), k = 4)
+    }),
+
     // 27i. audio CONTENT near-dup — the q148 economics for sound:
     // decode the PCM data chunk the engine assembled, hash the energy
     // contour (65 boxes, bit = exact cross-multiplied mean comparison —
@@ -3978,6 +3995,57 @@ object SparkEntry {
        |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
        |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** q157 oracle: the margin criterion replayed end-to-end — cosines
+    * quantized to ×10⁹ BIGINT (the q152 route), both top-k windows
+    * ordered on the QUANTIZED value (the engine's tie-break), exact
+    * neighborhood sums, the floor-division margin, and the best-match
+    * accept verdicts.
+    */
+  private lazy val q157OracleSql: String = {
+    val k = 4; val accept = 1060000L
+    s"""WITH embd AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |x AS (
+       |  SELECT s.vec_id AS sid, t.vec_id AS tid,
+       |    CAST(CAST(CAST(${duckCosine("s.v", "t.v")}
+       |      AS DECIMAL(18,9)) AS DECIMAL(28,9))
+       |      * 1000000000 AS HUGEINT) AS c9
+       |  FROM embd s, embd t
+       |  WHERE s.vec_id % 2 = 0 AND s.vec_id < 1000 AND t.vec_id % 2 = 1
+       |),
+       |fwd AS (
+       |  SELECT sid, tid, c9 FROM (
+       |    SELECT sid, tid, c9, row_number() OVER (PARTITION BY sid
+       |      ORDER BY c9 DESC, tid) AS rn FROM x)
+       |  WHERE rn <= $k
+       |),
+       |da AS (SELECT sid, SUM(c9) AS d_a FROM fwd GROUP BY 1),
+       |db AS (
+       |  SELECT tid, SUM(c9) AS d_b FROM (
+       |    SELECT x.tid, x.c9, row_number() OVER (PARTITION BY x.tid
+       |      ORDER BY x.c9 DESC, x.sid) AS rn
+       |    FROM x JOIN (SELECT DISTINCT tid FROM fwd) c USING (tid))
+       |  WHERE rn <= $k GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT sid, tid,
+       |    CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+       |      AS margin_x1e6
+       |  FROM (
+       |    SELECT f.sid, f.tid, f.c9 * ${2 * k} * 1000000 AS num,
+       |      greatest(da.d_a + db.d_b, 1) AS den
+       |    FROM fwd f JOIN da USING (sid) JOIN db USING (tid))
+       |)
+       |SELECT sid AS src_id, tid AS tgt_id, margin_x1e6,
+       |  margin_x1e6 >= $accept AS is_accepted
+       |FROM (
+       |  SELECT m.*, row_number() OVER (PARTITION BY sid
+       |    ORDER BY margin_x1e6 DESC, tid) AS b FROM m)
+       |WHERE b = 1""".stripMargin
+  }
+
   /** q154's fingerprint replay (levels → bits → packed hash), shared
     * with the q156 cluster oracle.
     */
@@ -4912,6 +4980,9 @@ object SparkEntry {
     "q155_clip_neardup" -> q155OracleSql,
     // q156: the q154 replay + blocking + recursive reachability
     "q156_audio_clusters" -> q156OracleSql,
+    // q157: quantized cosines + both top-k windows + the exact
+    // floor-division margin, replayed end-to-end
+    "q157_bitext_margin" -> q157OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,

@@ -1,0 +1,95 @@
+package graft.ann
+
+import graft.functions.F
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+  * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+  * Embeddings", ACL — public; the CCMatrix/LASER recipe): raw cosine
+  * over-selects HUB sentences that are near everything, so a candidate
+  * pair (x, y) scores by its cosine RELATIVE to each side's
+  * neighborhood —
+  *
+  *   margin(x, y) = cos(x, y) / ( (Σ_{z∈NNk(x)} cos(x,z)
+  *                              +  Σ_{z∈NNk(y)} cos(y,z)) / 2k )
+  *
+  * — the "ratio" margin; a pair is mined when the best-margin match
+  * clears a threshold (the paper operates around 1.06).
+  *
+  * Determinism (the engine's exactness contract): every cosine
+  * quantizes to DECIMAL(18,9)·10⁹ BIGINT BEFORE any sum (the
+  * q58/q152 discipline), so neighborhood sums are merge-order-exact
+  * integers and the margin is the exact floor division
+  * cos9·2k·10⁶ / (Σ_x + Σ_y) — a BIGINT both engines compute
+  * bit-identically (≤ 8·10¹⁵, no overflow).
+  *
+  * Scale shape: mining runs in SOURCE BATCHES (the online variant —
+  * the batch is the query set, the other language is the corpus): the
+  * batch broadcasts, the corpus side takes ONE distributed cosine pass
+  * into a per-source top-k window (the BruteForce/sq8TopK posture),
+  * and the BACKWARD neighborhood is computed only for the ≤ batch·k
+  * candidate targets (semi-join prune, then a candidates×batch
+  * re-score — bounded, never a second corpus pass). The forward top-k
+  * frame materializes once (localCheckpoint: batch·k rows) because
+  * three consumers read it. At 100 TB the forward pass composes with
+  * any (qid, nid) shortlist provider (IvfSqAnn.searchIndex is the
+  * pruned path); the exact pass here IS the oracle-checked reference
+  * semantics. Backward averages are over the mining batch — the
+  * documented online-mining approximation (the paper's global k-NN
+  * needs the full reverse index; the batch variant is what streaming
+  * miners ship).
+  */
+object BitextMining {
+
+  /** Best-margin target per source with the accept verdict. Output:
+    * (src_id, tgt_id, margin_x1e6, is_accepted) — one row per source
+    * that has ≥1 candidate (an empty target side yields no rows).
+    */
+  def minePairs(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      acceptX1e6: Long = 1060000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = broadcast(src.select(col(idCol).as("sid"),
+      col(vecCol).as("s_vec")))
+    val cos9 = (F.cosine(col("s_vec"), col("t_vec"))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 9)) * 1000000000L)
+      .cast("long")
+    // ONE distributed pass over the target corpus: per-source top-k
+    val wf = Window.partitionBy(col("sid"))
+      .orderBy(col("c9").desc, col("tid"))
+    val fwd = tgt.select(col(idCol).as("tid"), col(vecCol).as("t_vec"))
+      .crossJoin(s)
+      .select(col("sid"), col("tid"), cos9.as("c9"))
+      .withColumn("rn", row_number().over(wf))
+      .where(col("rn") <= k)
+      .localCheckpoint(true) // batch·k rows; three consumers below
+    val dA = fwd.groupBy(col("sid")).agg(sum(col("c9")).as("d_a"))
+    // backward neighborhoods for the candidate targets only: semi-join
+    // prune, then a bounded candidates×batch re-score
+    val cands = fwd.select(col("tid")).distinct()
+    val wb = Window.partitionBy(col("tid"))
+      .orderBy(col("c9").desc, col("sid"))
+    val dB = tgt.select(col(idCol).as("tid"), col(vecCol).as("t_vec"))
+      .join(cands, Seq("tid"), "left_semi")
+      .crossJoin(s)
+      .select(col("tid"), col("sid"), cos9.as("c9"))
+      .withColumn("rn", row_number().over(wb))
+      .where(col("rn") <= k)
+      .groupBy(col("tid")).agg(sum(col("c9")).as("d_b"))
+    val num = col("c9") * (2L * k) * 1000000L
+    val den = greatest(col("d_a") + col("d_b"), lit(1L))
+    val wBest = Window.partitionBy(col("sid"))
+      .orderBy(col("margin_x1e6").desc, col("tid"))
+    fwd.join(broadcast(dA), "sid")
+      .join(broadcast(dB), "tid")
+      .withColumn("margin_x1e6",
+        ((num - pmod(num, den)) / den).cast("long"))
+      .withColumn("_b", row_number().over(wBest))
+      .where(col("_b") === 1)
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        col("margin_x1e6"),
+        (col("margin_x1e6") >= acceptX1e6).as("is_accepted"))
+  }
+}

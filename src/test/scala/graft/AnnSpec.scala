@@ -321,6 +321,48 @@ class AnnSpec extends SparkSpec {
       "the rebuild did not restore a healthy audit")
   }
 
+  test("bitext margin: a true pair clears the gate, a weak hub best-match is rejected") {
+    import graft.ann.BitextMining
+    // sources are axis vectors e0..e3 (ids 0,2,4,6); targets: 101 = e0
+    // (src 0's true translation), 103/105 = per-source decoys at cos
+    // 0.8, 107 = a HUB leaning toward e0..e2 — it is src 6's BEST
+    // cosine (everything else is orthogonal), but its own dense
+    // neighborhood must drag the margin below the gate: the exact
+    // failure mode raw-cosine mining has and the margin criterion
+    // exists to stop.
+    def axis(i: Int): Array[Float] = {
+      val v = Array.fill(8)(0f); v(i) = 1f; v
+    }
+    def decoy(i: Int): Array[Float] = {
+      val v = Array.fill(8)(0f); v(i) = 0.8f; v(4 + i) = 0.6f; v
+    }
+    val hub = {
+      val n = math.sqrt(3.04).toFloat
+      Array(1f / n, 1f / n, 1f / n, 0.2f / n, 0f, 0f, 0f, 0f)
+    }
+    val vecs = Seq(
+      0L -> axis(0), 2L -> axis(1), 4L -> axis(2), 6L -> axis(3),
+      101L -> axis(0), 103L -> decoy(1), 105L -> decoy(2), 107L -> hub
+    ).toDF("vec_id", "embedding")
+    val mined = BitextMining.minePairs(
+      vecs.where(col("vec_id") % 2 === 0),
+      vecs.where(col("vec_id") % 2 === 1), k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(mined.keySet == Set(0L, 2L, 4L, 6L), s"one row per source: $mined")
+    val (t0, m0, a0) = mined(0L)
+    assert(t0 == 101L && a0 && m0 > 1060000L,
+      s"the true pair must be mined and accepted: $mined")
+    val (t6, _, a6) = mined(6L)
+    assert(t6 == 107L,
+      s"the hub IS src 6's best cosine — it must surface as the match: $mined")
+    assert(!a6,
+      s"...but its dense neighborhood must fail the margin gate: $mined")
+    // decoys are legitimate unique matches — mined and accepted
+    assert(mined(2L)._1 == 103L && mined(2L)._3)
+    assert(mined(4L)._1 == 105L && mined(4L)._3)
+  }
+
   test("SQ8 search without re-rank still ranks by the integer ADC score") {
     import graft.ann.VectorPrep
     // axis-aligned fixture: integer scores are hand-checkable
