@@ -2540,6 +2540,52 @@ object SparkEntry {
           col("min_partner"))
     }),
 
+    // 27k. scene-cut detection — per-clip temporal segmentation, the
+    // standard first pass of any video pipeline (keyframe selection,
+    // shot-level dedup, caption alignment all hang off it): decode
+    // every APNG frame (the q155 walk), dHash each, and call a CUT
+    // wherever adjacent-frame Hamming exceeds 8 (within-shot jitter is
+    // ≤ 4 by the fixture's construction; cut transitions land on
+    // independent patterns). Output per doc: frame count, cut count,
+    // shot count, longest shot, first cut position; corrupt clips are
+    // honest NULL rows. FULL oracle: every frame hash bit replays from
+    // doc_id arithmetic (murmur64 parity/masks == DuckDB hash()
+    // unsigned mods) and DuckDB applies the same lag/threshold rule.
+    // Scale shape: one decode pass into a bounded hash frame, ONE
+    // doc_id shuffle shared by the lag window and the aggregate —
+    // per-doc state is frames-bounded, never corpus-bounded.
+    "q158_scene_cuts" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val fh = docs.select(col("doc_id"),
+        F.clipFrameHashes(F.sceneClipFixture(col("doc_id"))).as("fhs"))
+      val flat = fh.where(col("fhs").isNotNull)
+        .select(col("doc_id"), size(col("fhs")).cast("long").as("nf"),
+          posexplode(col("fhs")).as(Seq("frame_no", "dhash")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_no")
+      val marked = flat
+        .withColumn("prev", lag(col("dhash"), 1).over(w))
+        .withColumn("is_cut",
+          when(col("prev").isNotNull &&
+            expr("bit_count(dhash ^ prev)") > 8, 1L).otherwise(0L))
+        .withColumn("shot", sum(col("is_cut")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      val shots = marked.groupBy(col("doc_id"), col("shot"))
+        .agg(count(lit(1)).as("shot_len"))
+      val agg = marked.groupBy(col("doc_id"))
+        .agg(max(col("nf")).as("n_frames"),
+          sum(col("is_cut")).as("n_cuts"),
+          min(when(col("is_cut") === 1L, col("frame_no").cast("long")))
+            .as("first_cut"))
+        .join(shots.groupBy(col("doc_id"))
+          .agg(max(col("shot_len")).as("longest_shot")), Seq("doc_id"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+          (col("n_cuts") + 1L).as("n_shots"), col("longest_shot"),
+          col("first_cut"))
+    }),
+
     // 27h. image near-dup CLUSTERS — the keep-one-per-cluster key over
     // q148's pairs (the q37 policy applied to images): dHash Hamming
     // edges feed the shared hash-min label propagation; undecodable
@@ -4174,6 +4220,91 @@ object SparkEntry {
        |FROM d LEFT JOIN nfv n USING (doc_id)
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** q158 oracle: the scene-clip fixture replayed bit-for-bit — planted
+    * cut indicators (hash % 4), the running shot number, per-shot
+    * pattern bits (hash % 2) with the per-frame jitter flip at
+    * (jh % 8, jh // 8 % 8), dHash packing, then the ENGINE's detection
+    * rule (lag + Hamming > 8 + running shot sum) applied in SQL.
+    * Corrupt clips (doc%8==1) are NULL rows.
+    */
+  private lazy val q158OracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 6 + doc_id % 5 AS nf FROM documents
+       |),
+       |frames AS (
+       |  SELECT d.doc_id, CAST(f.range AS BIGINT) AS fr
+       |  FROM d, range(10) f WHERE f.range < d.nf
+       |),
+       |shotno AS (
+       |  SELECT doc_id, fr,
+       |    SUM(CASE WHEN fr >= 1 AND hash(500009*doc_id + fr) % 4 = 0
+       |      THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY fr) AS shot
+       |  FROM frames
+       |),
+       |g AS (
+       |  SELECT CAST(a.range AS BIGINT) AS x, CAST(b.range AS BIGINT) AS y
+       |  FROM range(9) a, range(8) b
+       |),
+       |bits AS (
+       |  SELECT doc_id, fr, x, y,
+       |    CASE WHEN x = CAST(jh % 8 AS BIGINT)
+       |        AND y = CAST((jh // 8) % 8 AS BIGINT)
+       |      THEN 1 - pb ELSE pb END AS b
+       |  FROM (
+       |    SELECT s.doc_id, s.fr, g.x, g.y,
+       |      CAST(hash(1000003*s.doc_id + 4001*s.shot + 9*g.y + g.x) % 2
+       |        AS BIGINT) AS pb,
+       |      hash(9000011*s.doc_id + s.fr) AS jh
+       |    FROM shotno s, g)
+       |),
+       |dh AS (
+       |  SELECT l.doc_id, l.fr,
+       |    SUM(CASE WHEN r.b = 1 AND l.b = 0
+       |      THEN CAST(1 AS HUGEINT) << CAST(l.y*8 + l.x AS INTEGER)
+       |      ELSE CAST(0 AS HUGEINT) END) AS dhu
+       |  FROM bits l JOIN bits r
+       |    ON r.doc_id = l.doc_id AND r.fr = l.fr AND r.y = l.y
+       |      AND r.x = l.x + 1
+       |  WHERE l.x < 8
+       |  GROUP BY 1, 2
+       |),
+       |fh AS (
+       |  SELECT doc_id, fr, ${toSigned64("dhu")} AS dhash
+       |  FROM dh WHERE doc_id % 8 <> 1
+       |),
+       |mk AS (
+       |  SELECT doc_id, fr,
+       |    CASE WHEN prev IS NOT NULL AND bit_count(xor(dhash, prev)) > 8
+       |      THEN 1 ELSE 0 END AS is_cut
+       |  FROM (
+       |    SELECT doc_id, fr, dhash,
+       |      lag(dhash) OVER (PARTITION BY doc_id ORDER BY fr) AS prev
+       |    FROM fh)
+       |),
+       |sh AS (
+       |  SELECT doc_id, fr, is_cut,
+       |    SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY fr) AS shot
+       |  FROM mk
+       |),
+       |slen AS (
+       |  SELECT doc_id, shot, COUNT(*) AS shot_len FROM sh GROUP BY 1, 2
+       |),
+       |agg AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_frames,
+       |    CAST(SUM(s.is_cut) AS BIGINT) AS n_cuts,
+       |    MIN(CASE WHEN s.is_cut = 1 THEN s.fr END) AS first_cut
+       |  FROM sh s GROUP BY 1
+       |),
+       |ls AS (
+       |  SELECT doc_id, MAX(shot_len) AS longest_shot FROM slen GROUP BY 1
+       |)
+       |SELECT d.doc_id, a.n_frames, a.n_cuts,
+       |  CAST(a.n_cuts + 1 AS BIGINT) AS n_shots, ls.longest_shot,
+       |  a.first_cut
+       |FROM d LEFT JOIN agg a USING (doc_id)
+       |LEFT JOIN ls USING (doc_id)""".stripMargin
+
   /** q150 oracle: [[phashCtes]] + the q37-style recursive reachability
     * fold over the Hamming-ball edges — component = min reachable id;
     * undecodable docs (NULL hash) are singletons by construction.
@@ -4978,6 +5109,7 @@ object SparkEntry {
     // q155: every frame hash replayed from arithmetic while Spark
     // decodes real APNG animations; all-frames-aligned pairing rule
     "q155_clip_neardup" -> q155OracleSql,
+    "q158_scene_cuts" -> q158OracleSql,
     // q156: the q154 replay + blocking + recursive reachability
     "q156_audio_clusters" -> q156OracleSql,
     // q157: quantized cosines + both top-k windows + the exact

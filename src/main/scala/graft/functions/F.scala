@@ -253,6 +253,16 @@ object F {
       "makeClip", Seq(ex(docId)), Nil, propagateNull = true,
       returnNullable = false))
 
+  /** q158 fixture encoder: a deterministic per-doc APNG clip with SHOT
+    * structure (6–10 frames, runs of near-identical frames separated by
+    * planted hard cuts) whose frame hashes the oracle recomputes
+    * ([[graft.multimodal.PHash.makeSceneClip]]).
+    */
+  def sceneClipFixture(docId: Column): Column =
+    col(StaticInvoke(classOf[graft.multimodal.PHash.type], BinaryType,
+      "makeSceneClip", Seq(ex(docId)), Nil, propagateNull = true,
+      returnNullable = false))
+
   /** Per-frame dHashes of an APNG clip (real frame walk: chunk CRC
     * audit, per-frame zlib inflate, unfilter, the q148 dHash per
     * frame), NULL on undecodable bytes ([[graft.multimodal.PHash

@@ -225,4 +225,58 @@ object PHash {
       PixelCodec.encodeApng(W, H, clipFrames(docId / 4),
         (fr, y) => ((docId + fr + y) % 5).toInt,
         (fr, x, y, _) => clipGray(docId, fr, x, y))
+
+  // ---- q158 scene-cut fixture --------------------------------------------
+
+  /** Frames-per-scene-clip for doc d — shared by the fixture and the
+    * q158 oracle.
+    */
+  @inline private def sceneFrames(d: Long): Int = 6 + (d % 5).toInt
+
+  /** Planted-cut indicator for transition fr-1 → fr (fr ≥ 1):
+    * murmur64(500009·d + fr) & 3 == 0 (~25% of transitions). The
+    * ENGINE never sees this — it detects cuts from hash distance; the
+    * plant only shapes the fixture so both cut and non-cut transitions
+    * exist. DuckDB replay: hash(...) % 4 = 0.
+    */
+  @inline private def sceneCut(d: Long, fr: Int): Boolean =
+    (graft.functions.Hashing.murmur64(500009L * d + fr) & 3L) == 0L
+
+  /** Gray value of pixel (x, y) in frame fr of scene-clip doc d: frames
+    * within a shot share the shot's pattern — bit = murmur64(1000003·d
+    * + 4001·shot + 9y + x) & 1 (offsets 9y + x ≤ 71 < 4001, shot ≤ 10
+    * so 4001·shot < 1000003 — shots never overlap) — plus one per-frame
+    * JITTER pixel flip at (jh & 7, (jh >>> 3) & 7) for jh =
+    * murmur64(9000011·d + fr), so adjacent within-shot frames differ by
+    * ≤ 2 pixel flips (dHash Hamming ≤ 4 < the detection threshold 8)
+    * while cut transitions land on independent patterns. All strides
+    * and masks are power-of-two so the unsigned DuckDB hash() replay is
+    * bit-exact (& 1 ≡ % 2, & 7 ≡ % 8, >>> 3 ≡ // 8).
+    */
+  private def sceneGray(d: Long, fr: Int, x: Int, y: Int): Int = {
+    var shot = 0
+    var i = 1
+    while (i <= fr) { if (sceneCut(d, i)) shot += 1; i += 1 }
+    var bit = (graft.functions.Hashing.murmur64(
+      1000003L * d + 4001L * shot + 9L * y + x) & 1L).toInt
+    val jh = graft.functions.Hashing.murmur64(9000011L * d + fr)
+    if (x == (jh & 7L).toInt && y == ((jh >>> 3) & 7L).toInt) bit = 1 - bit
+    if (bit == 1) 200 else 40
+  }
+
+  /** q158 fixture: a 9×8 APNG clip of 6–10 frames with SHOT structure —
+    * runs of near-identical frames (per-frame jitter ≤ 1 pixel)
+    * separated by planted hard cuts (independent shot patterns);
+    * corrupt truncated bytes for doc % 8 == 1. The oracle regenerates
+    * every frame hash from doc_id arithmetic while Spark decodes the
+    * animation containers it assembled.
+    */
+  def makeSceneClip(docId: Long): Array[Byte] =
+    if (docId % 8 == 1)
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0)
+        .map(_.toByte)
+    else
+      PixelCodec.encodeApng(W, H, sceneFrames(docId),
+        (fr, y) => ((docId + fr + y) % 5).toInt,
+        (fr, x, y, _) => sceneGray(docId, fr, x, y))
 }

@@ -176,4 +176,28 @@ class PHashSpec extends SparkSpec {
     }
     assert(fhs(PHash.makeClip(9L)).isEmpty, "doc%8==1 is the corrupt plant")
   }
+
+  test("scene-clip fixture: within-shot jitter ≤ 4 bits, both transition kinds exist, corrupt null") {
+    import graft.functions.Hashing
+    var sawCut = false; var sawHold = false
+    for (d <- 0L until 64L if d % 8 != 1) {
+      val v = fhs(PHash.makeSceneClip(d)).get
+      assert(v.length == 6 + (d % 5).toInt, s"doc $d frame count")
+      for (fr <- 1 until v.length) {
+        val ham = Hashing.hamming(v(fr - 1), v(fr))
+        val planted = (Hashing.murmur64(500009L * d + fr) & 3L) == 0L
+        if (!planted)
+          // within a shot the only divergence is the two jitter flips:
+          // ≤ 2 pixel flips → ≤ 4 dHash bits, strictly under the
+          // detection threshold 8
+          assert(ham <= 4, s"doc $d fr $fr: within-shot Hamming $ham > 4")
+        if (ham > 8) sawCut = true
+        if (ham <= 8) sawHold = true
+      }
+    }
+    assert(sawCut, "fixture must contain at least one detected cut")
+    assert(sawHold, "fixture must contain at least one held transition")
+    assert(fhs(PHash.makeSceneClip(17L)).isEmpty,
+      "doc%8==1 is the corrupt plant")
+  }
 }
