@@ -1900,6 +1900,30 @@ object SparkEntry {
         grams(docs.where(b < 5000)), grams(docs.where(b >= 5000)), "h")
     }),
 
+    // 26ad-b. HyperLogLog per-language vocabulary census — the sketch
+    // you run at 100 TB where q33's exact distinct cannot: 64 MAX-merged
+    // registers per group, trailing-zero ρ capped at 32, the estimate
+    // as one exact integer floor division (no IEEE ln/pow — see
+    // functions.Hll). `exact_distinct`/`n_tokens` are the oracle-SF
+    // audit columns a production run drops. One (lang, reg) shuffle
+    // where the map-side combiner collapses everything to ≤64 rows per
+    // group; the audit aggregate is the only distinct pass.
+    "q159_hll_distinct" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = docs.select(col("lang"),
+        explode(F.tokensLower(col("text"))).as("tok"))
+      val sk = graft.functions.Hll.sketch(
+        toks.select(col("lang"), F.hash64(col("tok")).as("h")),
+        Seq("lang"), "h")
+      val audit = toks.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("exact_distinct"))
+      sk.join(audit, Seq("lang"))
+        .select(col("lang"), col("n_tokens"), col("exact_distinct"),
+          col("v_zero"), col("s_harmonic"), col("est_hll"),
+          col("estimate"))
+    }),
+
     // 29p. adaptive recrawl scheduling (Cho & Garcia-Molina 2003): the
     // planted fetch history gives each of 20 URLs a volatility class —
     // never-changing, every-fetch, every-2nd, every-12th — and the
@@ -5921,6 +5945,56 @@ object SparkEntry {
          |SELECT est.scope, kmv_estimate, exact_distinct
          |FROM est JOIN exrows USING (scope)""".stripMargin
     },
+    // q159: the full HLL replay — per-token FNV+splitmix hashes from
+    // the recursive CTE (th is unsigned HUGEINT in [0,2^64), so
+    // register = th % 64 == the engine's h & 63 and rest = th // 64 ==
+    // h >>> 6), trailing-zero ρ via the same bit algebra, MAX-merged
+    // registers, the exact harmonic sum with absent registers at 2^32,
+    // and the single integer floor division. All columns BIGINT on
+    // both sides.
+    "q159_hll_distinct" ->
+      s"""$duckHash64Tokens,
+         |regs AS (
+         |  SELECT d.lang, CAST(f.th % 64 AS BIGINT) AS reg,
+         |    CAST(f.th // 64 AS BIGINT) AS rest
+         |  FROM fnv f JOIN documents d USING (doc_id)
+         |),
+         |rh AS (
+         |  SELECT lang, reg,
+         |    CASE WHEN rest = 0 THEN 32
+         |      ELSE LEAST(bit_count((rest & -rest) - 1) + 1, 32)
+         |    END AS rho
+         |  FROM regs
+         |),
+         |mx AS (SELECT lang, reg, MAX(rho) AS m FROM rh GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT lang,
+         |    SUM(CAST(1 AS BIGINT) << CAST(32 - m AS INTEGER)) AS sp,
+         |    COUNT(*) AS np
+         |  FROM mx GROUP BY 1
+         |),
+         |aud AS (
+         |  SELECT d.lang, COUNT(*) AS n_tokens,
+         |    COUNT(DISTINCT t.tok) AS exact_distinct
+         |  FROM toks t JOIN documents d USING (doc_id) GROUP BY 1
+         |),
+         |est AS (
+         |  SELECT s.lang, a.n_tokens, a.exact_distinct,
+         |    CAST(64 - s.np AS BIGINT) AS v_zero,
+         |    CAST(s.sp + (64 - s.np) * 4294967296 AS BIGINT)
+         |      AS s_harmonic,
+         |    CAST(${graft.functions.Hll.EstNumerator}
+         |      // (10000 * (s.sp + (64 - s.np) * 4294967296)) AS BIGINT)
+         |      AS est_hll
+         |  FROM sk s JOIN aud a USING (lang)
+         |)
+         |SELECT *,
+         |  CASE WHEN est_hll <= ${graft.functions.Hll.SmallRange}
+         |      AND v_zero > 0
+         |    THEN ([${graft.functions.Hll.LinearTable.mkString(", ")}])
+         |      [CAST(v_zero AS INTEGER)]
+         |    ELSE est_hll END AS estimate
+         |FROM est""".stripMargin,
     // q128: the oracle replants the same fetch history from doc_id
     // arithmetic and replays the estimator — lag-window change flags,
     // the doubled-integer ratio, ln quantized to DECIMAL(18,9) before
