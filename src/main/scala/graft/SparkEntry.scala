@@ -3036,6 +3036,34 @@ object SparkEntry {
         docs, "doc_id", "text")
     }),
 
+    // 26x-b. classifier EVALUATION — the audit loop q120 was missing
+    // (a filter model you can't score is a filter you can't trust):
+    // label = "is the doc English" (the signal the NB model was weakly
+    // trained toward), metric = ROC AUC via the rank statistic plus a
+    // 10-bin calibration table. AUC is computed in the distributed
+    // shape — collapse to DISTINCT logit values first (groupBy with
+    // map-side combine), then one bounded window over the score frame;
+    // ties contribute the standard half-credit via the 2×-scaled
+    // integer numerator. Deciles come from the same cumulative counts
+    // plus a per-score row_number (ntile's exact closed form — no
+    // global row sort; the q64 offsets shape). Every output is an
+    // exact integer: DECIMAL(38,0) cross-multiplication, floor by
+    // subtract-mod. FULL oracle: the q120 score replay + the same rank
+    // algebra in SQL.
+    "q160_classifier_eval" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val b = Sampling.bucket(col("doc_id"))
+      val scored = graft.functions.QualityClassifier.nbScore(
+        docs.where(col("lang") === "en" && b < 5000),
+        docs.where(b >= 5000),
+        docs, "doc_id", "text")
+      val lbl = scored.select(col("doc_id"), col("logit_x1000"))
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+          Seq("doc_id"))
+      graft.functions.Eval.rocAudit(lbl, "doc_id", "logit_x1000", "y")
+    }),
+
     // 26y. UniMax budget allocation (Chung et al. 2023): distribute 90%
     // of the corpus token budget as uniformly as possible across
     // languages, capped at 1 epoch per language — tail languages run
@@ -4827,6 +4855,46 @@ object SparkEntry {
     * char loop as a recursive CTE (documents are ASCII, so ascii() IS
     * the UTF-8 byte), splitmix-finalized. Output: (doc_id, ti, th).
     */
+  /** The q120 Naive-Bayes scorer replay, shared with the q160 eval:
+    * ends at CTE `sc(doc_id, n_tokens, sum_w, prior_q)` — the exact
+    * DECIMAL(18,9)-quantized per-term log-odds sum the engine computes.
+    */
+  private val nbScoreCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    string_split_regex(trim(lower(text)), '\s+') AS l
+      |  FROM documents
+      |), pos AS (
+      |  SELECT * FROM d
+      |  WHERE lang = 'en' AND (hash(doc_id) >> 16) % 10000 < 5000
+      |), neg AS (
+      |  SELECT * FROM d WHERE (hash(doc_id) >> 16) % 10000 >= 5000
+      |), tr AS (
+      |  SELECT unnest(l) AS term, 1 AS y FROM pos
+      |  UNION ALL
+      |  SELECT unnest(l) AS term, 0 AS y FROM neg
+      |), c AS (
+      |  SELECT term, SUM(y) AS cpos, SUM(1 - y) AS cneg
+      |  FROM tr GROUP BY 1
+      |), t AS (
+      |  SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg, COUNT(*) AS v,
+      |    CAST(ln((SELECT COUNT(*) FROM pos)
+      |      / ((SELECT COUNT(*) FROM neg) * 1.0)) AS DECIMAL(18,9))
+      |      AS prior_q
+      |  FROM c
+      |), sb AS (
+      |  SELECT doc_id, unnest(l) AS term FROM d
+      |), sc AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    SUM(CAST(ln((COALESCE(cpos, 0) + 1)
+      |          / ((npos + v) * 1.0)) AS DECIMAL(18,9))
+      |      - CAST(ln((COALESCE(cneg, 0) + 1)
+      |          / ((nneg + v) * 1.0)) AS DECIMAL(18,9))) AS sum_w,
+      |    MAX(prior_q) AS prior_q
+      |  FROM sb LEFT JOIN c USING (term) CROSS JOIN t
+      |  GROUP BY doc_id
+      |)""".stripMargin
+
   private val duckHash64Tokens: String =
     s"""WITH toks AS (
        |  SELECT doc_id, generate_subscripts(tk,1) AS ti, unnest(tk) AS tok
@@ -6885,46 +6953,65 @@ object SparkEntry {
     // subtraction and the document sum) absorbs engine ln() ulp
     // differences exactly as q114's does
     "q120_nb_quality" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    string_split_regex(trim(lower(text)), '\s+') AS l
-        |  FROM documents
-        |), pos AS (
-        |  SELECT * FROM d
-        |  WHERE lang = 'en' AND (hash(doc_id) >> 16) % 10000 < 5000
-        |), neg AS (
-        |  SELECT * FROM d WHERE (hash(doc_id) >> 16) % 10000 >= 5000
-        |), tr AS (
-        |  SELECT unnest(l) AS term, 1 AS y FROM pos
-        |  UNION ALL
-        |  SELECT unnest(l) AS term, 0 AS y FROM neg
-        |), c AS (
-        |  SELECT term, SUM(y) AS cpos, SUM(1 - y) AS cneg
-        |  FROM tr GROUP BY 1
-        |), t AS (
-        |  SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg, COUNT(*) AS v,
-        |    CAST(ln((SELECT COUNT(*) FROM pos)
-        |      / ((SELECT COUNT(*) FROM neg) * 1.0)) AS DECIMAL(18,9))
-        |      AS prior_q
-        |  FROM c
-        |), sb AS (
-        |  SELECT doc_id, unnest(l) AS term FROM d
-        |), sc AS (
-        |  SELECT doc_id, COUNT(*) AS n_tokens,
-        |    SUM(CAST(ln((COALESCE(cpos, 0) + 1)
-        |          / ((npos + v) * 1.0)) AS DECIMAL(18,9))
-        |      - CAST(ln((COALESCE(cneg, 0) + 1)
-        |          / ((nneg + v) * 1.0)) AS DECIMAL(18,9))) AS sum_w,
-        |    MAX(prior_q) AS prior_q
-        |  FROM sb LEFT JOIN c USING (term) CROSS JOIN t
-        |  GROUP BY doc_id
-        |)
+      s"""$nbScoreCtes
         |SELECT doc_id, n_tokens,
         |  CAST(floor((prior_q + sum_w) * 1000) AS BIGINT) AS logit_x1000,
         |  CAST(floor(sum_w * 1000 / n_tokens) AS BIGINT)
         |    AS avg_logodds_x1000,
         |  CAST(floor((prior_q + sum_w) * 1000) AS BIGINT) >= 0 AS nb_keep
         |FROM sc""".stripMargin,
+    // q160: the q120 score replay composed with the rank-statistic AUC
+    // (distinct-score cumulative algebra, ties at half credit via the
+    // 2×-scaled numerator) and the closed-form ntile(10) calibration
+    // bins — every step exact integer arithmetic on both engines.
+    "q160_classifier_eval" ->
+      s"""$nbScoreCtes,
+        |lbl AS (
+        |  SELECT sc.doc_id,
+        |    CAST(floor((prior_q + sum_w) * 1000) AS BIGINT) AS s,
+        |    CASE WHEN dd.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc JOIN documents dd USING (doc_id)
+        |),
+        |bys AS (
+        |  SELECT s, SUM(y) AS np, SUM(1 - y) AS nn FROM lbl GROUP BY 1
+        |),
+        |cum AS (
+        |  SELECT s, np, nn,
+        |    COALESCE(SUM(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below_n,
+        |    COALESCE(SUM(np + nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below_all
+        |  FROM bys
+        |),
+        |tot AS (SELECT SUM(np) AS p, SUM(nn) AS n FROM bys),
+        |auc AS (
+        |  SELECT CAST((num2 * 1000000 - ((num2 * 1000000) % (2 * p * n)))
+        |    // (2 * p * n) AS BIGINT) AS auc_x1e6
+        |  FROM (SELECT SUM(np * (2 * below_n + nn)) AS num2 FROM cum)
+        |  CROSS JOIN tot
+        |),
+        |ids AS (
+        |  SELECT l.y, c.below_all
+        |    + row_number() OVER (PARTITION BY l.s ORDER BY l.doc_id)
+        |    AS idx
+        |  FROM lbl l JOIN cum c USING (s)
+        |),
+        |dcl AS (
+        |  SELECT y, CASE WHEN qq = 0 THEN idx
+        |    WHEN idx <= (qq + 1) * rr THEN (idx + qq) // (qq + 1)
+        |    ELSE rr + (idx - (qq + 1) * rr + qq - 1) // qq END AS decile
+        |  FROM ids CROSS JOIN (
+        |    SELECT (p + n) // 10 AS qq, (p + n) % 10 AS rr FROM tot)
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT)
+        |    AS pos_rate_x1e6,
+        |  auc_x1e6
+        |FROM dcl CROSS JOIN auc
+        |GROUP BY 1, auc_x1e6""".stripMargin,
     // q121: the oracle replays the closed-form waterfill — ranked
     // prefix sums locate the capped boundary in the same
     // cross-multiplied integer arithmetic, '//' and '%' agree with
