@@ -2984,6 +2984,15 @@ object SparkEntry {
       graft.functions.C4Filters.evaluate(Tables(s, dir).documents,
         "doc_id", "text")),
 
+    // 26t-b. code-quality battery (the BigCode/StarCoder recipe) —
+    // line-geometry gates, alphanumeric density, long-line share,
+    // autogen-marker scan; the q115/q116 shape applied to code
+    // corpora. One map-side pass of list lambdas, zero shuffles; all
+    // fractions are ×1e6 integer floors the oracle replays exactly.
+    "q161_code_filters" -> ((s, dir) =>
+      graft.functions.CodeFilters.evaluate(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // 26u. Temperature-based multilingual mixing (the p^alpha sampling
     // convention of XLM-R/mBERT/Gopher, alpha = 0.7): up-weights tail
     // languages relative to their raw share without drowning the head —
@@ -6960,6 +6969,43 @@ object SparkEntry {
         |    AS avg_logodds_x1000,
         |  CAST(floor((prior_q + sum_w) * 1000) AS BIGINT) >= 0 AS nb_keep
         |FROM sc""".stripMargin,
+    // q161: the code battery replayed with DuckDB list lambdas — line
+    // split on chr(10), per-line lengths, the same ×1e6 integer floors
+    // and threshold gates.
+    "q161_code_filters" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    list_transform(string_split(text, chr(10)),
+        |      l -> CAST(length(l) AS BIGINT)) AS lens
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(lens) AS BIGINT) AS n_lines,
+        |    CAST(list_max(lens) AS BIGINT) AS max_line_len,
+        |    CAST(list_sum(lens) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(lens, x -> x > 120)) AS BIGINT)
+        |      AS n_long,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+        |      AS BIGINT) AS n_alnum,
+        |    (contains(lower(text), 'auto-generated')
+        |      OR contains(lower(text), 'do not edit')
+        |      OR contains(lower(text), 'generated by')) AS is_autogen
+        |  FROM b
+        |), f AS (
+        |  SELECT doc_id, n_lines, max_line_len,
+        |    (100 * sum_len) // n_lines AS avg_line_x100,
+        |    CASE WHEN n_chars > 0 THEN (1000000 * n_alnum) // n_chars
+        |      ELSE CAST(0 AS BIGINT) END AS alnum_frac_x1e6,
+        |    (1000000 * n_long) // n_lines AS long_line_frac_x1e6,
+        |    is_autogen
+        |  FROM m
+        |)
+        |SELECT *,
+        |  (max_line_len <= 1000 AND avg_line_x100 <= 10000
+        |    AND alnum_frac_x1e6 >= 250000 AND NOT is_autogen)
+        |    AS code_keep
+        |FROM f""".stripMargin,
     // q160: the q120 score replay composed with the rank-statistic AUC
     // (distinct-score cumulative algebra, ties at half credit via the
     // 2×-scaled numerator) and the closed-form ntile(10) calibration
