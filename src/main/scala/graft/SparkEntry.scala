@@ -1021,6 +1021,27 @@ object SparkEntry {
         BruteForce.topK(e, queries, k = 5), k = 5)
     }),
 
+    // 22j. JL random-sign projection ANN — the third classical scale
+    // lever beside IVF (q32: prune cells) and SQ8 (q147: shrink rows):
+    // project to 32 exact-integer components via a hash-DEFINED ±1
+    // matrix (nothing trained or stored), shortlist on the integer
+    // projected dot, exact-cosine re-rank of the shortlist only.
+    // Reported as per-query recall@5 vs the exact ranking (the q22
+    // mold). The synthetic embeddings are near-uniform on the sphere —
+    // the JL WORST case (no cluster structure to preserve) — so 32/64
+    // dims + a 100-row shortlist lands ~80% recall here; real text
+    // embeddings sit far below the JL bound. FULL oracle: milli
+    // quantization, every projection sign (hash parity), the shortlist
+    // ranking, and the re-rank replay in SQL.
+    "q162_ann_jl" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val queries = e.where(col("vec_id") < 50)
+      LshAnn.recallAtK(
+        graft.ann.JlAnn.topK(e, queries, k = 5, dims = 32,
+          shortlist = 100),
+        BruteForce.topK(e, queries, k = 5), k = 5)
+    }),
+
     // 23. token counting (whitespace + BPE-ish estimate)
     "q23_token_count" -> ((s, dir) =>
       Tables(s, dir).documents.select(
@@ -4410,6 +4431,52 @@ object SparkEntry {
        |  FROM enc
        |)""".stripMargin
 
+  /** q162 oracle: the JL search replayed end-to-end — milli
+    * quantization, every ±1 sign as hash(8191j + i) parity
+    * (generate_subscripts is 1-based, hence i − 1), exact integer
+    * projected dots, the (pdot, nid) shortlist ranking, and the
+    * IEEE-exact cosine re-rank of shortlist survivors only.
+    */
+  private lazy val q162OracleSql: String = {
+    val nq = 50; val k = 5; val dims = 32; val shortlist = 100
+    s"""WITH ${annExactCtes(nq, k)},
+       |mill AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embd
+       |),
+       |prc AS (
+       |  SELECT el.vec_id, CAST(jj.range AS BIGINT) AS j,
+       |    SUM(CASE WHEN hash(8191 * jj.range + (el.i - 1)) % 2 = 0
+       |      THEN el.x ELSE -el.x END) AS p
+       |  FROM (SELECT vec_id, generate_subscripts(q, 1) AS i,
+       |      unnest(q) AS x FROM mill) el,
+       |    range($dims) jj
+       |  GROUP BY 1, 2
+       |),
+       |pd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.p * b.p) AS pdot
+       |  FROM prc a JOIN prc b ON a.j = b.j AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $nq
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY pdot DESC, nid) AS srnk FROM pd)
+       |  WHERE srnk <= $shortlist
+       |),
+       |approx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT s.qid, s.nid, row_number() OVER (PARTITION BY s.qid
+       |      ORDER BY ${duckCosine("q.v", "n.v")} DESC, s.nid) AS rnk
+       |    FROM short s JOIN embd q ON q.vec_id = s.qid
+       |      JOIN embd n ON n.vec_id = s.nid)
+       |  WHERE rnk <= $k
+       |)
+       |${annRecallSelect(k)}""".stripMargin
+  }
+
   private lazy val q147OracleSql: String = {
     val nq = 50; val k = 5; val rerank = 50
     s"""WITH ${annExactCtes(nq, k)},
@@ -5179,6 +5246,7 @@ object SparkEntry {
     // arithmetic — so the recall metric is oracle-checked end-to-end, not
     // merely asserted against a Spark-side exact baseline.
     "q22_ann_lsh" -> q22OracleSql,
+    "q162_ann_jl" -> q162OracleSql,
     "q32_ann_ivf" -> q32OracleSql,
     "q65_pq_ann" -> q65OracleSql,
     // q147: SQ8 ADC search replayed end-to-end — quantization, integer

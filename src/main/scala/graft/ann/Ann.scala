@@ -537,3 +537,55 @@ object IvfSqAnn {
     }
   }
 }
+
+/** Johnson-Lindenstrauss random-sign projection ANN — the cheapest of
+  * the classical scale levers (alongside IVF's pruning and SQ8's row
+  * shrink): project every embedding into `dims` exact-integer
+  * components via a hash-DEFINED ±1 matrix (nothing trained, stored,
+  * or broadcast — [[graft.functions.Hashing.jlProject]]), shortlist by
+  * integer projected dot product, then exact-cosine re-rank of the
+  * shortlist only.
+  *
+  * Scale shape: the projection is one map-side pass; the shortlist
+  * crossJoin against the broadcast query set touches `dims` longs per
+  * corpus row instead of the full float vector (64-dim floats → 16
+  * longs is the same 4× row shrink as SQ8, with an integer dot that
+  * needs dims multiplies instead of D float ops); only the
+  * `shortlist` survivors per query ever load full vectors for the
+  * re-rank. Projections are exact integers on milli-quantized
+  * components, so ranking ties break identically on every engine and
+  * partitioning — and the DuckDB oracle replays the whole search.
+  */
+object JlAnn {
+
+  /** Approximate top-k: (qid, nid, rnk) — the [[BruteForce.topK]]
+    * output shape, recall < 1 by construction ([[LshAnn.recallAtK]]
+    * audits it against the exact ranking).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int = 16,
+      shortlist: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def milli(vec: org.apache.spark.sql.Column) =
+      transform(vec, v => floor(v.cast("double") * 1000).cast("long"))
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("q_vec"),
+      F.jlProject(milli(col(vecCol)), dims).as("q_p")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("n_vec"),
+      F.jlProject(milli(col(vecCol)), dims).as("n_p"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("pdot").desc, col("nid"))
+    val short = c.crossJoin(q)
+      .where(col("qid") =!= col("nid"))
+      .withColumn("pdot",
+        aggregate(zip_with(col("q_p"), col("n_p"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("srnk", row_number().over(wS))
+      .where(col("srnk") <= shortlist)
+    val wC = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    short.withColumn("cos", F.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(wC).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "nid", "rnk")
+  }
+}

@@ -146,6 +146,14 @@ object F {
   def dot(a: Column, b: Column): Column =
     invoke(DoubleType, "dotF", Seq(ex(a), ex(b)))
 
+  /** JL sign projection of a milli-quantized array<long> into `dims`
+    * exact integer components ([[Hashing.jlProject]] — signs are hash
+    * parity, nothing stored).
+    */
+  def jlProject(milli: Column, dims: Int): Column =
+    invoke(ArrayType(LongType, containsNull = false), "jlProject",
+      Seq(ex(milli), Literal(dims)))
+
   /** Squared L2 distance of two array<float> columns (double accumulation). */
   def l2sq(a: Column, b: Column): Column =
     invoke(DoubleType, "l2sqF", Seq(ex(a), ex(b)))

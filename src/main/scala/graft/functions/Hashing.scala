@@ -209,6 +209,31 @@ object Hashing {
     new GenericArrayData(out)
   }
 
+  /** Johnson-Lindenstrauss sign projection of a milli-quantized vector
+    * into `dims` dimensions: p_j = Σ_i sign(j,i)·m_i with sign(j,i) =
+    * +1 iff murmur64(8191·j + i) is even (i < 8191, so (j,i) cells
+    * never collide). The ±1 matrix is hash-DEFINED — nothing is stored
+    * or broadcast, and the DuckDB oracle regenerates every sign via
+    * hash() parity. Exact integer arithmetic throughout.
+    */
+  def jlProject(milli: ArrayData, dims: Int): ArrayData = {
+    val n = milli.numElements()
+    val out = new Array[Long](dims)
+    var j = 0
+    while (j < dims) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val m = milli.getLong(i)
+        s += (if ((murmur64(8191L * j + i) & 1L) == 0L) m else -m)
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The classic xorshift-multiply 64-bit integer finalizer (a public
     * construction from the murmur/splitmix family; also what DuckDB uses
     * for `hash(BIGINT)`, which makes hash-deterministic sampling exactly

@@ -379,4 +379,31 @@ class AnnSpec extends SparkSpec {
     assert(res.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L),
       s"ADC order diverged: ${res.mkString(",")}")
   }
+
+  test("JL projection is the exact hash-sign sum, and identical vectors collide") {
+    import graft.functions.Hashing
+    val milli = Array(1000L, -500L, 250L, 3L)
+    val got = Hashing.jlProject(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(milli), 4)
+    for (j <- 0 until 4) {
+      var want = 0L
+      for (i <- milli.indices) {
+        val s = if ((Hashing.murmur64(8191L * j + i) & 1L) == 0L) 1L else -1L
+        want += s * milli(i)
+      }
+      assert(got.getLong(j) == want, s"component $j")
+    }
+  }
+
+  test("JL ANN clears a recall floor (avg 60%) vs exact top-5 on sf0.001") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 50)
+    val rec = LshAnn.recallAtK(
+      graft.ann.JlAnn.topK(e, q, k = 5, dims = 32, shortlist = 100),
+      BruteForce.topK(e, q, k = 5), k = 5)
+      .agg(avg(col("recall_pct"))).as[Double].head()
+    // near-uniform sphere data is the JL worst case; 32/64 dims with a
+    // 100-row shortlist measured ~80 here — 60 is the regression floor
+    assert(rec >= 60.0, s"JL avg recall $rec < 60")
+  }
 }
