@@ -2528,6 +2528,31 @@ object SparkEntry {
         pairs)
     }),
 
+    // 27i-c. audio activity segmentation (the VAD primitive: silence
+    // trimming, speech-segment chunking, duration accounting) — decode
+    // the PCM frames the engine assembled, box the time axis with the
+    // fingerprint's 65-box rule, call a box ACTIVE when Σamp ≥
+    // 600·frames (exact cross-multiplication, no mean rounding), and
+    // fold the run structure: active-box count, segment count, longest
+    // silence run, first active box. ABSOLUTE-threshold semantics — a
+    // gain twin legitimately changes verdicts (the spec pins this
+    // distinction vs the gain-invariant q154 fingerprint). FULL
+    // oracle: box amplitudes replay as channels·gain·(37·lvl+5) from
+    // the q154 level plant, runs via lag + gaps-and-islands. Corrupt
+    // clips are honest NULL rows. One map-side decode pass, zero
+    // shuffles beyond the scan.
+    "q163_audio_vad" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      docs.select(col("doc_id"),
+          F.vadStats(F.fpWavFixture(col("doc_id")), 600L).as("v"))
+        .select(col("doc_id"),
+          element_at(col("v"), 1).as("n_frames"),
+          element_at(col("v"), 2).as("n_active"),
+          element_at(col("v"), 3).as("n_segments"),
+          element_at(col("v"), 4).as("longest_silence"),
+          nullif(element_at(col("v"), 5), lit(-1L)).as("first_active"))
+    }),
+
     // 27j. clip near-dup — frames → q148 hashes → near-dup CLIP
     // detection: decode every APNG frame (real walk), dHash each with
     // the still-image construction, block candidate clips on the
@@ -4206,6 +4231,65 @@ object SparkEntry {
        |  FROM d JOIN fp USING (doc_id)
        |)""".stripMargin
 
+  /** q163 oracle: box activity replayed from the q154 level plant —
+    * per-frame amplitude is channels·gain·(37·lvl + 5) (the fixture
+    * writes the same sample to every channel and the engine mixes by
+    * summing), so a box is active iff mult·(37·lvl + 5) ≥ 600; runs
+    * fold via lag (segment starts) and gaps-and-islands (longest
+    * silence). Corrupt docs (doc%8==1) are NULL rows.
+    */
+  private lazy val q163OracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id // 4 AS m, doc_id % 4 AS v FROM documents
+       |),
+       |lv AS (
+       |  SELECT d.doc_id, CAST(k.range AS BIGINT) AS k,
+       |    CAST(hash(131*d.m
+       |        + CASE WHEN d.v = 3 THEN 424243 ELSE 0 END
+       |        + k.range) % 64 AS BIGINT)
+       |      + CASE WHEN d.v = 2 AND k.range = d.m % 65
+       |        THEN 17 ELSE 0 END AS lvl,
+       |    (1 + d.m % 2) * (CASE WHEN d.v = 1 THEN 2 ELSE 1 END) AS mult,
+       |    2 + d.m % 3 AS spw
+       |  FROM d, range(65) k
+       |  WHERE d.doc_id % 8 <> 1
+       |),
+       |fl AS (
+       |  SELECT doc_id, k, spw,
+       |    (mult * (37*lvl + 5) >= 600) AS active
+       |  FROM lv
+       |),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(65 * MAX(spw) AS BIGINT) AS n_frames,
+       |    CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_active,
+       |    CAST(SUM(CASE WHEN active AND (prev IS NULL OR NOT prev)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+       |    MIN(CASE WHEN active THEN k END) AS first_active
+       |  FROM (SELECT *, lag(active) OVER (PARTITION BY doc_id
+       |    ORDER BY k) AS prev FROM fl) x
+       |  GROUP BY doc_id
+       |),
+       |sil AS (
+       |  SELECT doc_id, CAST(MAX(islsz) AS BIGINT) AS longest_silence
+       |  FROM (
+       |    SELECT doc_id, COUNT(*) AS islsz FROM (
+       |      SELECT doc_id, k,
+       |        k - row_number() OVER (PARTITION BY doc_id ORDER BY k)
+       |          AS isl
+       |      FROM fl WHERE NOT active) i
+       |    GROUP BY doc_id, isl) g
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, b.n_frames, b.n_active, b.n_segments,
+       |  CASE WHEN b.n_frames IS NOT NULL
+       |    THEN COALESCE(s.longest_silence, CAST(0 AS BIGINT)) END
+       |    AS longest_silence,
+       |  b.first_active
+       |FROM d LEFT JOIN base b USING (doc_id)
+       |LEFT JOIN sil s USING (doc_id)""".stripMargin
+
   /** q156 oracle: [[afpCtes]] + the engine-faithful blocking + the
     * q150-style recursive reachability fold (component = min id
     * reachable through the Hamming ball; corrupt docs are singletons).
@@ -5281,6 +5365,7 @@ object SparkEntry {
     "q158_scene_cuts" -> q158OracleSql,
     // q156: the q154 replay + blocking + recursive reachability
     "q156_audio_clusters" -> q156OracleSql,
+    "q163_audio_vad" -> q163OracleSql,
     // q157: quantized cosines + both top-k windows + the exact
     // floor-division margin, replayed end-to-end
     "q157_bitext_margin" -> q157OracleSql,

@@ -316,6 +316,17 @@ object F {
       BinaryType, "makeFpWav", Seq(ex(docId)), Nil, propagateNull = true,
       returnNullable = false))
 
+  /** Energy-threshold VAD segmentation of a PCM WAV: [n_frames,
+    * n_active, n_segments, longest_silence, first_active] or NULL on
+    * undecodable bytes ([[graft.multimodal.AudioFingerprint.vadStats]]).
+    * StaticInvoke — whole-stage codegen, never a UDF.
+    */
+  def vadStats(blob: Column, threshold: Long): Column =
+    col(StaticInvoke(classOf[graft.multimodal.AudioFingerprint.type],
+      ArrayType(LongType, containsNull = false), "vadStats",
+      Seq(ex(blob), Literal(threshold)), Nil, propagateNull = true,
+      returnNullable = true))
+
   /** 64-bit audio energy-contour fingerprint over a PCM WAV blob —
     * exactly gain-invariant (cross-multiplied mean comparison), NULL on
     * corrupt/non-integer-PCM bytes ([[graft.multimodal

@@ -49,11 +49,12 @@ object AudioFingerprint {
   private def tag(b: Array[Byte], i: Int): String =
     new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
 
-  /** 64-bit energy-contour fingerprint, or NULL when the bytes are not
-    * an integer-PCM WAV (the [[AudioHeader.wavMeta]] walk, plus the
-    * data OFFSET this consumer needs).
+  /** Per-frame amplitudes |Σ channels| of an integer-PCM WAV (the
+    * [[AudioHeader.wavMeta]] walk plus the data offset), or null on
+    * corrupt/torn/non-PCM bytes — shared by [[fingerprint]] and
+    * [[vadStats]].
     */
-  def fingerprint(b: Array[Byte]): java.lang.Long = {
+  private def decodeAmp(b: Array[Byte]): Array[Long] = {
     if (b == null || b.length < 12) return null
     if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return null
     var off = 12
@@ -95,6 +96,16 @@ object AudioFingerprint {
       amp(f) = math.abs(s)
       f += 1
     }
+    amp
+  }
+
+  /** 64-bit energy-contour fingerprint, or NULL when the bytes are not
+    * an integer-PCM WAV.
+    */
+  def fingerprint(b: Array[Byte]): java.lang.Long = {
+    val amp = decodeAmp(b)
+    if (amp == null) return null
+    val n = amp.length
     // box energies + counts (the PHash cells rule on the time axis)
     val e = new Array[Long](65)
     val cnt = new Array[Long](65)
@@ -115,6 +126,52 @@ object AudioFingerprint {
       k += 1
     }
     java.lang.Long.valueOf(fp)
+  }
+
+  /** Energy-threshold activity segmentation (the VAD primitive every
+    * speech pipeline runs before transcription or chunking): split the
+    * frame axis into the same 65 boxes the fingerprint uses, call a box
+    * ACTIVE when its energy clears `threshold` per frame — compared as
+    * the exact cross-multiplication Σamp ≥ threshold·frames, no
+    * floor-mean rounding — and fold the run structure. Output
+    * [n_frames, n_active, n_segments, longest_silence, first_active]
+    * (first_active = −1 when no box is active; the F wrapper nullifs
+    * it), or null on undecodable bytes. Absolute-threshold semantics:
+    * a gain change legitimately moves verdicts — this is NOT the
+    * gain-invariant fingerprint, and the spec pins that distinction.
+    */
+  def vadStats(b: Array[Byte], threshold: Long)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val amp = decodeAmp(b)
+    if (amp == null) return null
+    val n = amp.length
+    val boxes = 65
+    var nActive = 0L; var nSeg = 0L
+    var longestSil = 0L; var curSil = 0L
+    var firstActive = -1L
+    var prevActive = false
+    var k = 0
+    while (k < boxes) {
+      val f0 = k * n / boxes
+      val f1 = math.max((k + 1) * n / boxes, f0 + 1)
+      var s = 0L
+      var i = f0
+      while (i < f1) { s += amp(i); i += 1 }
+      val active = s >= threshold * (f1 - f0)
+      if (active) {
+        nActive += 1
+        if (firstActive < 0) firstActive = k
+        if (!prevActive) nSeg += 1
+        curSil = 0
+      } else {
+        curSil += 1
+        if (curSil > longestSil) longestSil = curSil
+      }
+      prevActive = active
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(n.toLong, nActive, nSeg, longestSil, firstActive))
   }
 
   // ---- q154 fixture ----------------------------------------------------

@@ -119,4 +119,32 @@ class AudioHeaderSpec extends SparkSpec {
     }
     assert(fp(AudioFingerprint.makeFpWav(9L)).isEmpty, "doc%8==1 is corrupt")
   }
+
+  private def vad(b: Array[Byte], t: Long): Option[Seq[Long]] =
+    Option(AudioFingerprint.vadStats(b, t)).map(_.toLongArray().toSeq)
+
+  test("vadStats: hand-checked runs, exact threshold edge, corrupt null") {
+    // 65 boxes of 1 frame each: active iff amp >= 7; plant
+    // S A A S S A (then silence) → 2 segments, first active at 1
+    val amps = Seq(3, 9, 9, 3, 3, 9) ++ Seq.fill(59)(2)
+    val Some(r) = vad(pcm16(amps), 7L)
+    assert(r == Seq(65L, 3L, 2L, 59L, 1L), s"got $r")
+    // threshold is >= (sum >= t*frames): amp exactly t is ACTIVE
+    val Some(edge) = vad(pcm16(Seq.fill(65)(7)), 7L)
+    assert(edge(1) == 65L && edge(2) == 1L && edge(3) == 0L)
+    assert(vad("JUNKJUNKJUNKJUNK".getBytes("US-ASCII"), 7L).isEmpty)
+  }
+
+  test("vadStats is absolute-threshold: a gain twin legitimately moves verdicts") {
+    // fingerprints of v0 and the ×2 gain twin v1 are IDENTICAL (the
+    // q154 invariance), but activity under a fixed threshold is not —
+    // find a motif where the twin's verdicts differ, proving the two
+    // operators answer different questions
+    val moved = (1L to 40L by 2).exists { m =>
+      val a = vad(AudioFingerprint.makeFpWav(4 * m), 600L).get
+      val b = vad(AudioFingerprint.makeFpWav(4 * m + 1), 600L).get
+      a(1) != b(1)
+    }
+    assert(moved, "×2 gain never moved an activity verdict across motifs")
+  }
 }
