@@ -1042,6 +1042,20 @@ object SparkEntry {
         BruteForce.topK(e, queries, k = 5), k = 5)
     }),
 
+    // 22k. distributed PCA (first principal component, power
+    // iteration) — the embedding-prep step before SemDedup/ANN
+    // sharpening ("all-but-the-top"): milli-quantize, center by cross
+    // multiplication (no mean rounding), one vid-co-partitioned Gram
+    // aggregation whose d² blowup is map-local (map-side combine caps
+    // the shuffle at d²·partitions rows), then two exact power steps
+    // with L∞ re-normalization by subtract-pmod floor. Sign fixed by
+    // the all-ones init; Rayleigh quotient rides along as the
+    // eigenvalue gauge. FULL oracle: the Gram and both iterations
+    // unrolled in SQL (the q65 two-Lloyd-step precedent).
+    "q164_pca_power" -> ((s, dir) =>
+      graft.ann.Pca.topComponent(Tables(s, dir).embeddings, "vec_id",
+        "embedding", iters = 2)),
+
     // 23. token counting (whitespace + BPE-ish estimate)
     "q23_token_count" -> ((s, dir) =>
       Tables(s, dir).documents.select(
@@ -4561,6 +4575,63 @@ object SparkEntry {
        |${annRecallSelect(k)}""".stripMargin
   }
 
+  /** q164 oracle: centering, the Gram, both power steps, and the
+    * Rayleigh gauge unrolled — exact HUGEINT arithmetic with the
+    * subtract-pmod floor matching Spark's DECIMAL(38,0) route.
+    */
+  private lazy val q164OracleSql: String =
+    s"""WITH embd AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |mill AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embd
+       |),
+       |el AS (
+       |  SELECT vec_id, CAST(generate_subscripts(q, 1) - 1 AS BIGINT)
+       |    AS j, unnest(q) AS x
+       |  FROM mill
+       |),
+       |st AS (SELECT j, SUM(x) AS sj, COUNT(*) AS n FROM el GROUP BY 1),
+       |ce AS (
+       |  SELECT e.vec_id, e.j, e.x * st.n - st.sj AS c
+       |  FROM el e JOIN st USING (j)
+       |),
+       |g AS (
+       |  SELECT a.j, b.j AS k, SUM(CAST(a.c AS HUGEINT) * b.c) AS g
+       |  FROM ce a JOIN ce b USING (vec_id) GROUP BY 1, 2
+       |),
+       |w1 AS (SELECT j, SUM(g) AS w FROM g GROUP BY 1),
+       |m1 AS (SELECT greatest(MAX(abs(w)), 1) AS mx FROM w1),
+       |v1 AS (
+       |  SELECT j AS k,
+       |    (w*1000000 - ((w*1000000 % mx + mx) % mx)) // mx AS v
+       |  FROM w1 CROSS JOIN m1
+       |),
+       |w2 AS (
+       |  SELECT g.j, SUM(g.g * v1.v) AS w
+       |  FROM g JOIN v1 USING (k) GROUP BY 1
+       |),
+       |m2 AS (SELECT greatest(MAX(abs(w)), 1) AS mx FROM w2),
+       |v2 AS (
+       |  SELECT j AS k,
+       |    (w*1000000 - ((w*1000000 % mx + mx) % mx)) // mx AS v
+       |  FROM w2 CROSS JOIN m2
+       |),
+       |ray AS (
+       |  SELECT CAST((num - ((num % den + den) % den)) // den
+       |    AS DECIMAL(38,0)) AS rayleigh
+       |  FROM (SELECT SUM(g.g * a.v * b.v) AS num
+       |    FROM g JOIN v2 a ON g.j = a.k JOIN v2 b ON g.k = b.k)
+       |  CROSS JOIN (SELECT SUM(CAST(v AS HUGEINT) * v) AS den FROM v2)
+       |)
+       |SELECT CAST(k AS BIGINT) AS dim, CAST(v AS BIGINT) AS pc1_x1e6,
+       |  rayleigh
+       |FROM v2 CROSS JOIN ray""".stripMargin
+
   private lazy val q147OracleSql: String = {
     val nq = 50; val k = 5; val rerank = 50
     s"""WITH ${annExactCtes(nq, k)},
@@ -5331,6 +5402,7 @@ object SparkEntry {
     // merely asserted against a Spark-side exact baseline.
     "q22_ann_lsh" -> q22OracleSql,
     "q162_ann_jl" -> q162OracleSql,
+    "q164_pca_power" -> q164OracleSql,
     "q32_ann_ivf" -> q32OracleSql,
     "q65_pq_ann" -> q65OracleSql,
     // q147: SQ8 ADC search replayed end-to-end — quantization, integer
