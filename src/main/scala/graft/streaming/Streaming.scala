@@ -139,6 +139,63 @@ object StreamCdc {
   }
 }
 
+final case class HllItem(g: String, h: Long)
+final case class HllRegsState(regs: Array[Int])
+final case class HllEstimate(g: String, v_zero: Long, s_harmonic: Long,
+    est_hll: Long, estimate: Long)
+
+object StreamHll {
+
+  /** Streaming HyperLogLog — the incremental twin of
+    * [[graft.functions.Hll.sketch]]: per-group state is EXACTLY the 64
+    * max-merged registers (the whole point of an HLL in a stream — a
+    * running distinct-count gauge whose state never grows past 64
+    * bytes-ish per group, where streaming exact distinct would hold
+    * every key forever). Every trigger emits the group's current
+    * estimate (Update mode) using the same integer-only fold as the
+    * batch sketch — same ρ bit algebra, same exact harmonic sum, same
+    * driver-fixed linear-counting table — so after any prefix of
+    * batches the stream's answer equals the batch sketch over the
+    * union of everything absorbed so far (StreamingSpec pins it
+    * non-vacuously across multiple triggers).
+    */
+  def run(spark: SparkSession, items: Dataset[HllItem])
+      : Dataset[HllEstimate] = {
+    import spark.implicits._
+    val m = graft.functions.Hll.NumRegisters
+    def fn(g: String, it: Iterator[HllItem],
+        state: GroupState[HllRegsState]): Iterator[HllEstimate] = {
+      val regs = state.getOption.map(_.regs).getOrElse(new Array[Int](m))
+      it.foreach { x =>
+        val reg = (x.h & 63L).toInt
+        val rest = x.h >>> 6
+        val rho =
+          if (rest == 0L) 32
+          else math.min(java.lang.Long.numberOfTrailingZeros(rest) + 1, 32)
+        if (rho > regs(reg)) regs(reg) = rho
+      }
+      state.update(HllRegsState(regs))
+      var vZero = 0L; var s = 0L
+      var i = 0
+      while (i < m) {
+        s += 1L << (32 - regs(i))
+        if (regs(i) == 0) vZero += 1
+        i += 1
+      }
+      val est = graft.functions.Hll.EstNumerator / (10000L * s)
+      val estimate =
+        if (est <= graft.functions.Hll.SmallRange && vZero > 0L)
+          graft.functions.Hll.LinearTable(vZero.toInt - 1)
+        else est
+      Iterator.single(HllEstimate(g, vZero, s, est, estimate))
+    }
+    items
+      .groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+}
+
 object StatefulSessionize {
 
   /** Stateful sessionization with flatMapGroupsWithState: per-user state is

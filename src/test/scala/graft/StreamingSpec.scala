@@ -552,4 +552,50 @@ class StreamingSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("streaming HLL equals the batch sketch after every trigger (registers merge by MAX)") {
+    import graft.streaming.{HllItem, StreamHll}
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[HllItem]
+    val q = StreamHll.run(spark, mem.toDS())
+      .writeStream.format("memory").queryName("hll_twin")
+      .outputMode("update").start()
+    def items(g: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => HllItem(g,
+        graft.functions.Hashing.hash64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"t$i"), 0L)))
+    // three triggers; batch 2 replays half of batch 1 (duplicates must
+    // not move the sketch), batch 3 adds a second group
+    val batches = Seq(
+      items("a", 0, 400),
+      items("a", 200, 700),
+      items("a", 650, 800) ++ items("b", 0, 30))
+    var seen = 0
+    var absorbed = Seq.empty[HllItem]
+    try {
+      for (b <- batches) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        absorbed = absorbed ++ b
+        val all = spark.table("hll_twin").collect()
+        val fresh = all.drop(seen)
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))).toMap
+        seen = all.length
+        val expect = graft.functions.Hll.sketch(
+          absorbed.toDF().select(col("g"), col("h")), Seq("g"), "h")
+          .collect()
+          .map(r => (r.getAs[String]("g"), (r.getAs[Long]("v_zero"),
+            r.getAs[Long]("s_harmonic"), r.getAs[Long]("est_hll"),
+            r.getAs[Long]("estimate")))).toMap
+        for ((g, got) <- fresh)
+          assert(got == expect(g),
+            s"group $g after ${absorbed.size} items: stream $got != batch ${expect(g)}")
+        assert(fresh.nonEmpty, "every trigger must emit touched groups")
+      }
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS hll_twin")
+    }
+  }
 }
