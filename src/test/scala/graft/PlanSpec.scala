@@ -344,4 +344,42 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       "host report plans more than its two rollup shuffles:\n" + p.take(1200))
   }
+
+  test("HLL sketch: register max is a two-stage aggregate (map-side combine)") {
+    val p = plan("q159_hll_distinct")
+    assert(p.contains("partial_max"),
+      "no partial register max — every token row would cross the wire:\n" +
+        p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("code filter battery plans ZERO exchanges (pure map-side op)") {
+    val p = plan("q161_code_filters")
+      .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
+    assert(!p.contains("Exchange"),
+      "code filters introduced a shuffle:\n" + p.take(1200))
+  }
+
+  test("JL ANN: queries broadcast against the projected corpus scan") {
+    val p = plan("q162_ann_jl")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the query side must ride a broadcast:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PCA: the Gram aggregate combines map-side and nothing goes cartesian") {
+    val p = plan("q164_pca_power")
+    assert(p.contains("partial_sum"),
+      "Gram aggregation lost its map-side combine:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("scene cuts: the lag window and aggregates share the doc_id exchanges") {
+    val p = plan("q158_scene_cuts")
+      .replaceAll("Exchange RoundRobinPartitioning[^\\n]*", "<loader>")
+    assert(!p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      "scene cuts plans more doc_id shuffles than its window+agg shape:\n" +
+        p.take(1500))
+  }
 }
