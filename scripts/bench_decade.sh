@@ -4,6 +4,10 @@
 # pair was first committed from a box at loadavg ~9 and the tail ran
 # 2-3x inflated (q20 55s vs 19.6s idle, q115 10.6s vs 3.2s) — a decade
 # RATIO artifact is only meaningful when both points are measured idle.
+# Round-17 lesson (VERDICT r16 task 2, the second 0-byte 100x anchor):
+# the artifact is VALIDATED before this script exits 0 — it must exist,
+# be non-empty, parse as JSON, and carry a non-empty "queries" map; a
+# crashed bench leaves no half-written artifact behind.
 # Usage:
 #   scripts/bench_decade.sh <scale_dir> <out_json>
 set -euo pipefail
@@ -26,6 +30,31 @@ if [ "$ok" != "1" ]; then
   exit 3
 fi
 
+TMP_OUT=$(mktemp "${OUT}.XXXXXX")
+cleanup() { rm -f "$TMP_OUT"; }
+trap cleanup EXIT
+
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -1 > "$OUT"
+  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -1 > "$TMP_OUT" || true
+
+# refuse to exit 0 on an empty/truncated/metric-less artifact (the r14
+# and r16 0-byte 100x blemish class): validate BEFORE moving into place
+python3 - "$TMP_OUT" <<'EOF'
+import json, sys
+path = sys.argv[1]
+try:
+    with open(path) as f:
+        d = json.load(f)
+except Exception as e:
+    sys.exit(f"[bench_decade] artifact is not parseable JSON: {e}")
+if not isinstance(d, dict) or not d.get("queries"):
+    sys.exit("[bench_decade] artifact has no queries map — bench crashed?")
+if not isinstance(d.get("value"), (int, float)):
+    sys.exit("[bench_decade] artifact has no numeric value")
+print(f"[bench_decade] validated: {len(d['queries'])} queries, "
+      f"{d['value']:.1f} {d.get('unit', '?')}", file=sys.stderr)
+EOF
+
+mv "$TMP_OUT" "$OUT"
+trap - EXIT
 echo "[bench_decade] wrote $OUT" >&2

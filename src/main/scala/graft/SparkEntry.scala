@@ -1045,16 +1045,80 @@ object SparkEntry {
     // 22k. distributed PCA (first principal component, power
     // iteration) — the embedding-prep step before SemDedup/ANN
     // sharpening ("all-but-the-top"): milli-quantize, center by cross
-    // multiplication (no mean rounding), one vid-co-partitioned Gram
-    // aggregation whose d² blowup is map-local (map-side combine caps
-    // the shuffle at d²·partitions rows), then two exact power steps
-    // with L∞ re-normalization by subtract-pmod floor. Sign fixed by
-    // the all-ones init; Rayleigh quotient rides along as the
-    // eigenvalue gauge. FULL oracle: the Gram and both iterations
-    // unrolled in SQL (the q65 two-Lloyd-step precedent).
+    // multiplication (no mean rounding) + one exact floor back to
+    // milli units, one vid-co-partitioned Gram aggregation whose d²
+    // blowup is map-local (map-side combine caps the shuffle at
+    // d²·partitions rows), rescale the Gram to ~1e9 cells, then two
+    // exact power steps renormalized by the ⌊max|w|/1e6⌋+1 floor
+    // divisor. R17 REDESIGN (verdict task 1): EVERY intermediate is a
+    // 63-bit signed BIGINT on both engines — the q127 r14 remedy — so
+    // the oracle never touches HUGEINT `%`/`//` or DECIMAL(38,0).
+    // Sign fixed by the all-ones init; the Rayleigh gauge (λ in
+    // Gram-scale units) rides along. FULL oracle: the Gram and both
+    // iterations unrolled in SQL (the q65 two-Lloyd-step precedent).
     "q164_pca_power" -> ((s, dir) =>
       graft.ann.Pca.topComponent(Tables(s, dir).embeddings, "vec_id",
         "embedding", iters = 2)),
+
+    // 22k-b. the "all-but-the-top" TRANSFORM (verdict r16 next-task 6 —
+    // what q164's component is FOR): sharpen every embedding by
+    // projecting pc1 out, x ← x − ⌊⟨m,v⟩·v_j/⟨v,v⟩⌋ in exact milli
+    // integers. The ≤d loadings collect to the driver (SemDedup-
+    // codebook posture) and re-enter as literals, so the transform is
+    // ONE map-side pass of codegen array lambdas — zero added
+    // shuffles. Output is the per-vector audit: dot_before/dot_after
+    // (the dominant direction provably vanishes — after is the floor
+    // residual) and the milli norms before/after (the variance pc1
+    // carried). FULL oracle: the q164 replay composed with the
+    // transform and both audits.
+    "q165_remove_top" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      graft.ann.Pca.removeTopAudit(e, "vec_id", "embedding",
+        graft.ann.Pca.topComponent(e, "vec_id", "embedding", iters = 2))
+    }),
+
+    // 22k-c. the sharpened-corpus CONSUMER, end-to-end: pc1 →
+    // removeTop → 64-bit sign-random-projection signature of the
+    // SHARPENED milli vectors (hash-parity signs, nothing stored —
+    // the q162 JL machinery) → the capped pigeonhole Hamming blocking
+    // (q148 machinery) → per-vector near-dup counts. This is the
+    // SemDedup-prep shape the all-but-the-top literature motivates:
+    // dedup signatures sharpen once the hub direction is gone. FULL
+    // oracle: q164 + removeTop + every projection sign + the
+    // engine-faithful capped blocking + the count fold.
+    "q166_sharpened_srp" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val sh = graft.ann.Pca.removeTop(e, "vec_id", "embedding",
+        graft.ann.Pca.topComponent(e, "vec_id", "embedding", iters = 2))
+      val pow2 = array((0 until 64).map(i => lit(1L << i)): _*)
+      val sig = sh.select(col("vec_id"),
+        aggregate(zip_with(F.jlProject(col("sharp"), 64), pow2,
+          (p, b) => when(p > lit(0L), b).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x).as("srp_sig"))
+      val pairs = SimHashDedup.hammingPairs(sig, "vec_id", "srp_sig",
+        maxHamming = 3, maxBucket = 1024)
+      val sided = pairs.select(col("id_a").as("vec_id"),
+          col("id_b").as("partner"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+      sig.join(sided.groupBy("vec_id")
+          .agg(count(lit(1)).as("n_dups"), min("partner").as("min_partner")),
+        Seq("vec_id"), "left")
+        .select(col("vec_id"), col("srp_sig"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("min_partner"))
+    }),
+
+    // 22k-d. multi-component PCA by Hotelling deflation (verdict r16
+    // missing-item 3): after pc1, subtract λ·vvᵀ/⟨v,v⟩ from the Gram
+    // in the staged-BIGINT discipline and power-iterate again — the
+    // constant /64 restage keeps every product < 2⁶³ at any component
+    // count and makes the per-component gauges comparable (×64^(c−1)
+    // back to first-round units). The deflation loop is driver-side
+    // over nComponents; each round touches only the d²-row Gram. FULL
+    // oracle: both components, the projector, the deflated Gram, and
+    // both gauges unrolled.
+    "q167_pca_deflate" -> ((s, dir) =>
+      graft.ann.Pca.topComponents(Tables(s, dir).embeddings, "vec_id",
+        "embedding", nComponents = 2, iters = 2)),
 
     // 23. token counting (whitespace + BPE-ish estimate)
     "q23_token_count" -> ((s, dir) =>
@@ -1959,6 +2023,28 @@ object SparkEntry {
           col("estimate"))
     }),
 
+    // 26ac-c. the same census at CENSUS precision (VERDICT r16
+    // next-task 7): p = 12 → 4096 registers, ~1.6% σ — the precision a
+    // real 100 TB vocabulary census wants; rho caps at C(12) = 26 so
+    // every estimator term stays a 63-bit BIGINT, and the 4096-entry
+    // linear-counting table is still a driver-bounded literal in both
+    // plans. Same one (group, reg) map-side-combined shuffle as q159.
+    "q168_hll_p12" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val toks = docs.select(col("lang"),
+        explode(F.tokensLower(col("text"))).as("tok"))
+      val sk = graft.functions.Hll.sketch(
+        toks.select(col("lang"), F.hash64(col("tok")).as("h")),
+        Seq("lang"), "h", p = 12)
+      val audit = toks.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("exact_distinct"))
+      sk.join(audit, Seq("lang"))
+        .select(col("lang"), col("n_tokens"), col("exact_distinct"),
+          col("v_zero"), col("s_harmonic"), col("est_hll"),
+          col("estimate"))
+    }),
+
     // 29p. adaptive recrawl scheduling (Cho & Garcia-Molina 2003): the
     // planted fetch history gives each of 20 URLs a volatility class —
     // never-changing, every-fetch, every-2nd, every-12th — and the
@@ -2488,6 +2574,22 @@ object SparkEntry {
     "q157_bitext_margin" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       graft.ann.BitextMining.minePairs(
+        e.where(col("vec_id") % 2 === 0 && col("vec_id") < 1000),
+        e.where(col("vec_id") % 2 === 1), k = 4)
+    }),
+
+    // 22i-b. GLOBAL margin mining (verdict r16 missing-item 4): the
+    // paper's full reverse-index semantics — backward neighborhoods are
+    // per-target top-k over the WHOLE source corpus (a second symmetric
+    // ranking over the same cosine pass, not the batch-bounded
+    // re-score), candidates the fwd ∪ bwd union (the "max" strategy).
+    // One cosine frame, two windows, checkpointed to (n+m)·k candidate
+    // rows before the exact integer margins. FULL oracle: both
+    // rankings, both neighborhood sums, the union, and the best-margin
+    // verdict replayed.
+    "q169_bitext_global" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      graft.ann.BitextMining.mineGlobalPairs(
         e.where(col("vec_id") % 2 === 0 && col("vec_id") < 1000),
         e.where(col("vec_id") % 2 === 1), k = 4)
     }),
@@ -4213,6 +4315,60 @@ object SparkEntry {
        |WHERE b = 1""".stripMargin
   }
 
+  /** q169 oracle: the GLOBAL mining replay — the same cosine frame,
+    * BOTH full rankings (per-source and per-target over the whole other
+    * corpus), the fwd ∪ bwd candidate union, and the best-margin
+    * verdict. c9 is BIGINT throughout (|c9| ≤ 10⁹, num ≤ 8·10¹⁵ — the
+    * q164 r17 lesson: no HUGEINT ever meets % or //).
+    */
+  private lazy val q169OracleSql: String = {
+    val k = 4; val accept = 1060000L
+    s"""WITH embd AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |x AS MATERIALIZED (
+       |  SELECT s.vec_id AS sid, t.vec_id AS tid,
+       |    CAST(CAST(CAST(${duckCosine("s.v", "t.v")}
+       |      AS DECIMAL(18,9)) AS DECIMAL(28,9))
+       |      * 1000000000 AS BIGINT) AS c9
+       |  FROM embd s, embd t
+       |  WHERE s.vec_id % 2 = 0 AND s.vec_id < 1000 AND t.vec_id % 2 = 1
+       |),
+       |rk AS MATERIALIZED (
+       |  SELECT sid, tid, c9,
+       |    row_number() OVER (PARTITION BY sid
+       |      ORDER BY c9 DESC, tid) AS rf,
+       |    row_number() OVER (PARTITION BY tid
+       |      ORDER BY c9 DESC, sid) AS rb
+       |  FROM x
+       |),
+       |cand AS (SELECT * FROM rk WHERE rf <= $k OR rb <= $k),
+       |da AS (
+       |  SELECT sid, CAST(SUM(c9) AS BIGINT) AS d_a FROM cand
+       |  WHERE rf <= $k GROUP BY 1
+       |),
+       |db AS (
+       |  SELECT tid, CAST(SUM(c9) AS BIGINT) AS d_b FROM cand
+       |  WHERE rb <= $k GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT sid, tid,
+       |    CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+       |      AS margin_x1e6
+       |  FROM (
+       |    SELECT c.sid, c.tid, c.c9 * ${2 * k} * 1000000 AS num,
+       |      greatest(da.d_a + db.d_b, 1) AS den
+       |    FROM cand c JOIN da USING (sid) JOIN db USING (tid))
+       |)
+       |SELECT sid AS src_id, tid AS tgt_id, margin_x1e6,
+       |  margin_x1e6 >= $accept AS is_accepted
+       |FROM (
+       |  SELECT m.*, row_number() OVER (PARTITION BY sid
+       |    ORDER BY margin_x1e6 DESC, tid) AS b FROM m)
+       |WHERE b = 1""".stripMargin
+  }
+
   /** q154's fingerprint replay (levels → bits → packed hash), shared
     * with the q156 cluster oracle.
     */
@@ -4575,62 +4731,228 @@ object SparkEntry {
        |${annRecallSelect(k)}""".stripMargin
   }
 
-  /** q164 oracle: centering, the Gram, both power steps, and the
-    * Rayleigh gauge unrolled — exact HUGEINT arithmetic with the
-    * subtract-pmod floor matching Spark's DECIMAL(38,0) route.
+  /** BIGINT floor(a/b) in DuckDB, b > 0: the subtract-pmod form —
+    * exact for either sign of `a` and deliberately BIGINT-only, immune
+    * to the cross-version HUGEINT `%`/`//` divergence that produced the
+    * r13 q127 and r16 q164 red rows (VERDICT r17 task 1).
     */
-  private lazy val q164OracleSql: String =
-    s"""WITH embd AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
-       |  FROM embeddings
-       |),
-       |mill AS (
+  private def duckFdiv(a: String, b: String): String =
+    s"((($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b))"
+
+  /** The staged-BIGINT PCA Gram replay (graft.ann.Pca's arithmetic —
+    * see its magnitude proof): milli quantization, exact
+    * cross-multiplied centering + the one floor back to milli units,
+    * the d² Gram, and the ⌊max|G|/10⁹⌋+1 rescale. Emits `el` (vec_id,
+    * j, x), `g` (j, k, g with |g| ≲ 10⁹). Requires an `embd` CTE
+    * exposing (vec_id, v DOUBLE[]). Every SUM casts straight to
+    * BIGINT so no HUGEINT ever meets `%` or `//`.
+    */
+  private lazy val pcaGramCtes: String =
+    s"""mlq AS (
        |  SELECT vec_id,
        |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
        |  FROM embd
        |),
-       |el AS (
+       |el AS MATERIALIZED (
        |  SELECT vec_id, CAST(generate_subscripts(q, 1) - 1 AS BIGINT)
        |    AS j, unnest(q) AS x
-       |  FROM mill
+       |  FROM mlq
        |),
-       |st AS (SELECT j, SUM(x) AS sj, COUNT(*) AS n FROM el GROUP BY 1),
-       |ce AS (
-       |  SELECT e.vec_id, e.j, e.x * st.n - st.sj AS c
-       |  FROM el e JOIN st USING (j)
+       |st AS (
+       |  SELECT j, CAST(SUM(x) AS BIGINT) AS sj, COUNT(*) AS n
+       |  FROM el GROUP BY 1
        |),
-       |g AS (
-       |  SELECT a.j, b.j AS k, SUM(CAST(a.c AS HUGEINT) * b.c) AS g
+       |ce AS MATERIALIZED (
+       |  SELECT vec_id, j, ${duckFdiv("cr", "n")} AS c
+       |  FROM (SELECT e.vec_id, e.j, e.x * st.n - st.sj AS cr, st.n AS n
+       |    FROM el e JOIN st USING (j))
+       |),
+       |graw AS MATERIALIZED (
+       |  SELECT a.j, b.j AS k, CAST(SUM(a.c * b.c) AS BIGINT) AS g0
        |  FROM ce a JOIN ce b USING (vec_id) GROUP BY 1, 2
        |),
-       |w1 AS (SELECT j, SUM(g) AS w FROM g GROUP BY 1),
-       |m1 AS (SELECT greatest(MAX(abs(w)), 1) AS mx FROM w1),
-       |v1 AS (
-       |  SELECT j AS k,
-       |    (w*1000000 - ((w*1000000 % mx + mx) % mx)) // mx AS v
-       |  FROM w1 CROSS JOIN m1
+       |gdv AS (SELECT MAX(abs(g0)) // 1000000000 + 1 AS gdiv FROM graw),
+       |g AS MATERIALIZED (
+       |  SELECT j, k, ${duckFdiv("g0", "gdiv")} AS g
+       |  FROM graw CROSS JOIN gdv
+       |)""".stripMargin
+
+  /** Two exact power steps from v₀ = 1 over Gram CTE `$gram` (j, k, g):
+    * emits `${p}w1/${p}d1/${p}v1/${p}w2/${p}d2/${p}v2`; the component
+    * lands in `${p}v2` (k, v) with the ⌊max|w|/10⁶⌋+1 renormalization.
+    */
+  private def pcaPowerCtes(gram: String, p: String): String =
+    s"""${p}w1 AS (
+       |  SELECT j, CAST(SUM(g) AS BIGINT) AS w FROM $gram GROUP BY 1
        |),
-       |w2 AS (
-       |  SELECT g.j, SUM(g.g * v1.v) AS w
-       |  FROM g JOIN v1 USING (k) GROUP BY 1
+       |${p}d1 AS (SELECT MAX(abs(w)) // 1000000 + 1 AS d FROM ${p}w1),
+       |${p}v1 AS MATERIALIZED (
+       |  SELECT j AS k, ${duckFdiv("w", "d")} AS v
+       |  FROM ${p}w1 CROSS JOIN ${p}d1
        |),
-       |m2 AS (SELECT greatest(MAX(abs(w)), 1) AS mx FROM w2),
-       |v2 AS (
-       |  SELECT j AS k,
-       |    (w*1000000 - ((w*1000000 % mx + mx) % mx)) // mx AS v
-       |  FROM w2 CROSS JOIN m2
+       |${p}w2 AS (
+       |  SELECT t.j, CAST(SUM(t.g * b.v) AS BIGINT) AS w
+       |  FROM $gram t JOIN ${p}v1 b ON b.k = t.k GROUP BY 1
        |),
-       |ray AS (
-       |  SELECT CAST((num - ((num % den + den) % den)) // den
-       |    AS DECIMAL(38,0)) AS rayleigh
-       |  FROM (SELECT SUM(g.g * a.v * b.v) AS num
-       |    FROM g JOIN v2 a ON g.j = a.k JOIN v2 b ON g.k = b.k)
-       |  CROSS JOIN (SELECT SUM(CAST(v AS HUGEINT) * v) AS den FROM v2)
-       |)
-       |SELECT CAST(k AS BIGINT) AS dim, CAST(v AS BIGINT) AS pc1_x1e6,
-       |  rayleigh
+       |${p}d2 AS (SELECT MAX(abs(w)) // 1000000 + 1 AS d FROM ${p}w2),
+       |${p}v2 AS MATERIALIZED (
+       |  SELECT j AS k, ${duckFdiv("w", "d")} AS v
+       |  FROM ${p}w2 CROSS JOIN ${p}d2
+       |)""".stripMargin
+
+  /** The Rayleigh gauge over Gram `$gram` and component `$vcte` (k, v):
+    * emits `${p}ray` (rayleigh) — λ in the Gram's cell units via the
+    * 10⁹/10⁹-cancelling staging (num = Σ⌊(Gv)/10⁶⌋·⌊v/10³⌋, den =
+    * ⌊Σ⌊v/10³⌋²/10³⌋ guarded at 1).
+    */
+  private def pcaRayCtes(gram: String, vcte: String, p: String): String =
+    s"""${p}rr AS (
+       |  SELECT t.j, CAST(SUM(t.g * b.v) AS BIGINT) AS r
+       |  FROM $gram t JOIN $vcte b ON b.k = t.k GROUP BY 1
+       |),
+       |${p}nm AS (
+       |  SELECT CAST(SUM((${duckFdiv("r", "1000000")}) *
+       |    (${duckFdiv("v", "1000")})) AS BIGINT) AS num
+       |  FROM ${p}rr JOIN $vcte a ON a.k = ${p}rr.j
+       |),
+       |${p}dn AS (
+       |  SELECT greatest(CAST(SUM((${duckFdiv("v", "1000")}) *
+       |    (${duckFdiv("v", "1000")})) AS BIGINT) // 1000, 1) AS den
+       |  FROM $vcte
+       |),
+       |${p}ray AS MATERIALIZED (
+       |  SELECT ${duckFdiv("num", "den")} AS rayleigh
+       |  FROM ${p}nm CROSS JOIN ${p}dn
+       |)""".stripMargin
+
+  /** `embd` + Gram + pc1 power steps + gauge — the shared head of the
+    * q164/q165/q166 oracles (pc1 in `v2`, gauge in `ray`).
+    */
+  private lazy val pcaCoreCtes: String =
+    s"""embd AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |$pcaGramCtes,
+       |${pcaPowerCtes("g", "")},
+       |${pcaRayCtes("g", "v2", "")}""".stripMargin
+
+  /** q164 oracle: the staged-BIGINT replay end-to-end (r17 redesign —
+    * the q127 r14 remedy applied: no HUGEINT operators, no DECIMAL
+    * output; rayleigh is BIGINT in Gram-scale units).
+    */
+  private lazy val q164OracleSql: String =
+    s"""WITH $pcaCoreCtes
+       |SELECT CAST(k AS BIGINT) AS dim, v AS pc1_x1e6, rayleigh
        |FROM v2 CROSS JOIN ray""".stripMargin
+
+  /** The removeTop replay shared by q165/q166 (graft.ann.Pca.removeTop
+    * over `el`/`v2`): emits `vvx` (the guarded ⟨v,v⟩), `dtv` (per-vec
+    * ⟨m,v⟩), `shp` (vec_id, j, x, sh — raw and sharpened milli
+    * components).
+    */
+  private lazy val pcaRemoveTopCtes: String =
+    s"""vvx AS (
+       |  SELECT greatest(CAST(SUM(v * v) AS BIGINT), 1) AS vv FROM v2
+       |),
+       |dtv AS (
+       |  SELECT e.vec_id, CAST(SUM(e.x * b.v) AS BIGINT) AS dot_v
+       |  FROM el e JOIN v2 b ON b.k = e.j GROUP BY 1
+       |),
+       |shp AS MATERIALIZED (
+       |  SELECT vec_id, j, x, x - ${duckFdiv("dv", "vv")} AS sh
+       |  FROM (SELECT e.vec_id, e.j, e.x, d.dot_v * b.v AS dv, w.vv
+       |    FROM el e JOIN v2 b ON b.k = e.j
+       |    JOIN dtv d ON d.vec_id = e.vec_id CROSS JOIN vvx w)
+       |)""".stripMargin
+
+  /** q165 oracle: pc1 + the all-but-the-top transform + its audit,
+    * all integer-exact.
+    */
+  private lazy val q165OracleSql: String =
+    s"""WITH $pcaCoreCtes,
+       |$pcaRemoveTopCtes,
+       |aud AS (
+       |  SELECT s.vec_id,
+       |    CAST(SUM(s.sh * b.v) AS BIGINT) AS dot_after,
+       |    CAST(SUM(s.x * s.x) AS BIGINT) AS n2_before,
+       |    CAST(SUM(s.sh * s.sh) AS BIGINT) AS n2_after
+       |  FROM shp s JOIN v2 b ON b.k = s.j GROUP BY 1
+       |)
+       |SELECT d.vec_id, d.dot_v AS dot_before, a.dot_after,
+       |  a.n2_before, a.n2_after
+       |FROM dtv d JOIN aud a USING (vec_id)""".stripMargin
+
+  /** q166 oracle: the sharpened-corpus SRP near-dup pipeline replayed —
+    * pc1 → removeTop → 64 hash-parity sign projections of the SHARPENED
+    * milli vectors → bit-packed signature (bit 63 spelled as the min
+    * long: DuckDB errors on 1<<63) → the engine-faithful capped Hamming
+    * blocking → the q148 count fold.
+    */
+  private lazy val q166OracleSql: String =
+    s"""WITH $pcaCoreCtes,
+       |$pcaRemoveTopCtes,
+       |prc AS (
+       |  SELECT s.vec_id, CAST(ii.range AS BIGINT) AS i,
+       |    CAST(SUM(CASE WHEN hash(8191 * ii.range + s.j) % 2 = 0
+       |      THEN s.sh ELSE -s.sh END) AS BIGINT) AS p
+       |  FROM shp s, range(64) ii
+       |  GROUP BY 1, 2
+       |),
+       |hashes AS MATERIALIZED (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(SUM(CASE WHEN p > 0 THEN
+       |      CASE WHEN i = 63 THEN -9223372036854775807 - 1
+       |        ELSE 1::BIGINT << CAST(i AS INTEGER) END
+       |      ELSE 0 END) AS BIGINT) AS srp_sig
+       |  FROM prc GROUP BY 1
+       |),
+       |${hammingPairCtes("srp_sig")},
+       |sided AS (
+       |  SELECT id_a AS doc_id, id_b AS partner FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr
+       |),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_dups, MIN(partner) AS min_partner
+       |  FROM sided GROUP BY 1
+       |)
+       |SELECT h.doc_id AS vec_id, h.srp_sig,
+       |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
+       |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** q167 oracle: two components by Hotelling deflation — the full
+    * comp-1 replay, the ⌊v_j·v_k/(⌊vᵀv/10⁹⌋+1)⌋ projector, the
+    * λ-staged subtraction with the constant /64 restage, then comp 2's
+    * power steps + gauge over the deflated Gram (gauge ×64 back to
+    * first-round units).
+    */
+  private lazy val q167OracleSql: String =
+    s"""WITH $pcaCoreCtes,
+       |pdv AS (
+       |  SELECT CAST(SUM(v * v) AS BIGINT) // 1000000000 + 1 AS pdiv
+       |  FROM v2
+       |),
+       |prj AS (
+       |  SELECT a.k AS j, b.k AS k, ${duckFdiv("a.v * b.v", "pdiv")} AS p
+       |  FROM v2 a CROSS JOIN v2 b CROSS JOIN pdv
+       |),
+       |g2 AS MATERIALIZED (
+       |  SELECT t.j, t.k,
+       |    ${duckFdiv(
+             s"t.g - ${duckFdiv(s"ray.rayleigh * (${duckFdiv("p.p", "1000")})",
+               "1000000")}", "64")} AS g
+       |  FROM g t JOIN prj p ON p.j = t.j AND p.k = t.k CROSS JOIN ray
+       |),
+       |${pcaPowerCtes("g2", "c2")},
+       |${pcaRayCtes("g2", "c2v2", "c2")}
+       |SELECT CAST(1 AS BIGINT) AS comp, CAST(k AS BIGINT) AS dim,
+       |  v AS loading_x1e6, rayleigh
+       |FROM v2 CROSS JOIN ray
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(k AS BIGINT), v,
+       |  c2ray.rayleigh * 64
+       |FROM c2v2 CROSS JOIN c2ray""".stripMargin
 
   private lazy val q147OracleSql: String = {
     val nq = 50; val k = 5; val rerank = 50
@@ -5403,6 +5725,9 @@ object SparkEntry {
     "q22_ann_lsh" -> q22OracleSql,
     "q162_ann_jl" -> q162OracleSql,
     "q164_pca_power" -> q164OracleSql,
+    "q165_remove_top" -> q165OracleSql,
+    "q166_sharpened_srp" -> q166OracleSql,
+    "q167_pca_deflate" -> q167OracleSql,
     "q32_ann_ivf" -> q32OracleSql,
     "q65_pq_ann" -> q65OracleSql,
     // q147: SQ8 ADC search replayed end-to-end — quantization, integer
@@ -5441,6 +5766,7 @@ object SparkEntry {
     // q157: quantized cosines + both top-k windows + the exact
     // floor-division margin, replayed end-to-end
     "q157_bitext_margin" -> q157OracleSql,
+    "q169_bitext_global" -> q169OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,
@@ -6294,6 +6620,52 @@ object SparkEntry {
          |  CASE WHEN est_hll <= ${graft.functions.Hll.SmallRange}
          |      AND v_zero > 0
          |    THEN ([${graft.functions.Hll.LinearTable.mkString(", ")}])
+         |      [CAST(v_zero AS INTEGER)]
+         |    ELSE est_hll END AS estimate
+         |FROM est""".stripMargin,
+    // q168: the q159 replay at p = 12 — 4096 registers, rho cap 26,
+    // the alphaE4(12) numerator, the 4096-entry driver-literal linear
+    // table; every term BIGINT (the same proof as the engine's).
+    "q168_hll_p12" ->
+      s"""$duckHash64Tokens,
+         |regs AS (
+         |  SELECT d.lang, CAST(f.th % 4096 AS BIGINT) AS reg,
+         |    CAST(f.th // 4096 AS BIGINT) AS rest
+         |  FROM fnv f JOIN documents d USING (doc_id)
+         |),
+         |rh AS (
+         |  SELECT lang, reg,
+         |    CASE WHEN rest = 0 THEN 26
+         |      ELSE LEAST(bit_count((rest & -rest) - 1) + 1, 26)
+         |    END AS rho
+         |  FROM regs
+         |),
+         |mx AS (SELECT lang, reg, MAX(rho) AS m FROM rh GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT lang,
+         |    SUM(CAST(1 AS BIGINT) << CAST(26 - m AS INTEGER)) AS sp,
+         |    COUNT(*) AS np
+         |  FROM mx GROUP BY 1
+         |),
+         |aud AS (
+         |  SELECT d.lang, COUNT(*) AS n_tokens,
+         |    COUNT(DISTINCT t.tok) AS exact_distinct
+         |  FROM toks t JOIN documents d USING (doc_id) GROUP BY 1
+         |),
+         |est AS (
+         |  SELECT s.lang, a.n_tokens, a.exact_distinct,
+         |    CAST(4096 - s.np AS BIGINT) AS v_zero,
+         |    CAST(s.sp + (4096 - s.np) * 67108864 AS BIGINT)
+         |      AS s_harmonic,
+         |    CAST(${graft.functions.Hll.estNumerator(12)}
+         |      // (10000 * (s.sp + (4096 - s.np) * 67108864)) AS BIGINT)
+         |      AS est_hll
+         |  FROM sk s JOIN aud a USING (lang)
+         |)
+         |SELECT *,
+         |  CASE WHEN est_hll <= ${graft.functions.Hll.smallRange(12)}
+         |      AND v_zero > 0
+         |    THEN ([${graft.functions.Hll.linearTable(12).mkString(", ")}])
          |      [CAST(v_zero AS INTEGER)]
          |    ELSE est_hll END AS estimate
          |FROM est""".stripMargin,
@@ -7256,12 +7628,17 @@ object SparkEntry {
         |      AS below_all
         |  FROM bys
         |),
-        |tot AS (SELECT SUM(np) AS p, SUM(nn) AS n FROM bys),
+        |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS p,
+        |  CAST(SUM(nn) AS BIGINT) AS n FROM bys),
         |auc AS (
-        |  SELECT CAST((num2 * 1000000 - ((num2 * 1000000) % (2 * p * n)))
-        |    // (2 * p * n) AS BIGINT) AS auc_x1e6
-        |  FROM (SELECT SUM(np * (2 * below_n + nn)) AS num2 FROM cum)
-        |  CROSS JOIN tot
+        |  -- BIGINT-only with the guarded divisor: a single-class corpus
+        |  -- divides by 1 and reports 0 (ADVICE r16), and no HUGEINT
+        |  -- ever meets % or // (the q164 r17 lesson)
+        |  SELECT CAST((num2 * 1000000 - ((num2 * 1000000) % pn2))
+        |    // pn2 AS BIGINT) AS auc_x1e6
+        |  FROM (SELECT CAST(SUM(np * (2 * below_n + nn)) AS BIGINT)
+        |    AS num2 FROM cum)
+        |  CROSS JOIN (SELECT greatest(2 * p * n, 1) AS pn2 FROM tot)
         |),
         |ids AS (
         |  SELECT l.y, c.below_all

@@ -11,30 +11,77 @@ import org.apache.spark.sql.types.DecimalType
   *
   *  - **ROC AUC** via the Mann-Whitney rank statistic with the standard
   *    half-credit for ties. The corpus collapses to DISTINCT score
-  *    values first (one groupBy with map-side combine), then a single
-  *    bounded window over the score frame computes cumulative negative
-  *    counts — AUC·(2PN) = Σ_s np(s)·(2·negBelow(s) + nn(s)), held as
-  *    an exact 2×-scaled integer so tie half-credit never leaves
-  *    integer arithmetic. No per-row global sort.
+  *    values first (one groupBy with map-side combine), then the
+  *    cumulative negative counts over the score order come from the
+  *    RANGE-PARTITIONED prefix-sum build (below) — AUC·(2PN) =
+  *    Σ_s np(s)·(2·negBelow(s) + nn(s)), held as an exact 2×-scaled
+  *    integer so tie half-credit never leaves integer arithmetic.
   *  - **Calibration bins** via ntile's exact closed form over the
   *    global rank index (cumulative counts per score + a per-score
   *    row_number) — the first (total mod k) tiles take ceil(total/k)
-  *    rows, degenerate total < k gives one row per tile. Again no
-  *    global row sort; the only unpartitioned window runs over the
-  *    distinct-score frame.
+  *    rows, degenerate total < k gives one row per tile.
+  *
+  * Scale shape (VERDICT r16 task 3): the r16 version ran BOTH
+  * cumulative windows as unpartitioned `Window.orderBy(s)` — a
+  * SinglePartition exchange over the distinct-score frame, which for
+  * continuous per-document scores is ~N rows through ONE task at
+  * 100 TB. The prefix sums now build the way PageRank's node index
+  * does (graph/PageRank.scala nodeIndexFrame): range-partition by
+  * score, window WITHIN each partition (parallel), add per-partition
+  * start offsets computed from the partition TOTALS — a driver-side
+  * frame bounded by the partition count, never by data — broadcast
+  * back on. Byte-identical to the global window by construction;
+  * PlanSpec asserts the build plans no SinglePartition exchange.
   *
   * Everything is exact: DECIMAL(38,0) cross-multiplication, floor by
   * subtract-mod — engine-portable to the last digit (the q160 oracle
-  * replays it all in SQL).
+  * replays it all in SQL). Degenerate single-class corpora divide by
+  * the guarded max(2PN, 1) and report auc_x1e6 = 0 (ADVICE r16).
   */
 object Eval {
 
   private val Dec38 = DecimalType(38, 0)
 
+  /** The distributed exclusive prefix sums over the distinct-score
+    * frame `bys` (s, np, nn): adds `below_n` (Σ nn at scores < s) and
+    * `below_all` (Σ np+nn at scores < s). Split out un-checkpointed so
+    * PlanSpec can assert it contains NO SinglePartition exchange.
+    */
+  private[graft] def cumBelowFrame(bys: DataFrame): DataFrame = {
+    val spark = bys.sparkSession
+    // stamp the range-partition id BEFORE any later exchange can move
+    // rows; the checkpoint freezes the assignment (the PageRank mold)
+    val stamped = bys.repartitionByRange(col("s"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // per-partition totals → cumulative start offsets: rows == partition
+    // count (bounded by spark.sql.shuffle.partitions, not by data)
+    val parts = stamped.groupBy("pid")
+      .agg(sum(col("nn")).as("tn"), sum(col("np") + col("nn")).as("ta"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var runN = 0L
+    var runA = 0L
+    val offsets = parts.map { case (pid, tn, ta) =>
+      val o = (pid, runN, runA); runN += tn; runA += ta; o
+    }.toSeq
+    import spark.implicits._
+    val wP = Window.partitionBy("pid").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stamped.join(broadcast(offsets.toDF("pid", "offn", "offa")), "pid")
+      .withColumn("below_n",
+        col("offn") + coalesce(sum(col("nn")).over(wP), lit(0L)))
+      .withColumn("below_all",
+        col("offa") + coalesce(sum(col("np") + col("nn")).over(wP), lit(0L)))
+      .select(col("s"), col("np"), col("nn"),
+        col("below_n"), col("below_all"))
+  }
+
   /** AUC + k-bin calibration over `(idCol, scoreCol, labelCol)` rows —
     * label must be 0/1 integral. Output: one row per bin with `decile`
     * (1-based), `n`, `n_pos`, `pos_rate_x1e6`, and the global
-    * `auc_x1e6` repeated (exact floor of 10⁶·AUC).
+    * `auc_x1e6` repeated (exact floor of 10⁶·AUC; 0 on a single-class
+    * corpus).
     */
   def rocAudit(scored: DataFrame, idCol: String, scoreCol: String,
       labelCol: String, bins: Int = 10): DataFrame = {
@@ -42,20 +89,15 @@ object Eval {
       col(scoreCol).as("s"), col(labelCol).cast("long").as("y"))
     val bys = lbl.groupBy(col("s")).agg(
       sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
-    val wS = Window.orderBy("s")
-    val cum = bys
-      .withColumn("below_n", coalesce(sum(col("nn")).over(
-        wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("below_all", coalesce(sum(col("np") + col("nn")).over(
-        wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cum = cumBelowFrame(bys).localCheckpoint(true)
     val tot = bys.agg(sum(col("np")).as("p"), sum(col("nn")).as("n"))
+    val pn2 = greatest(col("p").cast(Dec38) * col("n") * 2L,
+      lit(1).cast(Dec38))
     val auc = cum.agg(sum(col("np").cast(Dec38) *
         (lit(2L) * col("below_n") + col("nn")).cast(Dec38)).as("num2"))
       .crossJoin(tot)
       .select(((col("num2") * lit(1000000L) -
-        pmod(col("num2") * lit(1000000L),
-          (col("p").cast(Dec38) * col("n") * 2L))) /
-        (col("p").cast(Dec38) * col("n") * 2L))
+        pmod(col("num2") * lit(1000000L), pn2)) / pn2)
         .cast("long").as("auc_x1e6"))
     val wd = Window.partitionBy("s").orderBy("eval_id")
     val withIdx = lbl

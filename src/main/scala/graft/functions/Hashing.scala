@@ -218,6 +218,10 @@ object Hashing {
     */
   def jlProject(milli: ArrayData, dims: Int): ArrayData = {
     val n = milli.numElements()
+    // hard contract (ADVICE r16): the (j, i) sign cells are disjoint
+    // only while i < 8191 — a longer vector would silently reuse signs
+    // across dimensions and degrade JL independence
+    require(n < 8191, s"jlProject supports vectors of < 8191 dims, got $n")
     val out = new Array[Long](dims)
     var j = 0
     while (j < dims) {

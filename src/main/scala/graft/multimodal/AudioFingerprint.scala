@@ -135,8 +135,11 @@ object AudioFingerprint {
     * the exact cross-multiplication Σamp ≥ threshold·frames, no
     * floor-mean rounding — and fold the run structure. Output
     * [n_frames, n_active, n_segments, longest_silence, first_active]
-    * (first_active = −1 when no box is active; the F wrapper nullifs
-    * it), or null on undecodable bytes. Absolute-threshold semantics:
+    * (first_active = −1 when no box is active — the SENTINEL travels
+    * in the array as-is, F.vadStats passes it through unchanged
+    * because the array schema is containsNull = false; the q163 query
+    * is where −1 becomes NULL for the report — ADVICE r16 doc fix),
+    * or null on undecodable bytes. Absolute-threshold semantics:
     * a gain change legitimately moves verdicts — this is NOT the
     * gain-invariant fingerprint, and the spec pins that distinction.
     */

@@ -159,33 +159,39 @@ object StreamHll {
     * union of everything absorbed so far (StreamingSpec pins it
     * non-vacuously across multiple triggers).
     */
-  def run(spark: SparkSession, items: Dataset[HllItem])
+  def run(spark: SparkSession, items: Dataset[HllItem], p: Int = 6)
       : Dataset[HllEstimate] = {
     import spark.implicits._
-    val m = graft.functions.Hll.NumRegisters
+    // precision inherits the batch sketch's parameterization (VERDICT
+    // r16 next-task 7): same registers, same rho cap, same constants —
+    // p = 6 is the frozen default contract
+    val m = graft.functions.Hll.registers(p)
+    val cap = graft.functions.Hll.rhoCap(p)
+    val estNum = graft.functions.Hll.estNumerator(p)
+    val small = graft.functions.Hll.smallRange(p)
+    val table = graft.functions.Hll.linearTable(p)
     def fn(g: String, it: Iterator[HllItem],
         state: GroupState[HllRegsState]): Iterator[HllEstimate] = {
       val regs = state.getOption.map(_.regs).getOrElse(new Array[Int](m))
       it.foreach { x =>
-        val reg = (x.h & 63L).toInt
-        val rest = x.h >>> 6
+        val reg = (x.h & (m - 1L)).toInt
+        val rest = x.h >>> p
         val rho =
-          if (rest == 0L) 32
-          else math.min(java.lang.Long.numberOfTrailingZeros(rest) + 1, 32)
+          if (rest == 0L) cap
+          else math.min(java.lang.Long.numberOfTrailingZeros(rest) + 1, cap)
         if (rho > regs(reg)) regs(reg) = rho
       }
       state.update(HllRegsState(regs))
       var vZero = 0L; var s = 0L
       var i = 0
       while (i < m) {
-        s += 1L << (32 - regs(i))
+        s += 1L << (cap - regs(i))
         if (regs(i) == 0) vZero += 1
         i += 1
       }
-      val est = graft.functions.Hll.EstNumerator / (10000L * s)
+      val est = estNum / (10000L * s)
       val estimate =
-        if (est <= graft.functions.Hll.SmallRange && vZero > 0L)
-          graft.functions.Hll.LinearTable(vZero.toInt - 1)
+        if (est <= small && vZero > 0L) table(vZero.toInt - 1)
         else est
       Iterator.single(HllEstimate(g, vZero, s, est, estimate))
     }

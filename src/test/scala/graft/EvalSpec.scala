@@ -53,6 +53,38 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("distributed prefix sums ≡ the global window, any partitioning") {
+    // VERDICT r16 task 3: the range-partition + broadcast-offsets build
+    // must reproduce the unpartitioned Window.orderBy cumulative counts
+    // byte-identically
+    val bys = fixture(503).groupBy(col("s")).agg(
+      sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = bys
+      .withColumn("below_n", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .withColumn("below_all",
+        coalesce(sum(col("np") + col("nn")).over(w), lit(0L)))
+      .orderBy("s").collect().toSeq
+    for (parts <- Seq(1, 13)) {
+      val got = Eval.cumBelowFrame(bys.repartition(parts))
+        .orderBy("s").collect().toSeq
+      assert(got == want, s"parts=$parts distributed cum diverged")
+    }
+  }
+
+  test("single-class corpora report auc 0 through the guarded divisor") {
+    // ADVICE r16: p·n·2 = 0 must not NULL (or ANSI-error) the AUC
+    val allPos = (0 until 40).map(i => (i.toLong, (i % 5).toLong, 1L))
+      .toDF("id", "s", "y")
+    assert(Eval.rocAudit(allPos, "id", "s", "y")
+      .select("auc_x1e6").distinct().as[Long].head() == 0L)
+    val allNeg = (0 until 40).map(i => (i.toLong, (i % 5).toLong, 0L))
+      .toDF("id", "s", "y")
+    assert(Eval.rocAudit(allNeg, "id", "s", "y")
+      .select("auc_x1e6").distinct().as[Long].head() == 0L)
+  }
+
   test("perfect separation → AUC 1e6; all-tied → 5e5") {
     val perfect = (0 until 100).map(i =>
       (i.toLong, if (i < 50) 10L else 0L, if (i < 50) 1L else 0L))

@@ -52,6 +52,50 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("p = 12 census precision: estimate within the ~1.6%·3σ band") {
+    // VERDICT r16 next-task 7: a real vocabulary census wants p = 12-14;
+    // σ = 1.04/√4096 ≈ 1.6%, allow 3σ ≈ 5%
+    for (n <- Seq(30000, 120000)) {
+      val est = Hll.sketch(items(n, "a"), Seq("g"), "h", p = 12)
+        .select("estimate").as[Long].head()
+      assert(math.abs(est - n).toDouble / n < 0.05,
+        s"n=$n estimated $est at p=12 — outside 3σ")
+    }
+  }
+
+  test("p = 12 keeps the integer invariants: MAX-merge and partition independence") {
+    val once = items(50000, "a").union(items(700, "b"))
+    val a = Hll.sketch(once.coalesce(1), Seq("g"), "h", p = 12)
+      .orderBy("g").collect().toSeq
+    val b = Hll.sketch(once.union(once).repartition(16), Seq("g"), "h",
+      p = 12).orderBy("g").collect().toSeq
+    assert(a == b, "p=12 sketch must be duplicate- and partition-immune")
+  }
+
+  test("p = 6 parameterization reproduces the frozen q159 constants") {
+    // the q159 byte-stability contract: the general path at p = 6 IS
+    // the r16 sketch
+    assert(Hll.registers(6) == Hll.NumRegisters)
+    assert(Hll.estNumerator(6) == Hll.EstNumerator)
+    assert(Hll.linearTable(6) == Hll.LinearTable)
+    assert(Hll.smallRange(6) == Hll.SmallRange)
+    assert(Hll.rhoCap(6) == 32)
+    val df = items(5000, "a")
+    val dflt = Hll.sketch(df, Seq("g"), "h").collect().toSeq
+    val p6 = Hll.sketch(df, Seq("g"), "h", p = 6).collect().toSeq
+    assert(dflt == p6)
+  }
+
+  test("every estimator numerator stays a 63-bit signed long across the p window") {
+    for (p <- Hll.MinP to Hll.MaxP) {
+      val num = Hll.estNumerator(p)
+      assert(num > 0L, s"p=$p numerator overflowed")
+      assert(Hll.linearTable(p).length == Hll.registers(p))
+      // the harmonic sum bound: m·2^C ≤ 2^41
+      assert(Hll.registers(p).toLong * (1L << Hll.rhoCap(p)) <= (1L << 41))
+    }
+  }
+
   test("v_zero and s_harmonic are consistent: empty-ish group") {
     // one item → 63 untouched registers, S dominated by 63·2^32
     val r = Hll.sketch(items(1, "z"), Seq("g"), "h").collect()(0)

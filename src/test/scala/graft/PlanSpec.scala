@@ -367,6 +367,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("rocAudit prefix sums plan NO single-partition exchange (distributed rank build)") {
+    // VERDICT r16 task 3: the r16 Eval ran Window.orderBy(s) twice —
+    // one task for the whole distinct-score frame. The distributed
+    // build (range-partition → per-pid window + broadcast offsets)
+    // must plan no SinglePartition exchange and keep a partitioned
+    // window spec (the PageRank nodeIndex gate, applied to Eval).
+    import org.apache.spark.sql.functions._
+    val bys = Tables(spark, sf0001).documents
+      .select((col("doc_id") % 97).as("s"),
+        (col("doc_id") % 2).as("np"), lit(1L).as("nn"))
+      .groupBy("s").agg(sum("np").as("np"), sum("nn").as("nn"))
+    val p = graft.functions.Eval.cumBelowFrame(bys)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      "rocAudit cumulative counts funnel through one partition:\n" +
+        p.take(1500))
+    assert(p.contains("windowspecdefinition(pid"),
+      "the prefix-sum window lost its pid partition spec:\n" + p.take(1500))
+  }
+
   test("PCA: the Gram aggregate combines map-side and nothing goes cartesian") {
     val p = plan("q164_pca_power")
     assert(p.contains("partial_sum"),
