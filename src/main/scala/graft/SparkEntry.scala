@@ -2045,6 +2045,20 @@ object SparkEntry {
           col("estimate"))
     }),
 
+    // 26am. corpus-concentration Lorenz report: per-source token mass
+    // sorted ascending (the Lorenz axis), folded into 10 exact ntile
+    // bins — group count, mass, mass share, cumulative share at the
+    // bin edge. The global rank + cumulative prefix build via
+    // etl.Prefix (range-partition + broadcast offsets — the PageRank/
+    // Eval mold, NO single-partition window); shares by the staged
+    // ⌊W/1e6⌋+1 divisor so nothing outgrows the token total. The
+    // mixing gauge read before domain caps (q136) / temperature (q117).
+    "q170_lorenz_sources" -> ((s, dir) =>
+      graft.etl.CorpusStats.lorenzReport(
+        Tables(s, dir).documents.select(col("source"),
+          TextStats.tokenCount(col("text")).as("w")),
+        "source", "w", bins = 10)),
+
     // 29p. adaptive recrawl scheduling (Cho & Garcia-Molina 2003): the
     // planted fetch history gives each of 20 URLs a volatility class —
     // never-changing, every-fetch, every-2nd, every-12th — and the
@@ -5767,6 +5781,47 @@ object SparkEntry {
     // floor-division margin, replayed end-to-end
     "q157_bitext_margin" -> q157OracleSql,
     "q169_bitext_global" -> q169OracleSql,
+    // q170: the Lorenz replay — per-source token mass, the global rank
+    // + exclusive cumulative (one window in SQL; the engine builds it
+    // distributedly via Prefix, byte-identical), the q160 ntile closed
+    // form, staged-divisor shares. All BIGINT.
+    "q170_lorenz_sources" ->
+      """WITH per AS (
+        |  SELECT source AS g,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS w
+        |  FROM documents GROUP BY 1
+        |),
+        |rk AS (
+        |  SELECT g, w,
+        |    row_number() OVER (ORDER BY w, g) AS idx,
+        |    CAST(COALESCE(SUM(w) OVER (ORDER BY w, g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_w
+        |  FROM per
+        |),
+        |tot AS (
+        |  SELECT COUNT(*) AS total, CAST(SUM(w) AS BIGINT) AS wt
+        |  FROM per
+        |),
+        |bnd AS (
+        |  SELECT rk.*, t.total // 10 AS qq, t.total % 10 AS rr,
+        |    (t.wt - t.wt % 1000000) // 1000000 + 1 AS sdiv
+        |  FROM rk CROSS JOIN tot t
+        |),
+        |bn AS (
+        |  SELECT *, CASE WHEN qq = 0 THEN idx
+        |    WHEN idx <= (qq + 1) * rr THEN (idx + qq) // (qq + 1)
+        |    ELSE rr + (idx - (qq + 1) * rr + qq - 1) // qq END AS bin
+        |  FROM bnd
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_groups,
+        |  CAST(SUM(w) AS BIGINT) AS tokens,
+        |  (CAST(SUM(w) AS BIGINT) - CAST(SUM(w) AS BIGINT) % MIN(sdiv))
+        |    // MIN(sdiv) AS share_x1e6,
+        |  (MAX(cum_w + w) - MAX(cum_w + w) % MIN(sdiv)) // MIN(sdiv)
+        |    AS cum_share_x1e6
+        |FROM bn GROUP BY 1""".stripMargin,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,

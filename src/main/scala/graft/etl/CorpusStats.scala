@@ -88,4 +88,57 @@ object CorpusStats {
       // pmod-floor division: matches DuckDB's `//` for any sign of num
       ((num - pmod(num, den)) / den).cast("long").as("heaps_beta_x1e6"))
   }
+
+  /** Exact floor(a/b) on BIGINT columns, b > 0 — subtract-pmod into the
+    * integral `div` so nothing routes through a double (the Pca r17
+    * discipline).
+    */
+  private def fdiv(a: Column, b: Column): Column =
+    call_function("div", a - pmod(a, b), b)
+
+  /** Corpus-concentration (Lorenz) report — the mixing gauge a 100 TB
+    * deployment reads before setting domain caps (q136) or mixture
+    * temperatures (q117): how unequal is the token mass across groups
+    * (domains/sources/languages)? Groups sort ASCENDING by mass — the
+    * Lorenz axis — and fold into `bins` ntile bins via the exact
+    * closed form (the q160 deciles); each bin reports its group count,
+    * token mass, mass share, and the cumulative share at the bin's
+    * upper edge (the Lorenz curve ordinate — a straight diagonal is
+    * perfect equality; the sag is the concentration).
+    *
+    * Exactness and scale: the global rank and the cumulative token
+    * prefix come from [[Prefix.withRankAndPrefix]] — the
+    * range-partition + broadcast-offsets build, NO single-partition
+    * window (PlanSpec-gated on q160's twin). Shares quantize via the
+    * staged divisor ⌊W/10⁶⌋+1 (exact floor by subtract-pmod; ≈ 10⁶·x/W
+    * with ≤ 1-unit staging error, both engines identical), so no
+    * product ever exceeds the token total itself. One groupBy + one
+    * bounded-bin fold after the rank build.
+    */
+  def lorenzReport(weighted: DataFrame, groupCol: String,
+      weightCol: String, bins: Int = 10): DataFrame = {
+    val per = weighted.groupBy(col(groupCol).as("g"))
+      .agg(sum(col(weightCol)).as("w"))
+    val ranked = Prefix.withRankAndPrefix(per,
+      orderCols = Seq("w", "g"), valueCols = Seq("w" -> "cum_w"))
+      .localCheckpoint(true) // one row per group; three consumers below
+    val tot = ranked.agg(count(lit(1)).as("total"), sum(col("w")).as("wt"))
+    val binned = ranked.crossJoin(broadcast(tot))
+      .withColumn("qq", expr(s"total div $bins"))
+      .withColumn("rr", col("total") % bins)
+      .withColumn("bin",
+        when(col("qq") === 0L, col("idx"))
+          .when(col("idx") <= (col("qq") + 1L) * col("rr"),
+            expr("(idx + qq) div (qq + 1)"))
+          .otherwise(col("rr") +
+            expr("(idx - (qq + 1) * rr + qq - 1) div qq")))
+      .withColumn("sdiv", fdiv(col("wt"), lit(1000000L)) + 1L)
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("w")).as("tokens"),
+        max(col("cum_w") + col("w")).as("cum_end"),
+        min(col("sdiv")).as("sdiv"))
+      .select(col("bin"), col("n_groups"), col("tokens"),
+        fdiv(col("tokens"), col("sdiv")).as("share_x1e6"),
+        fdiv(col("cum_end"), col("sdiv")).as("cum_share_x1e6"))
+  }
 }

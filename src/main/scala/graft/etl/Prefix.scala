@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** The distributed global-rank/prefix-sum build, factored once (the
+  * third use — PageRank's node index r11, Eval's score cumulatives
+  * r17, the Lorenz report r17): a global
+  * `row_number()/sum().over(Window.orderBy(...))` funnels every row
+  * through ONE task — the classic zipWithIndex bottleneck at 10⁹ rows.
+  * Instead: range-partition by the order columns (partition index
+  * increasing with the key), rank and prefix-sum WITHIN each partition
+  * (parallel windows), and add per-partition start offsets computed
+  * from the partition TOTALS — a driver-side frame bounded by the
+  * partition count, never by data — broadcast back onto the rows.
+  * Reproduces the unpartitioned-window semantics byte-identically.
+  */
+object Prefix {
+
+  /** Adds `idx` (1-based global rank over `orderCols` ascending) and,
+    * per entry (c, alias) of `valueCols`, `<alias>` = the EXCLUSIVE
+    * prefix sum of BIGINT column c in that order. Ties within
+    * `orderCols` rank by their within-partition encounter order of the
+    * remaining columns — pass a tiebreaker column in `orderCols` for a
+    * total order (every caller does). The per-partition totals
+    * collect to the driver: ≤ `spark.sql.shuffle.partitions` rows.
+    */
+  def withRankAndPrefix(df: DataFrame, orderCols: Seq[String],
+      valueCols: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val oc = orderCols.map(col)
+    val stamped = df.repartitionByRange(oc: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val aggs = (count(lit(1)).as("_cnt") +:
+      valueCols.map { case (c, a) => sum(col(c)).as(s"_t_$a") }).toList
+    val parts = stamped.groupBy("pid").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        valueCols.indices.map(i => r.getLong(2 + i)).toArray))
+      .sortBy(_._1)
+    var runC = 0L
+    val runV = Array.fill(valueCols.size)(0L)
+    val offRows = parts.map { case (pid, c, vs) =>
+      val row = Row.fromSeq(pid +: runC +: runV.toSeq)
+      runC += c
+      vs.indices.foreach(i => runV(i) += vs(i))
+      row
+    }
+    val offSchema = StructType(
+      StructField("pid", IntegerType, nullable = false) +:
+        StructField("_off_idx", LongType, nullable = false) +:
+        valueCols.map { case (_, a) =>
+          StructField(s"_off_$a", LongType, nullable = false) })
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    val w = Window.partitionBy("pid").orderBy(oc: _*)
+    val wx = w.rowsBetween(Window.unboundedPreceding, -1)
+    val withIdx = stamped.join(broadcast(offsets), "pid")
+      .withColumn("idx",
+        col("_off_idx") + row_number().over(w).cast("long"))
+    valueCols.foldLeft(withIdx) { case (d, (c, a)) =>
+      d.withColumn(a,
+        col(s"_off_$a") + coalesce(sum(col(c)).over(wx), lit(0L)))
+    }.drop("pid" +: "_off_idx" +: valueCols.map { case (_, a) => s"_off_$a" }: _*)
+  }
+}

@@ -47,35 +47,13 @@ object Eval {
     * `below_all` (Σ np+nn at scores < s). Split out un-checkpointed so
     * PlanSpec can assert it contains NO SinglePartition exchange.
     */
-  private[graft] def cumBelowFrame(bys: DataFrame): DataFrame = {
-    val spark = bys.sparkSession
-    // stamp the range-partition id BEFORE any later exchange can move
-    // rows; the checkpoint freezes the assignment (the PageRank mold)
-    val stamped = bys.repartitionByRange(col("s"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    // per-partition totals → cumulative start offsets: rows == partition
-    // count (bounded by spark.sql.shuffle.partitions, not by data)
-    val parts = stamped.groupBy("pid")
-      .agg(sum(col("nn")).as("tn"), sum(col("np") + col("nn")).as("ta"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    var runN = 0L
-    var runA = 0L
-    val offsets = parts.map { case (pid, tn, ta) =>
-      val o = (pid, runN, runA); runN += tn; runA += ta; o
-    }.toSeq
-    import spark.implicits._
-    val wP = Window.partitionBy("pid").orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    stamped.join(broadcast(offsets.toDF("pid", "offn", "offa")), "pid")
-      .withColumn("below_n",
-        col("offn") + coalesce(sum(col("nn")).over(wP), lit(0L)))
-      .withColumn("below_all",
-        col("offa") + coalesce(sum(col("np") + col("nn")).over(wP), lit(0L)))
+  private[graft] def cumBelowFrame(bys: DataFrame): DataFrame =
+    graft.etl.Prefix.withRankAndPrefix(
+      bys.withColumn("na", col("np") + col("nn")),
+      orderCols = Seq("s"),
+      valueCols = Seq("nn" -> "below_n", "na" -> "below_all"))
       .select(col("s"), col("np"), col("nn"),
         col("below_n"), col("below_all"))
-  }
 
   /** AUC + k-bin calibration over `(idCol, scoreCol, labelCol)` rows —
     * label must be 0/1 integral. Output: one row per bin with `decile`

@@ -441,6 +441,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hammingPairs occupancy cap: pairs survive IFF they share an UNDER-CAP chunk bucket (the oracle model)") {
+    // VERDICT r16 what's-wrong 4 / ADVICE r15, pinned: the engine drops
+    // chunk buckets holding > maxBucket members, and the q148/q150/
+    // q154/q155/q166 oracles model EXACTLY that (hammingPairCtes' hocc
+    // HAVING COUNT(*) <= maxBucket). This spec is the contract: with a
+    // bucket pushed over the cap, pairs that only co-bucket there
+    // vanish from the engine too — no scale-dependent divergence class
+    // left between the two sides.
+    import graft.dedup.SimHashDedup
+    // ids 0..9: hash 0 — ALL four 16-bit chunks land in the (chunk=0)
+    // buckets, each with occupancy 12 > maxBucket 8 once the two
+    // hash-1 rows join chunks 1..3 — every 0-0 pair must vanish.
+    // ids 100, 101: hash 1 — chunk 0 bucket (value 1) has occupancy 2,
+    // UNDER the cap, so this Hamming-0 pair must survive even though
+    // its OTHER three chunks sit in the over-cap zero buckets.
+    val hashed = ((0 until 10).map(i => (i.toLong, 0L)) ++
+      Seq((100L, 1L), (101L, 1L))).toDF("doc_id", "h")
+    val pairs = SimHashDedup.hammingPairs(hashed, "doc_id", "h",
+      maxHamming = 3, maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)),
+      s"cap semantics: only the under-cap-bucket pair survives, got $pairs")
+    // raising the cap above the occupancy restores the full Hamming ball
+    val uncapped = SimHashDedup.hammingPairs(hashed, "doc_id", "h",
+      maxHamming = 3, maxBucket = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 45 + 1 + 10 * 2,
+      s"uncapped ball: C(10,2) zeros + the ones pair + 10x2 cross " +
+        s"(Hamming 1), got ${uncapped.size}")
+  }
+
   test("dup-paragraph fraction scores shared paragraphs and gates at 30%") {
     val docs = Seq(
       (1L, "shared para\n\nunique A text here"),   // 11 + 18 chars

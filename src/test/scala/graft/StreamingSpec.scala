@@ -553,6 +553,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("gate contract pinned: batch composition decides intra-group verdicts (one batch → both novel; split batches → second dups first)") {
+    // VERDICT r16 what's-wrong 4 note 2, closed as a CONTRACT: the gate
+    // dedups across batches only (intra-batch pairs are q17's job —
+    // Streaming.scala's probeAndAbsorbBatch doc), so the same two
+    // near-dup docs verdict (novel, novel) when co-batched and
+    // (novel, dup-of-first) when split. Both outcomes are deterministic
+    // and replay-stable (the previous test); this pins the documented
+    // batch-composition dependence itself.
+    import graft.dedup.MinHashDedup
+    import graft.streaming.StreamDedupProbe
+    def doc(i: Long, fam: Long) =
+      (i, (0 until 12).map(k => s"c${fam}v$k").mkString(" ") +
+        s" tail${i % 2}")
+    def freshIndex(base: String): Unit =
+      MinHashDedup.writeIndex(
+        MinHashDedup.signatures(Seq(doc(0L, 0), doc(1L, 0))
+          .toDF("doc_id", "text"), "doc_id", "text", 3, 128, 16), base, 8)
+    def run(base: String, docs: Seq[(Long, String)]) =
+      StreamDedupProbe.probeAndAbsorbBatch(base,
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        minJaccardPct = 50, numBuckets = 8)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val together = "graft_gate_contract_a"
+    val split = "graft_gate_contract_b"
+    try {
+      freshIndex(together)
+      val one = run(together, Seq(doc(700L, 7), doc(701L, 7)))
+      assert(one == Map(700L -> -1L, 701L -> -1L),
+        s"co-batched near-dups are both novel by contract: $one")
+      freshIndex(split)
+      assert(run(split, Seq(doc(700L, 7))) == Map(700L -> -1L))
+      val second = run(split, Seq(doc(701L, 7)))
+      assert(second == Map(701L -> 700L),
+        s"split across batches, the gate catches the dup: $second")
+    } finally
+      for (b <- Seq(together, split); t <- Seq(s"${b}_buckets", s"${b}_sigs"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("streaming HLL equals the batch sketch after every trigger (registers merge by MAX)") {
     import graft.streaming.{HllItem, StreamHll}
     implicit val sql = spark.sqlContext
