@@ -2059,6 +2059,20 @@ object SparkEntry {
           TextStats.tokenCount(col("text")).as("w")),
         "source", "w", bins = 10)),
 
+    // 14b. exact corpus-wide quantiles WITHOUT a global sort (the
+    // sizing gauge for chunking budgets and length filters): type-1
+    // quantile values at p50/p90/p99 of the per-doc token count, read
+    // off the etl.Prefix distributed rank (range-partition + broadcast
+    // offsets — no single-partition window, no second pass; the
+    // quantile SELECT is a broadcast semi-filter on idx). Complements
+    // q74 (per-GROUP median via partitioned windows) with the
+    // whole-corpus report that window cannot scale to.
+    "q171_token_quantiles" -> ((s, dir) =>
+      GroupStats.globalQuantiles(
+        Tables(s, dir).documents.select(col("doc_id"),
+          TextStats.tokenCount(col("text")).as("w")),
+        col("w"), col("doc_id"))),
+
     // 29p. adaptive recrawl scheduling (Cho & Garcia-Molina 2003): the
     // planted fetch history gives each of 20 URLs a volatility class —
     // never-changing, every-fetch, every-2nd, every-12th — and the
@@ -5781,6 +5795,29 @@ object SparkEntry {
     // floor-division margin, replayed end-to-end
     "q157_bitext_margin" -> q157OracleSql,
     "q169_bitext_global" -> q169OracleSql,
+    // q171: the exact-quantile replay — one ROW_NUMBER window in SQL
+    // (the engine builds the rank distributedly via Prefix,
+    // byte-identical), ceil targets by integer arithmetic.
+    "q171_token_quantiles" ->
+      """WITH per AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS v
+        |  FROM documents
+        |),
+        |rk AS (
+        |  SELECT v, doc_id,
+        |    row_number() OVER (ORDER BY v, doc_id) AS idx
+        |  FROM per
+        |),
+        |tot AS (SELECT COUNT(*) AS n FROM per),
+        |tg AS (
+        |  SELECT CAST(p.pct AS BIGINT) AS pct,
+        |    (p.pct * t.n + 99) // 100 AS idx, t.n AS n
+        |  FROM (VALUES (50), (90), (99)) p(pct) CROSS JOIN tot t
+        |)
+        |SELECT tg.pct, tg.idx, rk.v, tg.n AS n_rows
+        |FROM rk JOIN tg USING (idx)""".stripMargin,
     // q170: the Lorenz replay — per-source token mass, the global rank
     // + exclusive cumulative (one window in SQL; the engine builds it
     // distributedly via Prefix, byte-identical), the q160 ntile closed

@@ -546,6 +546,38 @@ object GroupStats {
       .select(col("grp"), col("v").as("median_v"), col("id").as("median_id"),
         col("n").cast("long").as("n_rows"))
   }
+
+  /** EXACT corpus-wide quantiles without a global sort (q171): the
+    * classical type-1 (lower) quantile — the value whose global rank is
+    * ⌈q·n/100⌉ under (value, id) order — read straight off the
+    * [[Prefix.withRankAndPrefix]] distributed rank. Where [[medianBy]]
+    * is per-GROUP (ranks inside a partitioned window), this is the
+    * whole-corpus report: a `Window.orderBy(value)` here would funnel
+    * every row through one task at 100 TB; the range-partition +
+    * broadcast-offsets build ranks in parallel and the quantile SELECT
+    * is a broadcast semi-filter on idx (no second pass, no sort).
+    * Output: one row per requested percentile — pct, idx (the 1-based
+    * selected rank), `v` (the quantile value), n_rows.
+    */
+  def globalQuantiles(df: DataFrame, valueCol: Column, idCol: Column,
+      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = graft.etl.Prefix.withRankAndPrefix(
+      df.select(valueCol.as("v"), idCol.as("id")),
+      orderCols = Seq("v", "id"), valueCols = Seq.empty)
+      .localCheckpoint(true) // reused by the count and the filter
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    // target rank per pct: ceil(p·n/100) = (p·n + 99) div 100 — exact
+    // integer, n·100 ≪ 2⁶³ at any corpus size
+    val targets = tot.crossJoin(pcts.toDF("pct"))
+      .select(col("pct").cast("long").as("pct"),
+        expr("(pct * n + 99) div 100").as("idx"), col("n"))
+    ranked.join(broadcast(targets), Seq("idx"))
+      .select(col("pct"), col("idx"), col("v"), col("n").as("n_rows"))
+  }
 }
 
 object PartitionedSink {
