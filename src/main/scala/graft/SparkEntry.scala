@@ -4298,6 +4298,10 @@ object SparkEntry {
     * neighborhood sums, the floor-division margin, and the best-match
     * accept verdicts.
     */
+  /** q157 oracle — r17 note: c9 and the neighborhood sums are BIGINT
+    * (|c9| <= 1e9, num <= 8e15) so the margin's %/// floors never see
+    * a HUGEINT (the q164 red-row surface removed here preemptively).
+    */
   private lazy val q157OracleSql: String = {
     val k = 4; val accept = 1060000L
     s"""WITH embd AS (
@@ -4308,7 +4312,7 @@ object SparkEntry {
        |  SELECT s.vec_id AS sid, t.vec_id AS tid,
        |    CAST(CAST(CAST(${duckCosine("s.v", "t.v")}
        |      AS DECIMAL(18,9)) AS DECIMAL(28,9))
-       |      * 1000000000 AS HUGEINT) AS c9
+       |      * 1000000000 AS BIGINT) AS c9
        |  FROM embd s, embd t
        |  WHERE s.vec_id % 2 = 0 AND s.vec_id < 1000 AND t.vec_id % 2 = 1
        |),
@@ -4318,9 +4322,11 @@ object SparkEntry {
        |      ORDER BY c9 DESC, tid) AS rn FROM x)
        |  WHERE rn <= $k
        |),
-       |da AS (SELECT sid, SUM(c9) AS d_a FROM fwd GROUP BY 1),
+       |da AS (
+       |  SELECT sid, CAST(SUM(c9) AS BIGINT) AS d_a FROM fwd GROUP BY 1
+       |),
        |db AS (
-       |  SELECT tid, SUM(c9) AS d_b FROM (
+       |  SELECT tid, CAST(SUM(c9) AS BIGINT) AS d_b FROM (
        |    SELECT x.tid, x.c9, row_number() OVER (PARTITION BY x.tid
        |      ORDER BY x.c9 DESC, x.sid) AS rn
        |    FROM x JOIN (SELECT DISTINCT tid FROM fwd) c USING (tid))
@@ -5085,7 +5091,7 @@ object SparkEntry {
        |  WHERE rn = 1
        |),
        |pc AS (
-       |  SELECT cell, COUNT(*) AS nm, SUM(cos9) AS s9 FROM a2 GROUP BY 1
+       |  SELECT cell, COUNT(*) AS nm, CAST(SUM(cos9) AS BIGINT) AS s9 FROM a2 GROUP BY 1
        |)
        |SELECT cell, n_members, mean_cos_x1e9,
        |  (mean_cos_x1e9 IS NULL OR mean_cos_x1e9 < 700000000) AS is_stale
@@ -5119,7 +5125,7 @@ object SparkEntry {
          |      ELSE CAST((pc.s9 - ((pc.s9 % pc.nm + pc.nm) % pc.nm))
          |        // pc.nm AS BIGINT) END AS mean_cos_x1e9
          |  FROM $cents c LEFT JOIN (
-         |    SELECT cell, COUNT(*) AS nm, SUM(cos9) AS s9 FROM (
+         |    SELECT cell, COUNT(*) AS nm, CAST(SUM(cos9) AS BIGINT) AS s9 FROM (
          |      SELECT cell, cos9 FROM (
          |        SELECT e.vec_id AS nid, c.cid AS cell,
          |          CAST(CAST(CAST(${duckCosine("e.v", "c.c_vec")}
