@@ -1091,10 +1091,14 @@ object SparkEntry {
       val sh = graft.ann.Pca.removeTop(e, "vec_id", "embedding",
         graft.ann.Pca.topComponent(e, "vec_id", "embedding", iters = 2))
       val pow2 = array((0 until 64).map(i => lit(1L << i)): _*)
+      // the signature frame feeds BOTH the pair blocking and the final
+      // join — checkpoint it (id + 8-byte sig per vector) or the whole
+      // sharpen+project pipeline executes twice per consumer
       val sig = sh.select(col("vec_id"),
         aggregate(zip_with(F.jlProject(col("sharp"), 64), pow2,
           (p, b) => when(p > lit(0L), b).otherwise(lit(0L))),
           lit(0L), (a, x) => a + x).as("srp_sig"))
+        .localCheckpoint(true)
       val pairs = SimHashDedup.hammingPairs(sig, "vec_id", "srp_sig",
         maxHamming = 3, maxBucket = 1024)
       val sided = pairs.select(col("id_a").as("vec_id"),
