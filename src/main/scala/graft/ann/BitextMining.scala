@@ -85,7 +85,7 @@ object BitextMining {
     fwd.join(broadcast(dA), "sid")
       .join(broadcast(dB), "tid")
       .withColumn("margin_x1e6",
-        ((num - pmod(num, den)) / den).cast("long"))
+        Pca.fdiv(num, den).cast("long"))
       .withColumn("_b", row_number().over(wBest))
       .where(col("_b") === 1)
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
@@ -141,7 +141,7 @@ object BitextMining {
     ranked.join(broadcast(dA), "sid")
       .join(broadcast(dB), "tid")
       .withColumn("margin_x1e6",
-        ((num - pmod(num, den)) / den).cast("long"))
+        Pca.fdiv(num, den).cast("long"))
       .withColumn("_b", row_number().over(wBest))
       .where(col("_b") === 1)
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),

@@ -174,6 +174,13 @@ object Pca {
   def topComponents(embeddings: DataFrame, idCol: String, vecCol: String,
       nComponents: Int = 2, iters: Int = 2): DataFrame = {
     require(nComponents >= 1, s"nComponents must be >= 1, got $nComponents")
+    // rayleigh (≲ 10¹¹) × 64^(c−1) overflows Long near c = 10 and the
+    // per-round gauge has faded to noise well before that (ADVICE r17):
+    // make the documented 2–4 component range a hard ≤ 6 contract
+    // instead of returning garbage gauges
+    require(nComponents <= 6,
+      s"nComponents must be <= 6 (the 64^(c-1) gauge re-scale overflows " +
+        s"and precision fades ~64x per round), got $nComponents")
     var g = scaledGram(milliExploded(embeddings, idCol, vecCol))
     var out: DataFrame = null
     var c = 1

@@ -19,6 +19,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object Prefix {
 
+  /** [[withRankPrefixTotals]]'s result: the ranked frame plus the GRAND
+    * totals the offset build already computed on the driver — callers
+    * that previously re-aggregated the input just to learn its totals
+    * (the r17 q160 regression: `bys.agg(sum…)` re-ran the whole
+    * upstream groupBy once per consumer) read them here for free.
+    */
+  final case class Ranked(df: DataFrame, totalCount: Long,
+      totals: Map[String, Long])
+
   /** Adds `idx` (1-based global rank over `orderCols` ascending) and,
     * per entry (c, alias) of `valueCols`, `<alias>` = the EXCLUSIVE
     * prefix sum of BIGINT column c in that order. Ties within
@@ -28,10 +37,39 @@ object Prefix {
     * collect to the driver: ≤ `spark.sql.shuffle.partitions` rows.
     */
   def withRankAndPrefix(df: DataFrame, orderCols: Seq[String],
-      valueCols: Seq[(String, String)]): DataFrame = {
+      valueCols: Seq[(String, String)]): DataFrame =
+    withRankPrefixTotals(df, orderCols, valueCols).df
+
+  /** [[withRankAndPrefix]] plus the grand totals (total row count and,
+    * per value alias, the column's full sum) as driver-side values —
+    * they fall out of the per-partition offset scan at zero extra cost.
+    */
+  def withRankPrefixTotals(df: DataFrame, orderCols: Seq[String],
+      valueCols: Seq[(String, String)]): Ranked = {
+    // the build injects fixed working names; a caller whose frame (or
+    // alias list) already uses one would be silently corrupted (ADVICE
+    // r17) — fail loudly instead
+    val reserved = "pid" +: "idx" +: "_off_idx" +:
+      valueCols.map { case (_, a) => s"_off_$a" }
+    val clash = df.columns.toSet
+      .intersect(reserved.toSet ++ valueCols.map(_._2))
+    require(clash.isEmpty,
+      s"Prefix.withRankAndPrefix: input columns collide with reserved/" +
+        s"output names ${clash.mkString(", ")} — rename them first")
+    val aliases = valueCols.map(_._2)
+    require(aliases.distinct.size == aliases.size &&
+      !aliases.exists(a => a == "idx" || a == "pid"),
+      s"Prefix.withRankAndPrefix: aliases must be unique and not " +
+        s"'idx'/'pid' (got ${aliases.mkString(", ")})")
     val spark = df.sparkSession
     val oc = orderCols.map(col)
-    val stamped = df.repartitionByRange(oc: _*)
+    // materialize the input BEFORE the range exchange: RangePartitioning
+    // samples its child to pick bounds, so an un-materialized input runs
+    // its whole upstream pipeline an extra time just for the sample (the
+    // r17 q160 regression's biggest constant). The snap is the grouped
+    // frame — far smaller than whatever produced it.
+    val snap = df.localCheckpoint(true)
+    val stamped = snap.repartitionByRange(oc: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
     val aggs = (count(lit(1)).as("_cnt") +:
@@ -61,9 +99,11 @@ object Prefix {
     val withIdx = stamped.join(broadcast(offsets), "pid")
       .withColumn("idx",
         col("_off_idx") + row_number().over(w).cast("long"))
-    valueCols.foldLeft(withIdx) { case (d, (c, a)) =>
+    val out = valueCols.foldLeft(withIdx) { case (d, (c, a)) =>
       d.withColumn(a,
         col(s"_off_$a") + coalesce(sum(col(c)).over(wx), lit(0L)))
     }.drop("pid" +: "_off_idx" +: valueCols.map { case (_, a) => s"_off_$a" }: _*)
+    Ranked(out, runC,
+      valueCols.zipWithIndex.map { case ((_, a), i) => a -> runV(i) }.toMap)
   }
 }

@@ -44,16 +44,24 @@ object Eval {
 
   /** The distributed exclusive prefix sums over the distinct-score
     * frame `bys` (s, np, nn): adds `below_n` (Σ nn at scores < s) and
-    * `below_all` (Σ np+nn at scores < s). Split out un-checkpointed so
+    * `below_all` (Σ np+nn at scores < s), plus the GRAND totals
+    * (N = Σ nn, P+N = Σ np+nn) that the offset build already collected
+    * — [[rocAudit]] reads them instead of re-aggregating `bys` per
+    * consumer (the r17 2-3× regression: `tot` re-ran the upstream
+    * groupBy twice via its crossJoins). Split out un-checkpointed so
     * PlanSpec can assert it contains NO SinglePartition exchange.
     */
-  private[graft] def cumBelowFrame(bys: DataFrame): DataFrame =
-    graft.etl.Prefix.withRankAndPrefix(
+  private[graft] def cumBelow(bys: DataFrame): graft.etl.Prefix.Ranked =
+    graft.etl.Prefix.withRankPrefixTotals(
       bys.withColumn("na", col("np") + col("nn")),
       orderCols = Seq("s"),
-      valueCols = Seq("nn" -> "below_n", "na" -> "below_all"))
-      .select(col("s"), col("np"), col("nn"),
-        col("below_n"), col("below_all"))
+      valueCols = Seq("nn" -> "below_n", "na" -> "below_all")) match {
+      case r => r.copy(df = r.df.select(col("s"), col("np"), col("nn"),
+        col("below_n"), col("below_all")))
+    }
+
+  private[graft] def cumBelowFrame(bys: DataFrame): DataFrame =
+    cumBelow(bys).df
 
   /** AUC + k-bin calibration over `(idCol, scoreCol, labelCol)` rows —
     * label must be 0/1 integral. Output: one row per bin with `decile`
@@ -63,35 +71,48 @@ object Eval {
     */
   def rocAudit(scored: DataFrame, idCol: String, scoreCol: String,
       labelCol: String, bins: Int = 10): DataFrame = {
+    // materialize the (id, s, y) projection ONCE: it feeds both the
+    // distinct-score groupBy and the calibration join, and the caller's
+    // scoring pipeline behind it (q160: full NB train + corpus score) is
+    // the expensive part — a narrow 3-column persist beats re-running it
+    // per consumer at every scale
     val lbl = scored.select(col(idCol).as("eval_id"),
       col(scoreCol).as("s"), col(labelCol).cast("long").as("y"))
+      .localCheckpoint(true)
     val bys = lbl.groupBy(col("s")).agg(
       sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
-    val cum = cumBelowFrame(bys).localCheckpoint(true)
-    val tot = bys.agg(sum(col("np")).as("p"), sum(col("nn")).as("n"))
-    val pn2 = greatest(col("p").cast(Dec38) * col("n") * 2L,
-      lit(1).cast(Dec38))
+    // LAZY lineage cut (the r17 eager localCheckpoint(true) here blocked
+    // the pipeline for a full extra pass): both consumers — the AUC agg
+    // and the calibration join — share one RDD, materialized by
+    // whichever job runs first. The grand totals (P, N) come from the
+    // Prefix offset scan for free; 2PN can exceed 2⁶³ at corpus scale so
+    // it re-enters the plan as an exact DECIMAL(38,0) literal.
+    val ranked = cumBelow(bys)
+    val cum = ranked.df.localCheckpoint(false)
+    val totN = ranked.totals("below_n")
+    val totAll = ranked.totals("below_all")
+    val totP = totAll - totN
+    val pn2big = (BigInt(totP) * BigInt(totN) * 2).max(BigInt(1))
+    val pn2 = lit(new java.math.BigDecimal(pn2big.bigInteger)).cast(Dec38)
     val auc = cum.agg(sum(col("np").cast(Dec38) *
         (lit(2L) * col("below_n") + col("nn")).cast(Dec38)).as("num2"))
-      .crossJoin(tot)
       .select(((col("num2") * lit(1000000L) -
         pmod(col("num2") * lit(1000000L), pn2)) / pn2)
         .cast("long").as("auc_x1e6"))
     val wd = Window.partitionBy("s").orderBy("eval_id")
+    val qq = totAll / bins
+    val rr = totAll % bins
     val withIdx = lbl
       .join(cum.select(col("s"), col("below_all")), Seq("s"))
       .withColumn("idx",
         col("below_all") + row_number().over(wd).cast("long"))
-      .crossJoin(broadcast(tot.select((col("p") + col("n")).as("total"))))
     val deciled = withIdx
-      .withColumn("qq", expr(s"total div $bins"))
-      .withColumn("rr", col("total") % bins)
       .withColumn("decile",
-        when(col("qq") === 0L, col("idx"))
-          .when(col("idx") <= (col("qq") + 1L) * col("rr"),
-            expr("(idx + qq) div (qq + 1)"))
-          .otherwise(col("rr") +
-            expr("(idx - (qq + 1) * rr + qq - 1) div qq")))
+        if (qq == 0L) col("idx")
+        else when(col("idx") <= (qq + 1L) * rr,
+            expr(s"(idx + $qq) div ($qq + 1)"))
+          .otherwise(lit(rr) +
+            expr(s"(idx - ($qq + 1) * $rr + $qq - 1) div $qq")))
     deciled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
       .withColumn("pos_rate_x1e6", expr("(1000000 * n_pos) div n"))

@@ -172,7 +172,20 @@ object StreamHll {
     val table = graft.functions.Hll.linearTable(p)
     def fn(g: String, it: Iterator[HllItem],
         state: GroupState[HllRegsState]): Iterator[HllEstimate] = {
-      val regs = state.getOption.map(_.regs).getOrElse(new Array[Int](m))
+      val regs = state.getOption match {
+        case Some(prior) =>
+          // restoring a checkpointed stream with a DIFFERENT p would
+          // index past a smaller stored array (AIOOBE) or silently skew
+          // v_zero/S over a larger one (ADVICE r17) — p is part of the
+          // checkpointed contract, fail loudly if it changed
+          if (prior.regs.length != m)
+            throw new IllegalStateException(
+              s"StreamHll: restored state has ${prior.regs.length} " +
+                s"registers but p=$p needs $m — precision cannot change " +
+                "across a checkpointed stream (start a new checkpoint)")
+          prior.regs
+        case None => new Array[Int](m)
+      }
       it.foreach { x =>
         val reg = (x.h & (m - 1L)).toInt
         val rest = x.h >>> p
