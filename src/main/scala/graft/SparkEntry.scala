@@ -165,6 +165,172 @@ object SparkEntry {
   private val fixedBpeMerges = Seq("a" -> "g", "s" -> "c", "a" -> "n",
     "l" -> "e", "b" -> "le", "r" -> "o")
 
+  // the fixed unigram-LM piece table shared by q172 (Viterbi encode
+  // oracle), q173 (one hard-EM step) and q174 (fertility audit): full
+  // single-character coverage (SentencePiece's invariant — the DP is
+  // total over [a-z]+ words) plus multi-char pieces planted to hit the
+  // corpus vocabulary with COMPETING segmentations (e.g. "window" is
+  // w|ind|ow, beating wi|nd|ow — the DP genuinely optimizes, it is not
+  // greedy longest-match). Scores are distinct integer milli-log
+  // weights; a length-L piece always beats its own decomposition, so
+  // every planted piece is reachable.
+  private val unigramMultiPieces: Seq[String] = Seq(
+    "jo", "in", "ha", "sh", "ba", "tc", "sc", "an", "me", "rg", "or",
+    "de", "ta", "bl", "re", "st", "am", "wi", "nd", "ow", "co", "lu",
+    "va", "ue", "li", "ne", "da", "qu", "er", "fa", "gr", "ou", "so",
+    "rt", "sp", "ar", "ro", "up", "he", "om", "us", "il", "te", "ke",
+    "ey", "sm", "al", "lo", "ag", "ig",
+    "tch", "rge", "der", "ble", "ind", "the", "oup", "ark", "que",
+    "ter", "eam", "olu", "umn", "ery", "dow", "ast", "ort", "can",
+    "ine", "ata",
+    "atch", "ecto", "trea", "usto", "mall")
+  private val fixedUnigramPieces: Seq[(String, Long)] =
+    ('a' to 'z').map(c => c.toString -> (-3500L - (c - 'a') * 7L)) ++
+      unigramMultiPieces.zipWithIndex.map { case (p, i) =>
+        p -> (p.length match {
+          case 2 => -5200L - i * 10L
+          case 3 => -6600L - i * 10L
+          case _ => -8000L - i * 10L
+        })
+      }
+
+  /** The q172/q173/q174 oracle's shared Viterbi replay: a recursive CTE
+    * whose state carries the last [[graft.functions.Unigram.MaxPieceLen]]
+    * dp values and backtrack strings as fixed-width columns — one
+    * iteration per character position, LEFT JOINs against the piece
+    * VALUES for each candidate length, longest-first CASE on ties
+    * (exactly the kernel's strictly-greater descending-L scan). The
+    * VALUES list is GENERATED from the same Scala Seq the Spark kernel
+    * ships, so there is one source of truth.
+    */
+  private def unigramDpCte: String = {
+    val vals = fixedUnigramPieces
+      .map { case (p, s) => s"('$p', CAST($s AS BIGINT))" }.mkString(", ")
+    val neg = "-1000000000000"
+    val c4 = s"coalesce(d3 + p4.sc, $neg)"
+    val c3 = s"coalesce(d2 + p3.sc, $neg)"
+    val c2 = s"coalesce(d1 + p2.sc, $neg)"
+    val c1 = s"coalesce(d0 + p1.sc, $neg)"
+    val best = s"greatest($c4, $c3, $c2, $c1)"
+    def app(g: String, p: String) =
+      s"CASE WHEN $g = '' THEN $p ELSE $g || '|' || $p END"
+    s"""pieces(piece, sc) AS (VALUES $vals),
+       |uw AS (
+       |  SELECT DISTINCT
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents
+       |),
+       |ww AS (
+       |  SELECT word, length(word) AS len FROM uw
+       |  WHERE regexp_full_match(word, '[a-z]{1,16}')
+       |),
+       |dp AS (
+       |  SELECT word, len, 0 AS i,
+       |    CAST(0 AS BIGINT) AS d0, CAST(NULL AS BIGINT) AS d1,
+       |    CAST(NULL AS BIGINT) AS d2, CAST(NULL AS BIGINT) AS d3,
+       |    '' AS g0, CAST(NULL AS VARCHAR) AS g1,
+       |    CAST(NULL AS VARCHAR) AS g2, CAST(NULL AS VARCHAR) AS g3
+       |  FROM ww
+       |  UNION ALL
+       |  SELECT word, len, i + 1,
+       |    $best, d0, d1, d2,
+       |    CASE WHEN $c4 = $best THEN ${app("g3", "p4.piece")}
+       |         WHEN $c3 = $best THEN ${app("g2", "p3.piece")}
+       |         WHEN $c2 = $best THEN ${app("g1", "p2.piece")}
+       |         ELSE ${app("g0", "p1.piece")} END,
+       |    g0, g1, g2
+       |  FROM dp
+       |  LEFT JOIN pieces p1 ON p1.piece = substr(word, i + 1, 1)
+       |  LEFT JOIN pieces p2 ON i >= 1 AND p2.piece = substr(word, i, 2)
+       |  LEFT JOIN pieces p3 ON i >= 2 AND p3.piece = substr(word, i - 1, 3)
+       |  LEFT JOIN pieces p4 ON i >= 3 AND p4.piece = substr(word, i - 2, 4)
+       |  WHERE i < len
+       |),
+       |ufin AS (
+       |  SELECT word, d0 AS score_x1e3, g0 AS seg,
+       |    CAST(length(g0) - length(replace(g0, '|', '')) + 1 AS BIGINT)
+       |      AS n_pieces
+       |  FROM dp WHERE i = len
+       |)""".stripMargin
+  }
+
+  /** q177's near-dup truth threshold, cosine ×10⁹ (both the panel truth
+    * and the candidate verification use it, both engines).
+    */
+  private val AbTau9 = 500000000L
+
+  /** q175/q176 oracle blocks: duplicated fixed-length windows by
+    * LITERAL substring grams (the exact semantics the rank construction
+    * computes hash-free) + the gaps-and-islands union. One block per
+    * probe length, names suffixed by L.
+    */
+  private def dupWindowBlock(l: Int): String =
+    s"""g$l AS (
+       |  SELECT doc_id, i, substr(text, CAST(i AS BIGINT), $l) AS gram
+       |  FROM (SELECT doc_id, text,
+       |    unnest(generate_series(1, length(text) - ${l - 1})) AS i
+       |    FROM t)
+       |),
+       |d$l AS (
+       |  SELECT doc_id, i, gram FROM (
+       |    SELECT doc_id, i, gram,
+       |      COUNT(*) OVER (PARTITION BY gram) AS occ FROM g$l)
+       |  WHERE occ >= 2
+       |),
+       |i$l AS (
+       |  SELECT doc_id, i, SUM(newi) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM (SELECT doc_id, i, CASE WHEN i > coalesce(lag(i) OVER
+       |    (PARTITION BY doc_id ORDER BY i), -1000000000) + $l
+       |    THEN 1 ELSE 0 END AS newi FROM d$l)
+       |),
+       |sp$l AS (
+       |  SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+       |    CAST(MAX(i) + $l AS BIGINT) AS span_end
+       |  FROM i$l GROUP BY doc_id, isl
+       |)""".stripMargin
+
+  private lazy val q175OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |),
+       |${dupWindowBlock(12)}
+       |SELECT doc_id, span_start, span_end,
+       |  span_end - span_start AS span_len
+       |FROM sp12""".stripMargin
+
+  private lazy val q176OracleSql: String = {
+    val probes = Seq(8, 16, 32, 64)
+    val stats = probes.map { l =>
+      s"""c$l AS (
+         |  SELECT CAST(COALESCE(SUM(span_end - span_start), 0) AS BIGINT)
+         |    AS covered_chars
+         |  FROM sp$l
+         |),
+         |s$l AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_starts,
+         |    CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_dup_substrings
+         |  FROM d$l
+         |)""".stripMargin
+    }
+    val rows = probes.map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS probe_len, s$l.n_dup_starts,
+         |  s$l.n_dup_substrings, c$l.covered_chars, tot.total_chars,
+         |  CAST((1000000 * c$l.covered_chars) // tot.total_chars
+         |    AS BIGINT) AS covered_x1e6
+         |FROM s$l, c$l, tot""".stripMargin
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM t
+       |),
+       |${probes.map(dupWindowBlock).mkString(",\n")},
+       |${stats.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private def plantedFilterUrl(id: Column): Column = {
     val gid = id % 50
     val h = (gid % 10).cast("string")
@@ -949,6 +1115,32 @@ object SparkEntry {
         tables = 32, minCosine = 0.5)
     }),
 
+    // 20j. EXACT substring dup spans by distributed prefix-doubling
+    // (VERDICT r17 next-task 6 — the suffix-array-rank construction
+    // that closes q93's documented deviation from Lee et al. 2022's
+    // ExactSubstr): character-level, hash-free. Rank tables by
+    // ⌈log₂L⌉ rounds of pair-and-re-rank through the etl.Prefix
+    // distributed rank (24-byte rows, never text, no SinglePartition);
+    // length-12 windows keyed by the sparse-table rank pair; duplicated
+    // window extents unioned into maximal per-doc spans with EXACT
+    // boundaries. FULL oracle: DuckDB enumerates the literal 12-char
+    // grams (exact strings — the semantics, not the algorithm),
+    // counts occurrences corpus-wide, and merges islands identically.
+    "q175_exact_dup_spans" -> ((s, dir) =>
+      graft.dedup.ExactSubstr.dupSpans(Tables(s, dir).documents,
+        "doc_id", "text", minLen = 12L)),
+
+    // 20k. corpus repetition profile at power-of-two probe lengths
+    // (the Lee et al. "how much text is duplicated" table): per probe —
+    // duplicated window starts, DISTINCT duplicated substrings, and the
+    // exact character coverage of the duplicated regions. One rank
+    // build to 2^6 feeds all probes (a length-2^j window is duplicated
+    // iff its round-j rank repeats — zero extra work per probe beyond
+    // the groupBy). FULL oracle: literal substr grams per probe.
+    "q176_repetition_profile" -> ((s, dir) =>
+      graft.dedup.ExactSubstr.repetitionProfile(Tables(s, dir).documents,
+        "doc_id", "text")),
+
     // 20e. SemDeDup semantic dedup: deterministic k-means clustering +
     // within-cluster smaller-id cosine drop — full kept/dropped
     // disposition [rows-only; Round6Spec gates planted-dup recovery and
@@ -1109,6 +1301,71 @@ object SparkEntry {
         Seq("vec_id"), "left")
         .select(col("vec_id"), col("srp_sig"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("min_partner"))
+    }),
+
+    // 22k-e. the MEASURED all-but-the-top A/B (VERDICT r17 next-task
+    // 7 — q166 consumes sharpened vectors; this query proves the
+    // sharpening earns its pass). The corpus embeddings are
+    // near-isotropic, so the hub regime is PLANTED by fixture
+    // arithmetic (the q95/q111 doctrine — the oracle rebuilds every
+    // bit): each vector gains a dominant common-direction component
+    // with per-vector magnitude 3+id%7 (a VARIANCE hub — survives the
+    // PCA centering, unlike a constant shift), and every odd id is its
+    // even neighbor's near-duplicate (same base embedding, ±0.001-line
+    // perturbation). The SAME 64-bit SRP + capped-Hamming blocking then
+    // runs over the raw milli vectors and the sharpened ones: raw
+    // signatures collapse onto the hub's sign pattern (an all-pairs
+    // candidate flood at small corpora, a total occupancy-cap wipeout
+    // past bucket scale — both measured); sharpened signatures recover
+    // exactly the planted pairs. Truth is the planted (2k, 2k+1) set —
+    // id arithmetic, zero cosine work, constant per row at any scale.
+    // FULL oracle: fixture + q164 + removeTop + both arms' projections
+    // + blocking + the planted-truth fold.
+    "q177_srp_ab" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val fixture = e.select(col("vec_id"),
+          (col("vec_id") - pmod(col("vec_id"), lit(2))).as("src_id"))
+        .join(e.select(col("vec_id").as("src_id"),
+          col("embedding").as("src_emb")), Seq("src_id"))
+        .select(col("vec_id"), expr(
+          "transform(sequence(1, 64), j -> " +
+            "cast(element_at(src_emb, j) as double) " +
+            "+ (3.0 + cast(vec_id % 7 as double)) " +
+            "+ 0.001 * cast((vec_id + j) % 5 - 2 as double))").as("emb"))
+        .localCheckpoint(true)
+      val comp = graft.ann.Pca.topComponent(fixture, "vec_id", "emb",
+        iters = 2)
+      val rawm = graft.ann.Pca.milliVectors(fixture, "vec_id", "emb")
+      val shm = graft.ann.Pca.removeTop(fixture, "vec_id", "emb", comp)
+        .select(col("vec_id"), col("sharp").as("m"))
+      val truth = fixture.where(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id").as("id_a"),
+          (col("vec_id") + 1).as("id_b"))
+        .join(fixture.select(col("vec_id").as("id_b")),
+          Seq("id_b"), "left_semi")
+        .localCheckpoint(true)
+      def armRow(name: String, vecs: DataFrame): DataFrame = {
+        val pow2 = array((0 until 64).map(i => lit(1L << i)): _*)
+        val sig = vecs.select(col("vec_id"),
+          aggregate(zip_with(F.jlProject(col("m"), 64), pow2,
+            (p, b) => when(p > lit(0L), b).otherwise(lit(0L))),
+            lit(0L), (a, x) => a + x).as("srp_sig"))
+          .localCheckpoint(true)
+        val pairs = SimHashDedup.hammingPairs(sig, "vec_id", "srp_sig",
+          maxHamming = 3, maxBucket = 1024).localCheckpoint(true)
+        val nc = pairs.agg(count(lit(1)).as("n_candidates"))
+        val nt = truth.agg(count(lit(1)).as("n_planted"))
+        val hits = truth.join(pairs, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        nc.crossJoin(broadcast(nt)).crossJoin(broadcast(hits))
+          .select(lit(name).as("arm"), col("n_candidates"),
+            col("n_planted"), col("n_hits"),
+            expr("(1000000 * n_hits) div greatest(n_candidates, 1)")
+              .as("precision_x1e6"),
+            expr("(1000000 * n_hits) div greatest(n_planted, 1)")
+              .as("recall_x1e6"))
+      }
+      armRow("raw", rawm).unionByName(armRow("sharp", shm))
     }),
 
     // 22k-d. multi-component PCA by Hotelling deflation (verdict r16
@@ -2076,6 +2333,79 @@ object SparkEntry {
         Tables(s, dir).documents.select(col("doc_id"),
           TextStats.tokenCount(col("text")).as("w")),
         col("w"), col("doc_id"))),
+
+    // 23c. unigram-LM (SentencePiece-style) Viterbi ENCODE under the
+    // fixed piece table (VERDICT r17 next-task 5 — the tokenizer rung
+    // above BPE that public multilingual pipelines default to): exact
+    // max-score segmentation by per-word DP, TYPE-level (the distinct
+    // [a-z]{1,16} words — a vocabulary-bounded frame at any corpus
+    // scale; per-token work never exists). Kernel is one codegen
+    // StaticInvoke with the table as a spec literal; ties prefer the
+    // longest final piece. FULL oracle: the recursive-CTE DP replay
+    // (fixed-width dp + backtrack state, one iteration per character).
+    "q172_unigram_encode" -> ((s, dir) => {
+      val seg = graft.functions.Unigram
+        .segment(col("word"), fixedUnigramPieces)
+      Tables(s, dir).documents
+        .select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("word"))
+        .where(col("word").rlike("^[a-z]{1,16}$"))
+        .distinct()
+        .select(col("word"), seg.as("seg"),
+          graft.functions.Unigram
+            .scoreMilli(col("word"), fixedUnigramPieces).as("score_x1e3"))
+        .withColumn("n_pieces",
+          (length(col("seg")) -
+            length(regexp_replace(col("seg"), "\\|", "")) + 1)
+            .cast("long"))
+        .select(col("word"), col("n_pieces"), col("score_x1e3"),
+          col("seg"))
+    }),
+
+    // 23d. ONE oracled hard-EM step of the unigram trainer (the q84c
+    // isolate-one-step precedent — the full Viterbi-EM loop is
+    // spec-gated in UnigramSpec like BPE's q47): segment the word
+    // TYPES under the fixed table, weight pieces by corpus frequency,
+    // re-estimate p(piece) as the exact integer floor. The piece-count
+    // frame is vocabulary-bounded (the SemDedup codebook posture).
+    "q173_unigram_em" -> ((s, dir) => {
+      val words = Tables(s, dir).documents
+        .select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("word"))
+        .where(col("word").rlike("^[a-z]{1,16}$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("f"))
+      graft.functions.Unigram.emStep(words, fixedUnigramPieces)
+    }),
+
+    // 23e. unigram fertility equity audit — q122's Rust et al. 2021
+    // gauge for the unigram tokenizer (VERDICT r17 task 5's third leg):
+    // tokens-per-word and chars-per-piece per language under the q172
+    // fixed table. Segment the distinct types once, broadcast-join the
+    // per-type piece count back onto (lang, word) frequencies, one
+    // bounded-dim groupBy.
+    "q174_unigram_fertility" -> ((s, dir) => {
+      val wl = Tables(s, dir).documents
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .where(col("word").rlike("^[a-z]{1,16}$"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("f"))
+      val seg = graft.functions.Unigram
+        .segment(col("word"), fixedUnigramPieces)
+      val types = wl.select(col("word")).distinct()
+        .select(col("word"),
+          (length(seg) - length(regexp_replace(seg, "\\|", "")) + 1)
+            .cast("long").as("np"))
+      wl.join(broadcast(types), Seq("word"))
+        .groupBy(col("lang"))
+        .agg(sum(col("f")).as("n_words"),
+          sum(col("f") * col("np")).as("n_pieces"),
+          sum(col("f") * length(col("word")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          col("n_chars"),
+          expr("(1000000 * n_pieces) div n_words").as("fertility_x1e6"),
+          expr("(1000000 * n_chars) div n_pieces")
+            .as("chars_per_piece_x1e6"))
+    }),
 
     // 29p. adaptive recrawl scheduling (Cho & Garcia-Molina 2003): the
     // planted fetch history gives each of 20 URLs a volatility class —
@@ -4235,24 +4565,25 @@ object SparkEntry {
     * (id_a, id_b).
     */
   private def hammingPairCtes(hashCol: String, out: String = "pr",
-      maxHamming: Int = 3, maxBucket: Int = 1024): String =
-    s"""hchunks AS (
+      maxHamming: Int = 3, maxBucket: Int = 1024,
+      src: String = "hashes", pre: String = "h"): String =
+    s"""${pre}chunks AS (
        |  SELECT h.doc_id, CAST(c.range AS INTEGER) AS cn,
        |    (h.$hashCol >> (c.range * 16)) & 65535 AS chunk
-       |  FROM hashes h, range(4) c WHERE h.$hashCol IS NOT NULL
+       |  FROM $src h, range(4) c WHERE h.$hashCol IS NOT NULL
        |),
-       |hocc AS (
-       |  SELECT cn, chunk FROM hchunks GROUP BY 1, 2
+       |${pre}occ AS (
+       |  SELECT cn, chunk FROM ${pre}chunks GROUP BY 1, 2
        |  HAVING COUNT(*) <= $maxBucket
        |),
        |$out AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM hchunks a
-       |  JOIN hocc o ON o.cn = a.cn AND o.chunk = a.chunk
-       |  JOIN hchunks b ON b.cn = a.cn AND b.chunk = a.chunk
+       |  FROM ${pre}chunks a
+       |  JOIN ${pre}occ o ON o.cn = a.cn AND o.chunk = a.chunk
+       |  JOIN ${pre}chunks b ON b.cn = a.cn AND b.chunk = a.chunk
        |    AND a.doc_id < b.doc_id
-       |  JOIN hashes ha ON ha.doc_id = a.doc_id
-       |  JOIN hashes hb ON hb.doc_id = b.doc_id
+       |  JOIN $src ha ON ha.doc_id = a.doc_id
+       |  JOIN $src hb ON hb.doc_id = b.doc_id
        |  WHERE bit_count(xor(ha.$hashCol, hb.$hashCol)) <= $maxHamming
        |)""".stripMargin
 
@@ -4958,6 +5289,83 @@ object SparkEntry {
        |SELECT h.doc_id AS vec_id, h.srp_sig,
        |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups, a.min_partner
        |FROM hashes h LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** q177 oracle: the full A/B replay — the planted hub+duplicate
+    * fixture (rebuilt by the same id arithmetic), pc1 → removeTop
+    * (`shp` carries BOTH the raw milli x and sharpened sh per
+    * component), each arm's 64 hash-parity sign projections +
+    * bit-packed signature + the engine-faithful capped Hamming
+    * blocking, and the planted-truth fold.
+    */
+  private lazy val q177OracleSql: String = {
+    def prc(srcCol: String, name: String) =
+      s"""$name AS (
+         |  SELECT s.vec_id, CAST(ii.range AS BIGINT) AS i,
+         |    CAST(SUM(CASE WHEN hash(8191 * ii.range + s.j) % 2 = 0
+         |      THEN s.$srcCol ELSE -s.$srcCol END) AS BIGINT) AS p
+         |  FROM shp s, range(64) ii
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    def hashes(src: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(SUM(CASE WHEN p > 0 THEN
+         |      CASE WHEN i = 63 THEN -9223372036854775807 - 1
+         |        ELSE 1::BIGINT << CAST(i AS INTEGER) END
+         |      ELSE 0 END) AS BIGINT) AS srp_sig
+         |  FROM $src GROUP BY 1
+         |)""".stripMargin
+    def armStats(pr: String, p: String) =
+      s"""${p}nc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM $pr
+         |),
+         |${p}hits AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN $pr USING (id_a, id_b)
+         |)""".stripMargin
+    def armRow(arm: String, p: String) =
+      s"""SELECT '$arm' AS arm, ${p}nc.n_candidates, tcnt.n_planted,
+         |  ${p}hits.n_hits,
+         |  CAST((1000000 * ${p}hits.n_hits)
+         |    // greatest(${p}nc.n_candidates, 1) AS BIGINT)
+         |    AS precision_x1e6,
+         |  CAST((1000000 * ${p}hits.n_hits)
+         |    // greatest(tcnt.n_planted, 1) AS BIGINT) AS recall_x1e6
+         |FROM ${p}nc, tcnt, ${p}hits""".stripMargin
+    s"""WITH fix AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |    list_transform(generate_series(1, 64), j ->
+       |      CAST(b.embedding[j] AS DOUBLE)
+       |      + (3.0 + CAST(a.vec_id % 7 AS DOUBLE))
+       |      + 0.001 * CAST((a.vec_id + j) % 5 - 2 AS DOUBLE)) AS emb
+       |  FROM embeddings a
+       |  JOIN embeddings b ON b.vec_id = a.vec_id - a.vec_id % 2
+       |),
+       |embd AS (SELECT vec_id, emb AS v FROM fix),
+       |$pcaGramCtes,
+       |${pcaPowerCtes("g", "")},
+       |${pcaRayCtes("g", "v2", "")},
+       |$pcaRemoveTopCtes,
+       |${prc("x", "rprc")},
+       |${hashes("rprc", "rhashes")},
+       |${prc("sh", "sprc")},
+       |${hashes("sprc", "shashes")},
+       |${hammingPairCtes("srp_sig", out = "rpr", src = "rhashes",
+            pre = "rh")},
+       |${hammingPairCtes("srp_sig", out = "spr", src = "shashes",
+            pre = "sh2")},
+       |truth AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, a.vec_id + 1 AS id_b
+       |  FROM fix a JOIN fix b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id % 2 = 0
+       |),
+       |tcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM truth),
+       |${armStats("rpr", "r")},
+       |${armStats("spr", "s")}
+       |${armRow("raw", "r")}
+       |UNION ALL
+       |${armRow("sharp", "s")}""".stripMargin
+  }
 
   /** q167 oracle: two components by Hotelling deflation — the full
     * comp-1 replay, the ⌊v_j·v_k/(⌊vᵀv/10⁹⌋+1)⌋ projector, the
@@ -5765,6 +6173,7 @@ object SparkEntry {
     "q164_pca_power" -> q164OracleSql,
     "q165_remove_top" -> q165OracleSql,
     "q166_sharpened_srp" -> q166OracleSql,
+    "q177_srp_ab" -> q177OracleSql,
     "q167_pca_deflate" -> q167OracleSql,
     "q32_ann_ivf" -> q32OracleSql,
     "q65_pq_ann" -> q65OracleSql,
@@ -5869,6 +6278,59 @@ object SparkEntry {
         |  (MAX(cum_w + w) - MAX(cum_w + w) % MIN(sdiv)) // MIN(sdiv)
         |    AS cum_share_x1e6
         |FROM bn GROUP BY 1""".stripMargin,
+    // q172: the recursive-CTE Viterbi replay (generated from the SAME
+    // Scala piece Seq the kernel ships — one source of truth); q173/
+    // q174 reuse it and add the frequency weighting / per-lang rollup.
+    "q172_unigram_encode" ->
+      s"""WITH RECURSIVE $unigramDpCte
+         |SELECT word, n_pieces, score_x1e3, seg FROM ufin""".stripMargin,
+    "q173_unigram_em" ->
+      s"""WITH RECURSIVE $unigramDpCte,
+         |tok AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         |    AS word
+         |  FROM documents
+         |),
+         |freq AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+         |  WHERE regexp_full_match(word, '[a-z]{1,16}') GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT f.f, unnest(string_split(u.seg, '|')) AS piece
+         |  FROM ufin u JOIN freq f USING (word)
+         |),
+         |cts AS (
+         |  SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM ex GROUP BY 1
+         |),
+         |utot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cts)
+         |SELECT piece, cnt,
+         |  CAST((1000000 * cnt) // t AS BIGINT) AS p_x1e6
+         |FROM cts CROSS JOIN utot""".stripMargin,
+    "q174_unigram_fertility" ->
+      s"""WITH RECURSIVE $unigramDpCte,
+         |tokl AS (
+         |  SELECT lang,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+         |  FROM documents
+         |),
+         |freq AS (
+         |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS f FROM tokl
+         |  WHERE regexp_full_match(word, '[a-z]{1,16}') GROUP BY 1, 2
+         |)
+         |SELECT f.lang,
+         |  CAST(SUM(f.f) AS BIGINT) AS n_words,
+         |  CAST(SUM(f.f * u.n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(f.f * length(f.word)) AS BIGINT) AS n_chars,
+         |  CAST((1000000 * SUM(f.f * u.n_pieces)) // SUM(f.f) AS BIGINT)
+         |    AS fertility_x1e6,
+         |  CAST((1000000 * SUM(f.f * length(f.word)))
+         |    // SUM(f.f * u.n_pieces) AS BIGINT) AS chars_per_piece_x1e6
+         |FROM freq f JOIN ufin u USING (word)
+         |GROUP BY 1""".stripMargin,
+    // q175/q176: exact-substring semantics replayed with LITERAL grams
+    // (the rank construction computes the same answer hash-free)
+    "q175_exact_dup_spans" -> q175OracleSql,
+    "q176_repetition_profile" -> q176OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,

@@ -274,6 +274,13 @@ object Pca {
     embeddings.select(col(idCol), transform(col(vecCol),
       x => floor(x.cast("double") * 1000).cast("long")).as("m"))
 
+  /** The milli-quantized vectors (idCol, m) — public so consumers that
+    * A/B raw-vs-sharpened signatures (q177) project BOTH arms from the
+    * same exact integer domain.
+    */
+  def milliVectors(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame = milli(embeddings, idCol, vecCol)
+
   /** (idCol, m milli array, sharp sharpened array, dot_v) — the shared
     * one-pass body of [[removeTop]]/[[removeTopAudit]].
     */
