@@ -1191,7 +1191,13 @@ object SparkEntry {
     // + multi-iteration composition stays spec-gated (q84).
     "q84c_semdedup_train1" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
-      val cents0 = e.where(col("vec_id") % 37 === 0)
+      // the fixed init is BOUNDED (<= 256 centroids): an unbounded
+      // vec_id % 37 sample grows k linearly with n, making the n*k
+      // assignment n^2/37 - the r18 100x anchor measured that at 875 s
+      // (66x per decade). The id cap is a no-op at the oracle SFs
+      // (every vec_id there is < 9472) and pins k at corpus scale.
+      val cents0 = e.where(col("vec_id") % 37 === 0 &&
+          col("vec_id") < 37 * 256)
         .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
       SemDedup.dedupWith(e, SemDedup.refine(e, cents0, iters = 1),
         eps = 0.9)
@@ -8582,7 +8588,8 @@ object SparkEntry {
          |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
          |  FROM embeddings
          |),
-         |cents0 AS (SELECT vec_id AS cid, v AS c FROM emb WHERE vec_id % 37 = 0),
+         |cents0 AS (SELECT vec_id AS cid, v AS c FROM emb
+         |  WHERE vec_id % 37 = 0 AND vec_id < 9472),
          |${bestCte("a0", "cents0")},
          |means AS (
          |  SELECT cell,
