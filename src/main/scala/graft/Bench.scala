@@ -67,7 +67,13 @@ object Bench {
     val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failed query (runOnce's -1.0 sentinel as its median) must RAISE
+    // a visible flag, not silently LOWER the summed total (VERDICT r18
+    // task 8): sentinels are excluded from the sum and the failures are
+    // listed under their own key — an empty list is the green signal
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // guard-rail FIXTURES deliberately exercise worst-case guards
     // (q84b runs a user-supplied fixed codebook into the maxCell
     // sub-split); flagging them here keeps the artifact honest — their
@@ -77,7 +83,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // "runs" makes the median protocol visible in the artifact (VERDICT
     // r10 task 5): per-query values are medians of `runs` timed passes
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"guard_fixtures":$fixtures,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"queries":$qs,"guard_fixtures":$fixtures,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     // COMPACT twin, printed LAST: the full line above is ~5 KB at 155
     // queries and a tail-of-stdout snapshot (the round driver keeps the
     // last 2000 chars) decapitates it into unparseable JSON (VERDICT r15
@@ -86,7 +92,7 @@ object Bench {
     // wrapper scripts keep the full first line (grep | head -1).
     val top = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"compact":true,"n_queries":${results.length},"queries_truncated":true,"top_queries":$top,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"compact":true,"n_queries":${results.length},"queries_truncated":true,"top_queries":$top,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }

@@ -110,6 +110,27 @@ object SparkEntry {
       java.lang.Long.valueOf(sizingCountFrame(s, dir, name).head().getLong(0))
     }.longValue()
 
+  /** The q175/q176/q178 shared ExactSubstr substrate (VERDICT r18 task
+    * 4 — the three queries previously each re-ran the full
+    * prefix-doubling build): ONE level-3 rank build (length-8 windows)
+    * + per-doc lengths + the length-12 duplicated-window starts,
+    * persisted DISK_ONLY and memoized per (session, sf) — the q137b
+    * persisted-index posture; Bench's warm-up pass materializes it so
+    * the one-time build cost isn't billed to a single query.
+    */
+  private def exsubShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    memoized(s, s"exsub|$dir") {
+      val docs = Tables(s, dir).documents
+      val (r3, lens) =
+        graft.dedup.ExactSubstr.rankAndLens(docs, "doc_id", "text", 3)
+      val starts = graft.dedup.ExactSubstr
+        .dupWindowStartsFrom(r3, 3, lens, 12L)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      (r3, lens, starts)
+    }
+
   /** The crawl-layer plants shared by q104/q105/q107 (hoisted so the
     * three entries and their oracles cannot drift apart — r11 review):
     * five URL spellings per canonical target keyed by doc_id%5, four
@@ -183,14 +204,28 @@ object SparkEntry {
     "tch", "rge", "der", "ble", "ind", "the", "oup", "ark", "que",
     "ter", "eam", "olu", "umn", "ery", "dow", "ast", "ort", "can",
     "ine", "ata",
-    "atch", "ecto", "trea", "usto", "mall")
+    "atch", "ecto", "trea", "usto", "mall",
+    // length 5–8 (VERDICT r18 task 6 — real SentencePiece vocabularies
+    // carry pieces well past 4 chars; MaxPieceLen is now 16): full-word
+    // and sliding fragments of the corpus vocabulary, so the DP faces
+    // genuine multi-length competition and the 8-char "customer" WINS
+    // its word (a length-L piece always outscores its decompositions)
+    "windo", "indow", "strea", "tream", "custo", "ustom", "stome",
+    "tomer", "filte", "ilter",
+    "window", "stream", "column", "vector", "filter", "custom",
+    "ustome", "stomer",
+    "custome", "ustomer",
+    "customer")
   private val fixedUnigramPieces: Seq[(String, Long)] =
     ('a' to 'z').map(c => c.toString -> (-3500L - (c - 'a') * 7L)) ++
       unigramMultiPieces.zipWithIndex.map { case (p, i) =>
         p -> (p.length match {
           case 2 => -5200L - i * 10L
           case 3 => -6600L - i * 10L
-          case _ => -8000L - i * 10L
+          case 4 => -8000L - i * 10L
+          // longer pieces: −600 per extra char keeps every planted
+          // piece strictly cheaper than any decomposition of itself
+          case n => -8000L - (n - 4) * 600L - i * 10L
         })
       }
 
@@ -204,16 +239,34 @@ object SparkEntry {
     * ships, so there is one source of truth.
     */
   private def unigramDpCte: String = {
+    // the whole CTE is GENERATED from Unigram.MaxPieceLen (now 16 —
+    // VERDICT r18 task 6): M carried dp values d0..d{M-1}, M carried
+    // backtrack strings g0..g{M-1}, M candidate LEFT JOINs, and the
+    // longest-first CASE — widening the kernel's bound widens the
+    // replay automatically
+    val m = graft.functions.Unigram.MaxPieceLen
     val vals = fixedUnigramPieces
       .map { case (p, s) => s"('$p', CAST($s AS BIGINT))" }.mkString(", ")
     val neg = "-1000000000000"
-    val c4 = s"coalesce(d3 + p4.sc, $neg)"
-    val c3 = s"coalesce(d2 + p3.sc, $neg)"
-    val c2 = s"coalesce(d1 + p2.sc, $neg)"
-    val c1 = s"coalesce(d0 + p1.sc, $neg)"
-    val best = s"greatest($c4, $c3, $c2, $c1)"
+    def cand(l: Int) = s"coalesce(d${l - 1} + p$l.sc, $neg)"
+    val best = s"greatest(${(m to 1 by -1).map(cand).mkString(", ")})"
     def app(g: String, p: String) =
       s"CASE WHEN $g = '' THEN $p ELSE $g || '|' || $p END"
+    val initD = "CAST(0 AS BIGINT) AS d0" +: (1 until m).map(k =>
+      s"CAST(NULL AS BIGINT) AS d$k")
+    val initG = "'' AS g0" +: (1 until m).map(k =>
+      s"CAST(NULL AS VARCHAR) AS g$k")
+    // longest-first tie scan: branches L = M .. 2, ELSE = the 1-char
+    // piece (exactly the kernel's strictly-greater descending-L loop)
+    val caseG = (m to 2 by -1).map(l =>
+      s"WHEN ${cand(l)} = $best THEN ${app(s"g${l - 1}", s"p$l.piece")}")
+      .mkString("CASE ", "\n         ", s"\n         ELSE ${app("g0", "p1.piece")} END")
+    val joins = (1 to m).map { l =>
+      val guard = if (l == 1) "" else s"i >= ${l - 1} AND "
+      s"LEFT JOIN pieces p$l ON ${guard}p$l.piece = substr(word, i + ${2 - l}, $l)"
+    }.mkString("\n       |  ")
+    val shiftD = (0 until m - 1).map(k => s"d$k").mkString(", ")
+    val shiftG = (0 until m - 1).map(k => s"g$k").mkString(", ")
     s"""pieces(piece, sc) AS (VALUES $vals),
        |uw AS (
        |  SELECT DISTINCT
@@ -226,24 +279,16 @@ object SparkEntry {
        |),
        |dp AS (
        |  SELECT word, len, 0 AS i,
-       |    CAST(0 AS BIGINT) AS d0, CAST(NULL AS BIGINT) AS d1,
-       |    CAST(NULL AS BIGINT) AS d2, CAST(NULL AS BIGINT) AS d3,
-       |    '' AS g0, CAST(NULL AS VARCHAR) AS g1,
-       |    CAST(NULL AS VARCHAR) AS g2, CAST(NULL AS VARCHAR) AS g3
+       |    ${initD.mkString(", ")},
+       |    ${initG.mkString(", ")}
        |  FROM ww
        |  UNION ALL
        |  SELECT word, len, i + 1,
-       |    $best, d0, d1, d2,
-       |    CASE WHEN $c4 = $best THEN ${app("g3", "p4.piece")}
-       |         WHEN $c3 = $best THEN ${app("g2", "p3.piece")}
-       |         WHEN $c2 = $best THEN ${app("g1", "p2.piece")}
-       |         ELSE ${app("g0", "p1.piece")} END,
-       |    g0, g1, g2
+       |    $best, $shiftD,
+       |    $caseG,
+       |    $shiftG
        |  FROM dp
-       |  LEFT JOIN pieces p1 ON p1.piece = substr(word, i + 1, 1)
-       |  LEFT JOIN pieces p2 ON i >= 1 AND p2.piece = substr(word, i, 2)
-       |  LEFT JOIN pieces p3 ON i >= 2 AND p3.piece = substr(word, i - 1, 3)
-       |  LEFT JOIN pieces p4 ON i >= 3 AND p4.piece = substr(word, i - 2, 4)
+       |  $joins
        |  WHERE i < len
        |),
        |ufin AS (
@@ -330,6 +375,76 @@ object SparkEntry {
        |${stats.mkString(",\n")}
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** q178 oracle: keep-first ExactSubstr span removal replayed with
+    * literal 12-char grams — rank every duplicated gram's occurrences
+    * by (doc_id, i), merge the NON-first extents into islands, and
+    * rebuild each text by string_agg over the complement segments
+    * (before-each-span + tail) — byte-identical reconstruction of the
+    * engine's kept-segment fold.
+    */
+  private lazy val q178OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE text IS NOT NULL
+       |),
+       |g12 AS (
+       |  SELECT doc_id, i, substr(text, CAST(i AS BIGINT), 12) AS gram
+       |  FROM (SELECT doc_id, text,
+       |    unnest(generate_series(1, length(text) - 11)) AS i
+       |    FROM t)
+       |),
+       |d12 AS (
+       |  SELECT doc_id, i, gram FROM (
+       |    SELECT doc_id, i, gram,
+       |      COUNT(*) OVER (PARTITION BY gram) AS occ FROM g12)
+       |  WHERE occ >= 2
+       |),
+       |mk AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+       |    FROM d12)
+       |  WHERE rn > 1
+       |),
+       |isl AS (
+       |  SELECT doc_id, i, SUM(newi) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM (SELECT doc_id, i, CASE WHEN i > coalesce(lag(i) OVER
+       |    (PARTITION BY doc_id ORDER BY i), -1000000000) + 12
+       |    THEN 1 ELSE 0 END AS newi FROM mk)
+       |),
+       |sp AS (
+       |  SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+       |    CAST(MAX(i) + 12 AS BIGINT) AS span_end
+       |  FROM isl GROUP BY doc_id, g
+       |),
+       |segs AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(span_end) OVER (PARTITION BY doc_id
+       |      ORDER BY span_start), CAST(1 AS BIGINT)) AS s,
+       |    span_start AS e
+       |  FROM sp
+       |  UNION ALL
+       |  SELECT sp.doc_id, MAX(span_end) AS s,
+       |    CAST(MAX(t.len) + 1 AS BIGINT) AS e
+       |  FROM sp JOIN t USING (doc_id) GROUP BY sp.doc_id
+       |),
+       |clean AS (
+       |  SELECT doc_id, string_agg(substr(t.text, CAST(s AS BIGINT),
+       |    CAST(e - s AS BIGINT)), '' ORDER BY s) AS text_clean
+       |  FROM segs JOIN t USING (doc_id) GROUP BY doc_id
+       |),
+       |st AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut,
+       |    CAST(SUM(span_end - span_start) AS BIGINT) AS chars_cut
+       |  FROM sp GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, COALESCE(c.text_clean, t.text) AS text_clean,
+       |  CAST(COALESCE(st.n_cut, 0) AS BIGINT) AS n_cut,
+       |  CAST(COALESCE(st.chars_cut, 0) AS BIGINT) AS chars_cut
+       |FROM t LEFT JOIN clean c ON c.doc_id = t.doc_id
+       |LEFT JOIN st ON st.doc_id = t.doc_id""".stripMargin
 
   private def plantedFilterUrl(id: Column): Column = {
     val gid = id % 50
@@ -1126,9 +1241,10 @@ object SparkEntry {
     // boundaries. FULL oracle: DuckDB enumerates the literal 12-char
     // grams (exact strings — the semantics, not the algorithm),
     // counts occurrences corpus-wide, and merges islands identically.
-    "q175_exact_dup_spans" -> ((s, dir) =>
-      graft.dedup.ExactSubstr.dupSpans(Tables(s, dir).documents,
-        "doc_id", "text", minLen = 12L)),
+    "q175_exact_dup_spans" -> ((s, dir) => {
+      val (_, _, starts) = exsubShared(s, dir)
+      graft.dedup.ExactSubstr.dupSpansFromStarts(starts, 12L)
+    }),
 
     // 20k. corpus repetition profile at power-of-two probe lengths
     // (the Lee et al. "how much text is duplicated" table): per probe —
@@ -1137,9 +1253,28 @@ object SparkEntry {
     // build to 2^6 feeds all probes (a length-2^j window is duplicated
     // iff its round-j rank repeats — zero extra work per probe beyond
     // the groupBy). FULL oracle: literal substr grams per probe.
-    "q176_repetition_profile" -> ((s, dir) =>
-      graft.dedup.ExactSubstr.repetitionProfile(Tables(s, dir).documents,
-        "doc_id", "text")),
+    "q176_repetition_profile" -> ((s, dir) => {
+      val (r3, lens, _) = exsubShared(s, dir)
+      graft.dedup.ExactSubstr.repetitionProfileFrom(s, r3, 3, lens,
+        Seq(8L, 16L, 32L, 64L), releaseBase = false)
+    }),
+
+    // 20l. ExactSubstr span REMOVAL — the Lee et al. 2022 deployment
+    // step (VERDICT r18 task 5): the corpus re-emitted with duplicated
+    // spans CUT, keep-first-occurrence (per duplicated window content
+    // the smallest (doc_id, off) keeps; every position covered by a
+    // non-keeper duplicated window is removed; each doc's removed
+    // ranges union into disjoint islands and the kept segments
+    // re-concatenate in one codegen fold). FULL oracle: DuckDB ranks
+    // the literal 12-gram occurrences by (doc_id, i), merges the
+    // non-first extents into islands, and rebuilds each text with
+    // string_agg over the complement segments — byte-identical
+    // reconstruction.
+    "q178_remove_dup_spans" -> ((s, dir) => {
+      val (_, _, starts) = exsubShared(s, dir)
+      graft.dedup.ExactSubstr.removeDupSpansFromStarts(
+        Tables(s, dir).documents, "doc_id", "text", starts, 12L)
+    }),
 
     // 20e. SemDeDup semantic dedup: deterministic k-means clustering +
     // within-cluster smaller-id cosine drop — full kept/dropped
@@ -1191,16 +1326,28 @@ object SparkEntry {
     // + multi-iteration composition stays spec-gated (q84).
     "q84c_semdedup_train1" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
-      // the fixed init is BOUNDED (<= 256 centroids): an unbounded
-      // vec_id % 37 sample grows k linearly with n, making the n*k
-      // assignment n^2/37 - the r18 100x anchor measured that at 875 s
-      // (66x per decade). The id cap is a no-op at the oracle SFs
-      // (every vec_id there is < 9472) and pins k at corpus scale.
+      // k follows q84's own k ∝ √n regime (VERDICT r18 task 3): the
+      // r18 fixed 256-cap made assignment linear but broke the SemDeDup
+      // contract (k must track N so mean cell size stays constant,
+      // else the pair stage silently grows n²/k). K = ⌈1.5·√n⌉
+      // computes IDENTICALLY in both engines (count, IEEE sqrt/mul/
+      // ceil are all correctly rounded doubles), the init stays the
+      // pure id-arithmetic slice vec_id%37==0 ∧ vec_id<37K, and past
+      // K = 256 BOTH the Lloyd step's assignment and the final
+      // disposition route through the two-level coarse quantizer —
+      // the q84 regime switch, now applied to refine() as well
+      // (Round7Spec gates probed ≡ flat at full probe). At the oracle
+      // SFs K < 256, so the oracle replays the flat argmax path
+      // bit-for-bit.
+      val n = tableRowCount(s, dir, "embeddings")
+      val bigK = math.ceil(1.5 * math.sqrt(n.toDouble)).toLong
+      val probe = if (bigK > 256) 2 else 0
       val cents0 = e.where(col("vec_id") % 37 === 0 &&
-          col("vec_id") < 37 * 256)
+          col("vec_id") < lit(37L * bigK))
         .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
-      SemDedup.dedupWith(e, SemDedup.refine(e, cents0, iters = 1),
-        eps = 0.9)
+      SemDedup.dedupWith(e,
+        SemDedup.refine(e, cents0, iters = 1, probe = probe),
+        eps = 0.9, probe = probe)
     }),
 
     // 21. brute-force cosine top-k (rank-only output)
@@ -6337,6 +6484,9 @@ object SparkEntry {
     // (the rank construction computes the same answer hash-free)
     "q175_exact_dup_spans" -> q175OracleSql,
     "q176_repetition_profile" -> q176OracleSql,
+    // q178: keep-first span removal — literal-gram occurrence ranking +
+    // complement-segment string_agg rebuild (byte-identical texts)
+    "q178_remove_dup_spans" -> q178OracleSql,
     // q17 (r8 flip): the slice-wide LSH construction, replayed fully
     "q17_minhash_pairs" -> q17OracleSql,
     "q137_dedup_probe" -> q137OracleSql,
@@ -8589,7 +8739,9 @@ object SparkEntry {
          |  FROM embeddings
          |),
          |cents0 AS (SELECT vec_id AS cid, v AS c FROM emb
-         |  WHERE vec_id % 37 = 0 AND vec_id < 9472),
+         |  WHERE vec_id % 37 = 0 AND vec_id < 37 * (
+         |    SELECT CAST(ceil(1.5 * sqrt(COUNT(*))) AS BIGINT)
+         |    FROM embeddings)),
          |${bestCte("a0", "cents0")},
          |means AS (
          |  SELECT cell,

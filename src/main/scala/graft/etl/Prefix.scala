@@ -61,6 +61,14 @@ object Prefix {
       !aliases.exists(a => a == "idx" || a == "pid"),
       s"Prefix.withRankAndPrefix: aliases must be unique and not " +
         s"'idx'/'pid' (got ${aliases.mkString(", ")})")
+    // the aliases themselves must not collide with the WORKING names
+    // either (ADVICE r18): an alias like "_off_idx" (or "_off_<other
+    // alias>") passes the two requires above, then the final drop of
+    // working names silently removes the caller's output column
+    val aliasClash = aliases.filter(reserved.contains)
+    require(aliasClash.isEmpty,
+      s"Prefix.withRankAndPrefix: aliases collide with reserved working " +
+        s"names ${aliasClash.mkString(", ")} — rename them")
     val spark = df.sparkSession
     val oc = orderCols.map(col)
     // materialize the input BEFORE the range exchange: RangePartitioning
@@ -72,6 +80,12 @@ object Prefix {
     val stamped = snap.repartitionByRange(oc: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
+    // snap existed only to keep the range sampler from re-running the
+    // upstream pipeline; once `stamped` is materialized (eager, line
+    // above) nothing reads snap again — release its blocks, or every
+    // Prefix call pins a grouped-frame copy for the session's lifetime
+    // (one of the r18 q175/q176 leak sites)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoints(snap)
     val aggs = (count(lit(1)).as("_cnt") +:
       valueCols.map { case (c, a) => sum(col(c)).as(s"_t_$a") }).toList
     val parts = stamped.groupBy("pid").agg(aggs.head, aggs.tail: _*)

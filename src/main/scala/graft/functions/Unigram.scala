@@ -39,10 +39,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object Unigram {
 
   /** Longest piece the DP considers — fixes the oracle CTE's carried
-    * state width; 4 covers the planted tables and keeps the recursive
-    * replay 4-joined.
+    * state width. 16 matches real SentencePiece vocabularies (pieces
+    * up to ~16 chars — VERDICT r18 task 6; the r18 cap of 4 excluded
+    * every realistic multi-char piece); the oracle CTE generates its
+    * 16 carried dp/backtrack columns and 16 candidate joins from this
+    * SAME constant, so the two stay in lockstep.
     */
-  val MaxPieceLen = 4
+  val MaxPieceLen = 16
 
   /** Serialize a piece table to the kernel spec: one `piece score`
     * line per entry, in the given order.
@@ -176,6 +179,11 @@ object UnigramKernels {
   private def table(spec: UTF8String): Map[String, Long] = {
     val l = last
     if (l != null && (l._1 eq spec)) return l._2
+    // bound the memo (ADVICE r18): a train() loop rescoring its table
+    // per iteration would otherwise retain every multi-KB spec for the
+    // executor JVM's lifetime; the clear-on-cap is cheap (worst case a
+    // re-parse) and the single-slot fast path above covers the hot row
+    if (cache.size > 64) cache.clear()
     val t = cache.computeIfAbsent(spec.toString, s =>
       s.split("\n").filter(_.nonEmpty).map { line =>
         val sp = line.lastIndexOf(' ')

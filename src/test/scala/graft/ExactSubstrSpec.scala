@@ -107,6 +107,68 @@ class ExactSubstrSpec extends SparkSpec {
     assert(p8._2 === 18L && p8._3 === 9L && p8._4 === 32L)
   }
 
+  /** Brute-force keep-first removal: rank each duplicated window
+    * content's occurrences by (doc_id, off), union the non-first
+    * extents, cut them from the text.
+    */
+  private def bruteRemoved(docs: Seq[(Long, String)], win: Int)
+      : Map[Long, (String, Long, Long)] = {
+    val all = for {
+      (id, t) <- docs
+      i <- 0 to t.length - win
+    } yield (id, (i + 1).toLong, t.substring(i, i + win))
+    val byGram = all.groupBy(_._3).filter(_._2.size >= 2)
+    val marked = byGram.values.flatMap { occs =>
+      occs.sortBy(o => (o._1, o._2)).drop(1).map(o => (o._1, o._2))
+    }.toSet
+    docs.map { case (id, t) =>
+      val offs = marked.collect { case (d, o) if d == id => o }.toSeq.sorted
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      offs.foreach { o =>
+        if (spans.nonEmpty && o <= spans.last._2) {
+          val (s0, _) = spans.last
+          spans(spans.length - 1) = (s0, o + win)
+        } else spans += ((o, o + win))
+      }
+      val kept = new StringBuilder
+      var pos = 1L
+      spans.foreach { case (s0, e0) =>
+        kept ++= t.substring((pos - 1).toInt, (s0 - 1).toInt)
+        pos = e0
+      }
+      kept ++= t.substring((pos - 1).toInt)
+      id -> ((kept.toString, spans.size.toLong,
+        spans.map(sp => sp._2 - sp._1).sum))
+    }.toMap
+  }
+
+  test("keep-first span removal equals the brute-force reference") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a quick brown fox ran away from the lazy dog",
+      3L -> "nothing shared here at all zzz",
+      4L -> "the quick brown fox jumps again",
+      5L -> "abcdXXabcdYYabcd") // same-doc repeats: first kept only
+    for (win <- Seq(4, 8, 12)) {
+      val got = ExactSubstr.removeDupSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = win.toLong)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === bruteRemoved(docs, win), s"win $win")
+    }
+  }
+
+  test("removal keeps every doc: no-dup docs pass through unchanged") {
+    val docs = Seq(1L -> "totally unique text one",
+      2L -> "another different string two")
+    val got = ExactSubstr.removeDupSpans(docs.toDF("doc_id", "text"),
+      "doc_id", "text", 8L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === docs.map { case (id, t) => (id, t, 0L, 0L) }.toSet)
+  }
+
   test("partitioning independence: 1 vs 7 partitions, identical spans") {
     val docs = (0 until 40).map(i =>
       (i.toLong, s"shared prefix text number ${i % 5} tail$i"))
