@@ -16,15 +16,16 @@ import org.apache.spark.storage.StorageLevel
   * straddle token boundaries, and hashing admits collisions.
   * This module is exact at character level:
   *
-  *  - **Rank tables.** level-k table `[doc, off, r]` = the dense rank
-  *    of the character window `text[off, off+2^k)` among ALL corpus
-  *    windows, built by k rounds of prefix-doubling: pair each
-  *    position's rank with the rank 2^(k−1) ahead (−1 past the end — a
-  *    sentinel no real rank equals, so padded windows never conflate
-  *    with real ones), then densely re-rank the distinct pairs through
-  *    the Prefix distributed rank (range-partition + broadcast offsets
-  *    — no SinglePartition anywhere). Two windows are equal iff their
-  *    ranks are equal — EXACT, no hashes.
+  *  - **Rank tables.** level-k table `[doc, off, r]` = an EQUALITY
+  *    rank of the character window `text[off, off+2^k)` among ALL
+  *    corpus windows (two windows are equal iff their ranks are equal
+  *    — EXACT, no hashes; rank ORDER is never consumed, see
+  *    [[nextRank]]), built by k rounds of prefix-doubling: pair each
+  *    position's rank with the rank 2^(k−1) ahead via `lead()` over
+  *    the dense per-doc offsets (−1 past the end — a sentinel no real
+  *    rank equals, so padded windows never conflate with real ones),
+  *    then re-rank each distinct (r, r2) pair to its smallest packed
+  *    corpus position (injective — no SinglePartition anywhere).
   *  - **Arbitrary window length** L via the sparse-table trick: with
   *    j = ⌊log₂ L⌋, `text[i, i+L) = text[i', i'+L)` iff
   *    `ranks(j)[i] = ranks(j)[i']` and
@@ -33,9 +34,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: after the one-time char-code explode, every frame is
   * (doc_id BIGINT, off BIGINT, r BIGINT) — 24-byte rows, never text.
-  * ⌈log₂ L⌉ rounds, each two narrow hash shuffles (the self-join at
-  * offset 2^k and the distinct-pair rank), each round's output
-  * checkpointed so lineage stays flat.
+  * ⌈log₂ L⌉ rounds, each two narrow hash shuffles (the per-doc lead
+  * window and the pair-representative join; the pair groupBy itself is
+  * map-side combined), each round's output checkpointed so lineage
+  * stays flat.
   *
   * **Materialization policy (the r18 10× lesson — VERDICT r18 #1/#3):
   * corpus-characters-sized frames persist DISK_ONLY, and every frame
@@ -81,10 +83,16 @@ object ExactSubstr {
     val base = docs
       .where(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // code-point explode, LINEAR in doc length (r19): substring(text,
+    // i, 1) seeks from the string head on every call — O(len²) per
+    // document, measured as the dominant CPU of the substrate build.
+    // regexp_extract_all('(?s).') walks the text once, code-point
+    // aligned (same off/len frame as before, char values unchanged:
+    // ascii() of the same one-code-point string).
     val pos = base
       .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(1, length(text)), " +
-          "i -> cast(ascii(substring(text, i, 1)) as bigint))"))
+        expr("transform(regexp_extract_all(text, '(?s).', 0), " +
+          "c -> cast(ascii(c) as bigint))"))
         .as(Seq("p0", "r")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("off"),
         col("r"))
@@ -93,29 +101,94 @@ object ExactSubstr {
     (pos, lens)
   }
 
+  /** Everything the build needs to know about the per-doc length frame,
+    * from ONE tiny action (the r18 shape paid one driver action per
+    * need — posBase, total chars, a per-probe broadcast-size count):
+    * `posBase` makes `doc_id * posBase + off` an injective global
+    * position id (base > max(len), offsets 1..len — fails loudly on a
+    * negative doc_id or a corpus whose packed ids would overflow a
+    * long: that needs doc_id·maxLen past nine quintillion, not a
+    * 100 TB corpus).
+    */
+  private[dedup] final case class LensStats(posBase: Long, nDocs: Long,
+    totalChars: Long)
+
+  private def lensStatsOf(lens: DataFrame): LensStats = {
+    val r = lens.agg(max(col("len")), max(col("doc_id")),
+      min(col("doc_id")), count(lit(1)),
+      coalesce(sum(col("len")), lit(0L))).head()
+    if (r.isNullAt(0)) return LensStats(2L, 0L, 0L) // empty corpus
+    val (ml, maxDoc, minDoc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(minDoc >= 0,
+      s"ExactSubstr needs non-negative doc ids, got min $minDoc")
+    val base = ml + 1L
+    require(maxDoc <= (Long.MaxValue - ml) / base,
+      s"packed corpus position id would overflow: maxDoc=$maxDoc maxLen=$ml")
+    LensStats(base, r.getLong(3), r.getLong(4))
+  }
+
   /** One prefix-doubling round: the level-(k−1) table (windows of
     * length `half`) → the level-k table (windows of length 2·half),
-    * eagerly checkpointed DISK_ONLY. Releases the Prefix-internal
-    * range-partitioned snapshot once the new table is materialized;
-    * the INPUT table is the caller's to release.
+    * eagerly checkpointed DISK_ONLY; the INPUT table is the caller's
+    * to release.
+    *
+    * Two r19 kernel facts (OPTIMIZATION_r19.md §q176) replace the r18
+    * round shape (self-join at distance `half` + distinct pairs +
+    * Prefix dense range-rank + join-back — ≈4 corpus-sized exchanges,
+    * 2 Prefix-internal eager checkpoints and a driver collect per
+    * round) with 2 exchanges and no driver round-trip:
+    *
+    *  1. offsets are DENSE 1..len per doc (posexplode over
+    *     sequence(1, len)), so the rank `half` positions ahead is
+    *     `lead(r, half)` over the per-doc offset order — one hash
+    *     exchange on doc_id where the self-join shuffled BOTH copies
+    *     of the table on (doc_id, off);
+    *  2. downstream only ever tests rank EQUALITY (window equality via
+    *     key pairs — never rank ORDER: spans, counts and keep-first
+    *     keepers all key on the pair), so ANY injective map of the
+    *     distinct (r, r2) pairs serves as the next rank. The smallest
+    *     packed corpus position carrying each pair is injective (pair
+    *     groups partition the positions and each group's min is one of
+    *     its own members) and deterministic — computable by one
+    *     map-side-combined groupBy + one AQE-skew-splittable join,
+    *     no dense-rank machinery. Equality-correctness is inductive:
+    *     level-0 ranks are char codes (equal windows ⇔ equal codes),
+    *     and equal level-k windows ⇔ equal (r, r2) halves ⇔ same
+    *     group ⇔ same min position.
     */
-  private def nextRank(cur: DataFrame, half: Long): DataFrame = {
-    val shifted = cur.select(col("doc_id"),
-      (col("off") - half).as("off"), col("r").as("r2"))
-    val paired = cur.join(shifted, Seq("doc_id", "off"), "left")
-      .select(col("doc_id"), col("off"), col("r"),
-        coalesce(col("r2"), lit(-1L)).as("r2"))
-    val keys = paired.select(col("r"), col("r2")).distinct()
-    val ranked = graft.etl.Prefix
-      .withRankAndPrefix(keys, Seq("r", "r2"), Nil)
-      .withColumnRenamed("idx", "nr")
-    val out = ckptDisk(paired.join(ranked, Seq("r", "r2"))
+  private def nextRank(cur: DataFrame, half: Long, posBase: Long)
+      : DataFrame = {
+    require(half <= Int.MaxValue, s"round shift $half overflows lead()")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    // −1 past the end: a sentinel no real rank equals (level-0 ranks
+    // are char codes ≥ 0, later ranks are packed positions ≥ 0)
+    val paired = cur.select(col("doc_id"), col("off"), col("r"),
+      coalesce(lead(col("r"), half.toInt).over(w), lit(-1L)).as("r2"))
+    val reps = paired.groupBy(col("r"), col("r2"))
+      .agg(min(col("doc_id") * posBase + col("off")).as("nr"))
+    // `paired` feeds both join sides UN-materialized — its doc_id
+    // exchange canonicalizes identically on both, so ReusedExchange
+    // ships it once; the whole round is ONE job with exactly two
+    // exchanges, and peak live frames drop to two (cur + out)
+    ckptDisk(paired.join(reps, Seq("r", "r2"))
       .select(col("doc_id"), col("off"), col("nr").as("r")))
-    // out is materialized; ranked's only storage is Prefix's internal
-    // range-partitioned checkpoint — release it (its own input snapshot
-    // is released inside Prefix)
-    GraftSqlBridge.unpersistCheckpoints(ranked)
-    out
+  }
+
+  /** The lazy (un-checkpointed) plan of one prefix-doubling round —
+    * explain-evidence only ([[graft.PlanDump]]): the committed plan
+    * artifact shows the 2-exchange round kernel that the eager
+    * checkpoints hide from the final query plans.
+    */
+  def roundPlanForExplain(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (pos, _) = charPositions(docs, idCol, textCol)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    val paired = pos.select(col("doc_id"), col("off"), col("r"),
+      coalesce(lead(col("r"), 1).over(w), lit(-1L)).as("r2"))
+    val reps = paired.groupBy(col("r"), col("r2"))
+      .agg(min(col("doc_id") * lit(1000000L) + col("off")).as("nr"))
+    paired.join(reps, Seq("r", "r2"))
+      .select(col("doc_id"), col("off"), col("nr").as("r"))
   }
 
   /** The level-`level` rank table (windows of length 2^level) plus the
@@ -131,11 +204,12 @@ object ExactSubstr {
     require(level >= 0, s"level must be >= 0, got $level")
     val (pos, lens0) = charPositions(docs, idCol, textCol)
     val lens = lens0.localCheckpoint(true) // one row per doc — small
+    val posBase = lensStatsOf(lens).posBase
     var cur = ckptDisk(pos)
     var half = 1L
     var k = 1
     while (k <= level) {
-      val nxt = nextRank(cur, half)
+      val nxt = nextRank(cur, half, posBase)
       GraftSqlBridge.unpersistCheckpoints(cur) // level k-1: done with it
       cur = nxt
       half *= 2
@@ -156,23 +230,55 @@ object ExactSubstr {
     require(j == 63 - java.lang.Long.numberOfLeadingZeros(win),
       s"window $win needs the level-${63 - java.lang.Long
         .numberOfLeadingZeros(win)} table, got level $j")
+    val full = fullWindows(rj, j, lens, win, lensStatsOf(lens).nDocs)
+    full.join(dupContents(full), Seq("ra", "rb"))
+      .select(col("doc_id"), col("off"), col("ra"), col("rb"))
+  }
+
+  /** Broadcast the per-doc length frame below this many docs (≈16 B a
+    * row — 64 MB framed at the bound) instead of letting the planner
+    * sort-merge it against the corpus-characters window frame: lens is
+    * an eager checkpoint, so Catalyst has no size estimate and plans
+    * the C-row side through a full exchange just to drop partial
+    * windows. Data-adaptive (a measured count, not a local[32] tune):
+    * past the bound the hint is withheld and AQE's runtime join
+    * re-planning takes over.
+    */
+  private val LensBroadcastMaxDocs = 4000000L
+
+  /** All FULL length-`win` windows keyed by content-identifying rank
+    * pair (ra, rb) — requires 2^j ≤ win < 2^(j+1). shift ≠ 0: rb = the
+    * rank `shift` positions ahead — lead() over the dense per-doc
+    * offsets (one exchange; the r18 self-join shuffled both copies —
+    * the nextRank rewrite's fact 1). For every full window
+    * off ≤ len−win+1 the lead is defined (shift < 2^j ≤ win), so the
+    * lens filter subsumes the null tail.
+    */
+  private def fullWindows(rj: DataFrame, j: Int, lens: DataFrame,
+      win: Long, nDocs: Long): DataFrame = {
     val shift = win - (1L << j)
     val keyed =
       if (shift == 0L) rj.select(col("doc_id"), col("off"),
         col("r").as("ra"), lit(0L).as("rb"))
-      else rj.join(
-        rj.select(col("doc_id"), (col("off") - shift).as("off"),
-          col("r").as("rb")),
-        Seq("doc_id", "off"))
-        .select(col("doc_id"), col("off"), col("r").as("ra"), col("rb"))
-    val full = keyed.join(lens, Seq("doc_id"))
+      else rj.select(col("doc_id"), col("off"), col("r").as("ra"),
+        lead(col("r"), shift.toInt).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("off"))).as("rb"))
+    val lensSide =
+      if (nDocs <= LensBroadcastMaxDocs) broadcast(lens) else lens
+    keyed.join(lensSide, Seq("doc_id"))
       .where(col("off") <= col("len") - win + 1)
       .select(col("doc_id"), col("off"), col("ra"), col("rb"))
-    val occ = full.groupBy(col("ra"), col("rb"))
-      .agg(count(lit(1)).as("occ"))
-    full.join(occ.where(col("occ") >= 2), Seq("ra", "rb"))
-      .select(col("doc_id"), col("off"), col("ra"), col("rb"))
   }
+
+  /** The duplicated window CONTENTS of a [[fullWindows]] frame:
+    * (ra, rb, occ ≥ 2) — one map-side-combined groupBy; both profile
+    * counts (Σ occ = duplicated starts, row count = distinct
+    * duplicated substrings) read off this frame without ever
+    * materializing the per-position starts.
+    */
+  private def dupContents(full: DataFrame): DataFrame =
+    full.groupBy(col("ra"), col("rb"))
+      .agg(count(lit(1)).as("occ")).where(col("occ") >= 2)
 
   /** Exact maximal duplicated spans of length ≥ `minLen` per document:
     * every position lying inside SOME corpus-duplicated substring of
@@ -253,33 +359,44 @@ object ExactSubstr {
       (63 - java.lang.Long.numberOfLeadingZeros(p)).toInt)
     require(levels.min >= baseLevel,
       s"smallest probe needs level ${levels.min} < base $baseLevel")
-    val totalChars = lens.agg(coalesce(sum(col("len")), lit(0L)))
-      .head().getLong(0)
+    val stats = lensStatsOf(lens)
+    val totalChars = stats.totalChars
 
-    // per-probe numbers, all collected eagerly (single rows), starts
-    // released immediately after
+    // per-probe numbers, all collected eagerly as ONE single-row action
+    // per probe. r18 paid four driver round-trips per probe (a starts
+    // checkpoint, a lens count, two aggregates) and materialized the
+    // per-position starts frame (a C-row join-back) only to COUNT rows
+    // and distinct contents — numbers the occurrence groupBy already
+    // knows. Now the two aggregates (the counts off the dup-content
+    // groupBy; the covered union off the positions join) cross-join
+    // into one single-row plan, whose duplicated dup-content subtree
+    // Spark ships once via ReusedExchange — one job, two exchanges, no
+    // intermediate persistence at all.
     def statsAt(level: Int, table: DataFrame): Row = {
       val p = 1L << level
-      val starts = ckptDisk(dupWindowStartsFrom(table, level, lens, p))
-      val cRow = starts.agg(count(lit(1)).as("n_dup_starts"),
-        countDistinct(col("ra"), col("rb")).as("n_dup_substrings"))
-        .head()
-      val covered = dupSpansFromStarts(starts, p)
-        .agg(coalesce(sum(col("span_len")), lit(0L))).head().getLong(0)
-      GraftSqlBridge.unpersistCheckpoints(starts)
+      val full = fullWindows(table, level, lens, p, stats.nDocs)
+      val occ = dupContents(full)
+      val occAgg = occ.agg(coalesce(sum(col("occ")), lit(0L))
+        .as("n_dup_starts"), count(lit(1)).as("n_dup_substrings"))
+      val covAgg = dupSpansFromStarts(
+        full.join(occ, Seq("ra", "rb")).select(col("doc_id"), col("off")),
+        p).agg(coalesce(sum(col("span_len")), lit(0L)).as("covered"))
+      val r = occAgg.crossJoin(covAgg).head()
+      val covered = r.getLong(2)
       val share =
         if (totalChars == 0L) 0L else (1000000L * covered) / totalChars
-      Row(p, cRow.getLong(0), cRow.getLong(1), covered, totalChars, share)
+      Row(p, r.getLong(0), r.getLong(1), covered, totalChars, share)
     }
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Row)]
     if (levels.contains(baseLevel))
       rows += ((1L << baseLevel, statsAt(baseLevel, base)))
+    val posBase = stats.posBase
     var cur = base
     var half = 1L << baseLevel
     var k = baseLevel + 1
     while (k <= levels.max) {
-      val nxt = nextRank(cur, half)
+      val nxt = nextRank(cur, half, posBase)
       if (!(cur eq base)) GraftSqlBridge.unpersistCheckpoints(cur)
       cur = nxt
       half *= 2
