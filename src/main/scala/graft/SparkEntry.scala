@@ -1499,11 +1499,13 @@ object SparkEntry {
         .localCheckpoint(true)
       def armRow(name: String, vecs: DataFrame): DataFrame = {
         val pow2 = array((0 until 64).map(i => lit(1L << i)): _*)
+        // sig has ONE consumer (hammingPairs) — its r18 eager
+        // checkpoint bought nothing and cost a blocking job per arm
+        // (r19, guide §5: persist only what is reused)
         val sig = vecs.select(col("vec_id"),
           aggregate(zip_with(F.jlProject(col("m"), 64), pow2,
             (p, b) => when(p > lit(0L), b).otherwise(lit(0L))),
             lit(0L), (a, x) => a + x).as("srp_sig"))
-          .localCheckpoint(true)
         val pairs = SimHashDedup.hammingPairs(sig, "vec_id", "srp_sig",
           maxHamming = 3, maxBucket = 1024).localCheckpoint(true)
         val nc = pairs.agg(count(lit(1)).as("n_candidates"))

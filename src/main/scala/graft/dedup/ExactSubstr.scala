@@ -33,11 +33,19 @@ import org.apache.spark.storage.StorageLevel
   *    off two rank lookups, no further rounds.
   *
   * Scale shape: after the one-time char-code explode, every frame is
-  * (doc_id BIGINT, off BIGINT, r BIGINT) — 24-byte rows, never text.
-  * ⌈log₂ L⌉ rounds, each two narrow hash shuffles (the per-doc lead
-  * window and the pair-representative join; the pair groupBy itself is
-  * map-side combined), each round's output checkpointed so lineage
-  * stays flat.
+  * (g BIGINT, r BIGINT) — 16-byte rows, never text, where
+  * `g = doc_id · posBase + off` is the injective packed corpus
+  * position the pair-representative step already used as its re-rank
+  * value (r19, guide §2.3 "narrower types": the rank tables carried
+  * (doc_id, off, r) = 24 B/row through every round and probe exchange;
+  * doc_id and off are pure arithmetic off g — doc base
+  * `g − pmod(g, posBase)` partitions the per-doc windows, `g` itself
+  * is the within-doc order, and offsets unpack only at the public API
+  * boundary — so every rank/probe shuffle and sort moved to 16 B rows,
+  * one third fewer shuffle bytes). ⌈log₂ L⌉ rounds, each two narrow
+  * hash shuffles (the per-doc lead window and the pair-representative
+  * join; the pair groupBy itself is map-side combined), each round's
+  * output checkpointed so lineage stays flat.
   *
   * **Materialization policy (the r18 10× lesson — VERDICT r18 #1/#3):
   * corpus-characters-sized frames persist DISK_ONLY, and every frame
@@ -156,22 +164,31 @@ object ExactSubstr {
     *     and equal level-k windows ⇔ equal (r, r2) halves ⇔ same
     *     group ⇔ same min position.
     */
+  /** Per-doc partition key off the packed position: `doc_id · posBase`
+    * — pure arithmetic, no unpacking division (g and posBase are
+    * non-negative, so pmod is one `%`).
+    */
+  private def docBase(posBase: Long) =
+    col("g") - pmod(col("g"), lit(posBase))
+
   private def nextRank(cur: DataFrame, half: Long, posBase: Long)
       : DataFrame = {
     require(half <= Int.MaxValue, s"round shift $half overflows lead()")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    // offsets are dense 1..len per doc and g preserves their order, so
+    // the row `half` ahead in (docBase, g) order is offset off+half
+    val w = Window.partitionBy(docBase(posBase)).orderBy(col("g"))
     // −1 past the end: a sentinel no real rank equals (level-0 ranks
     // are char codes ≥ 0, later ranks are packed positions ≥ 0)
-    val paired = cur.select(col("doc_id"), col("off"), col("r"),
+    val paired = cur.select(col("g"), col("r"),
       coalesce(lead(col("r"), half.toInt).over(w), lit(-1L)).as("r2"))
     val reps = paired.groupBy(col("r"), col("r2"))
-      .agg(min(col("doc_id") * posBase + col("off")).as("nr"))
-    // `paired` feeds both join sides UN-materialized — its doc_id
+      .agg(min(col("g")).as("nr"))
+    // `paired` feeds both join sides UN-materialized — its docBase
     // exchange canonicalizes identically on both, so ReusedExchange
     // ships it once; the whole round is ONE job with exactly two
     // exchanges, and peak live frames drop to two (cur + out)
     ckptDisk(paired.join(reps, Seq("r", "r2"))
-      .select(col("doc_id"), col("off"), col("nr").as("r")))
+      .select(col("g"), col("nr").as("r")))
   }
 
   /** The lazy (un-checkpointed) plan of one prefix-doubling round —
@@ -182,13 +199,16 @@ object ExactSubstr {
   def roundPlanForExplain(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val (pos, _) = charPositions(docs, idCol, textCol)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
-    val paired = pos.select(col("doc_id"), col("off"), col("r"),
+    val posBase = 1000000L
+    val packed = pos.select(
+      (col("doc_id") * posBase + col("off")).as("g"), col("r"))
+    val w = Window.partitionBy(docBase(posBase)).orderBy(col("g"))
+    val paired = packed.select(col("g"), col("r"),
       coalesce(lead(col("r"), 1).over(w), lit(-1L)).as("r2"))
     val reps = paired.groupBy(col("r"), col("r2"))
-      .agg(min(col("doc_id") * lit(1000000L) + col("off")).as("nr"))
+      .agg(min(col("g")).as("nr"))
     paired.join(reps, Seq("r", "r2"))
-      .select(col("doc_id"), col("off"), col("nr").as("r"))
+      .select(col("g"), col("nr").as("r"))
   }
 
   /** The level-`level` rank table (windows of length 2^level) plus the
@@ -205,7 +225,10 @@ object ExactSubstr {
     val (pos, lens0) = charPositions(docs, idCol, textCol)
     val lens = lens0.localCheckpoint(true) // one row per doc — small
     val posBase = lensStatsOf(lens).posBase
-    var cur = ckptDisk(pos)
+    // pack (doc_id, off) → g before the first checkpoint: every rank
+    // frame from here on is 16 B/row (see the scale-shape scaladoc)
+    var cur = ckptDisk(pos.select(
+      (col("doc_id") * posBase + col("off")).as("g"), col("r")))
     var half = 1L
     var k = 1
     while (k <= level) {
@@ -230,9 +253,14 @@ object ExactSubstr {
     require(j == 63 - java.lang.Long.numberOfLeadingZeros(win),
       s"window $win needs the level-${63 - java.lang.Long
         .numberOfLeadingZeros(win)} table, got level $j")
-    val full = fullWindows(rj, j, lens, win, lensStatsOf(lens).nDocs)
+    val stats = lensStatsOf(lens)
+    val full = fullWindows(rj, j, lens, win, stats)
+    // unpack g at the public boundary only (integer `div` — the `/`
+    // operator is a DOUBLE divide, inexact past 2⁵³)
     full.join(dupContents(full), Seq("ra", "rb"))
-      .select(col("doc_id"), col("off"), col("ra"), col("rb"))
+      .select(expr(s"g div ${stats.posBase}").as("doc_id"),
+        pmod(col("g"), lit(stats.posBase)).as("off"),
+        col("ra"), col("rb"))
   }
 
   /** Broadcast the per-doc length frame below this many docs (≈16 B a
@@ -255,19 +283,26 @@ object ExactSubstr {
     * lens filter subsumes the null tail.
     */
   private def fullWindows(rj: DataFrame, j: Int, lens: DataFrame,
-      win: Long, nDocs: Long): DataFrame = {
+      win: Long, stats: LensStats): DataFrame = {
     val shift = win - (1L << j)
     val keyed =
-      if (shift == 0L) rj.select(col("doc_id"), col("off"),
+      if (shift == 0L) rj.select(col("g"),
         col("r").as("ra"), lit(0L).as("rb"))
-      else rj.select(col("doc_id"), col("off"), col("r").as("ra"),
+      else rj.select(col("g"), col("r").as("ra"),
         lead(col("r"), shift.toInt).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("off"))).as("rb"))
+          Window.partitionBy(docBase(stats.posBase))
+            .orderBy(col("g"))).as("rb"))
+    // lens re-keyed to the packed doc base so the corpus side joins
+    // without unpacking (and, un-broadcast, shuffles 16 B rows)
+    val lensKeyed = lens.select(
+      (col("doc_id") * stats.posBase).as("_db"),
+      col("len"))
     val lensSide =
-      if (nDocs <= LensBroadcastMaxDocs) broadcast(lens) else lens
-    keyed.join(lensSide, Seq("doc_id"))
-      .where(col("off") <= col("len") - win + 1)
-      .select(col("doc_id"), col("off"), col("ra"), col("rb"))
+      if (stats.nDocs <= LensBroadcastMaxDocs) broadcast(lensKeyed)
+      else lensKeyed
+    keyed.join(lensSide, docBase(stats.posBase) === col("_db"))
+      .where(pmod(col("g"), lit(stats.posBase)) <= col("len") - win + 1)
+      .select(col("g"), col("ra"), col("rb"))
   }
 
   /** The duplicated window CONTENTS of a [[fullWindows]] frame:
@@ -374,13 +409,29 @@ object ExactSubstr {
     // intermediate persistence at all.
     def statsAt(level: Int, table: DataFrame): Row = {
       val p = 1L << level
-      val full = fullWindows(table, level, lens, p, stats.nDocs)
+      val full = fullWindows(table, level, lens, p, stats)
       val occ = dupContents(full)
       val occAgg = occ.agg(coalesce(sum(col("occ")), lit(0L))
         .as("n_dup_starts"), count(lit(1)).as("n_dup_substrings"))
-      val covAgg = dupSpansFromStarts(
-        full.join(occ, Seq("ra", "rb")).select(col("doc_id"), col("off")),
-        p).agg(coalesce(sum(col("span_len")), lit(0L)).as("covered"))
+      // covered union directly on the packed positions: per island
+      // max(g) − min(g) + p is the span length (same doc within a
+      // docBase partition, so the offset difference is exact) — no
+      // unpack, 16 B rows through the doc exchange and sort. `_db` is
+      // PROJECTED before the window so the groupBy's clustering
+      // requirement matches the window exchange by attribute — an
+      // expression re-derivation there would risk a second C-row
+      // exchange
+      val w = Window.partitionBy(col("_db")).orderBy(col("g"))
+      val covAgg = full.join(occ, Seq("ra", "rb"))
+        .select(col("g"), docBase(stats.posBase).as("_db"))
+        .withColumn("newi",
+          when(col("g") > coalesce(lag(col("g"), 1).over(w),
+            lit(Long.MinValue / 2)) + p, 1L).otherwise(0L))
+        .withColumn("isl", sum(col("newi")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("_db"), col("isl"))
+        .agg((max(col("g")) - min(col("g")) + p).as("span_len"))
+        .agg(coalesce(sum(col("span_len")), lit(0L)).as("covered"))
       val r = occAgg.crossJoin(covAgg).head()
       val covered = r.getLong(2)
       val share =
