@@ -34,8 +34,14 @@ TMP_OUT=$(mktemp "${OUT}.XXXXXX")
 cleanup() { rm -f "$TMP_OUT"; }
 trap cleanup EXIT
 
+# r20 (VERDICT r19 task 2): TEE the raw bench stdout/stderr to a kept
+# log — the r19 100x post-mortem was guesswork because this grep kept
+# only the JSON line and the per-query error text died with the pipe.
+# The raw log is diagnostic state, not a committed artifact.
+RAW_LOG="${OUT}.rawlog"
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -1 > "$TMP_OUT" || true
+  sbt -batch "runMain graft.Bench" 2>&1 | tee "$RAW_LOG" | grep -o '{"metric".*}' | head -1 > "$TMP_OUT" || true
+echo "[bench_decade] raw log kept at $RAW_LOG" >&2
 
 # refuse to exit 0 on an empty/truncated/metric-less artifact (the r14
 # and r16 0-byte 100x blemish class): validate BEFORE moving into place

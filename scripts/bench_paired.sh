@@ -46,8 +46,11 @@ idle_gate() {
 }
 
 run_bench() {
+  # r20 (VERDICT r19 task 2): tee the raw bench output to a kept log so
+  # a failed leg is diagnosable ($1 names the leg; diagnostic state,
+  # not a committed artifact)
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -1
+    sbt -batch "runMain graft.Bench" 2>&1 | tee "${OUT}.${1:-leg}.rawlog" | grep -o '{"metric".*}' | head -1
 }
 
 idle_gate
@@ -71,7 +74,7 @@ if [ -n "$BASE_REF" ]; then
   trap restore EXIT
   git checkout -q "$BASE_REF"
   echo "[bench_paired] baseline $BASE_REF" >&2
-  run_bench > "${OUT%.json}_baseline.json"
+  run_bench baseline > "${OUT%.json}_baseline.json"
   git checkout -q "$cur"
   [ "$dirty" -gt 0 ] && git stash pop -q
   trap - EXIT
@@ -81,5 +84,5 @@ if [ -n "$BASE_REF" ]; then
 fi
 
 echo "[bench_paired] HEAD" >&2
-run_bench > "$OUT"
+run_bench head > "$OUT"
 echo "[bench_paired] wrote $OUT" >&2

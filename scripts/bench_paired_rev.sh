@@ -32,13 +32,16 @@ idle_gate() {
 }
 
 run_bench() {
+  # r20 (VERDICT r19 task 2): tee the raw bench output to a kept log so
+  # a failed leg is diagnosable ($1 names the leg; diagnostic state,
+  # not a committed artifact)
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | head -1
+    sbt -batch "runMain graft.Bench" 2>&1 | tee "${OUT}.${1:-leg}.rawlog" | grep -o '{"metric".*}' | head -1
 }
 
 idle_gate
 echo "[bench_paired_rev] HEAD (leg 1)" >&2
-run_bench > "$OUT"
+run_bench head > "$OUT"
 
 dirty=$(git status --porcelain -uno | wc -l)
 [ "$dirty" -gt 0 ] && git stash push -q -m bench_paired_rev
@@ -53,7 +56,7 @@ trap restore EXIT
 git checkout -q "$BASE_REF"
 echo "[bench_paired_rev] baseline $BASE_REF (leg 2)" >&2
 idle_gate
-run_bench > "${OUT%.json}_baseline.json"
+run_bench baseline > "${OUT%.json}_baseline.json"
 git checkout -q "$cur"
 [ "$dirty" -gt 0 ] && git stash pop -q
 trap - EXIT

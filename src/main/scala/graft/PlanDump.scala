@@ -44,6 +44,9 @@ object PlanDump {
         if (n == "exsub_round")
           graft.dedup.ExactSubstr.roundPlanForExplain(
             Tables(spark, sfDir).documents, "doc_id", "text")
+        else if (n == "exsub_probe")
+          graft.dedup.ExactSubstr.probePlanForExplain(
+            Tables(spark, sfDir).documents, "doc_id", "text")
         else SparkEntry.queries(n)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         ExplainMode.fromString("formatted"))

@@ -1506,13 +1506,20 @@ object SparkEntry {
           aggregate(zip_with(F.jlProject(col("m"), 64), pow2,
             (p, b) => when(p > lit(0L), b).otherwise(lit(0L))),
             lit(0L), (a, x) => a + x).as("srp_sig"))
+        // ONE aggregate reads off both counts (r20, guide §5): pairs is
+        // unique on (id_a, id_b) — hammingPairs ends in a groupBy on
+        // exactly that key — and truth is unique by construction, so a
+        // broadcast left join + count(_t) ≡ the truth∩pairs semi-join
+        // count, and the pairs pipeline now has ONE consumer: its r19
+        // eager checkpoint (a blocking job per arm) is gone
         val pairs = SimHashDedup.hammingPairs(sig, "vec_id", "srp_sig",
-          maxHamming = 3, maxBucket = 1024).localCheckpoint(true)
-        val nc = pairs.agg(count(lit(1)).as("n_candidates"))
+          maxHamming = 3, maxBucket = 1024)
+        val nc = pairs.join(broadcast(truth.withColumn("_t", lit(1))),
+            Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            count(col("_t")).as("n_hits"))
         val nt = truth.agg(count(lit(1)).as("n_planted"))
-        val hits = truth.join(pairs, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-        nc.crossJoin(broadcast(nt)).crossJoin(broadcast(hits))
+        nc.crossJoin(broadcast(nt))
           .select(lit(name).as("arm"), col("n_candidates"),
             col("n_planted"), col("n_hits"),
             expr("(1000000 * n_hits) div greatest(n_candidates, 1)")

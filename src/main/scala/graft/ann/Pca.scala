@@ -147,7 +147,13 @@ object Pca {
   def topComponent(embeddings: DataFrame, idCol: String, vecCol: String,
       iters: Int = 2): DataFrame = {
     val g = scaledGram(milliExploded(embeddings, idCol, vecCol))
-    val v = powerLoop(g, iters)
+    // checkpoint v (d rows — the topComponents posture, r20): the lazy
+    // power-loop subtree appears FOUR times in the returned plan (the
+    // loading projection, both rayleigh joins, the norm denominator) —
+    // plus once more per consumer that collects the loadings
+    // (removeTop/removeTopAudit) — and each appearance re-ran the full
+    // iters×(join+agg+crossJoin) stage chain against the Gram
+    val v = powerLoop(g, iters).localCheckpoint(true)
     v.select(col("k").cast("long").as("dim"), col("v").as("pc1_x1e6"))
       .crossJoin(broadcast(rayleighOf(g, v)))
   }

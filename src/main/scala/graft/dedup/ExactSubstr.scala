@@ -196,6 +196,28 @@ object ExactSubstr {
     * artifact shows the 2-exchange round kernel that the eager
     * checkpoints hide from the final query plans.
     */
+  /** The lazy (un-checkpointed) plan of one duplicated-window probe —
+    * explain-evidence only, like [[roundPlanForExplain]]: the eager
+    * substrate checkpoints hide the probe join from the final q175/
+    * q176/q178 plans, so the SHJ-vs-SMJ claim on the occ side is
+    * checkable here.
+    */
+  def probePlanForExplain(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (pos, lens0) = charPositions(docs, idCol, textCol)
+    val posBase = 1000000L
+    val packed = pos.select(
+      (col("doc_id") * posBase + col("off")).as("g"), col("r"))
+    val stats = LensStats(posBase, 1000L, 1000000L)
+    // the real q175/q178 probe shape: level-3 table, window 12 →
+    // shift 4 (the per-doc lead window) + the lens join + the SHJ
+    val full = fullWindows(packed, 3, lens0, 12L, stats)
+    full.join(dupContents(full).hint("shuffle_hash"), Seq("ra", "rb"))
+      .select(expr(s"g div $posBase").as("doc_id"),
+        pmod(col("g"), lit(posBase)).as("off"),
+        col("ra"), col("rb"))
+  }
+
   def roundPlanForExplain(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val (pos, _) = charPositions(docs, idCol, textCol)
@@ -256,8 +278,14 @@ object ExactSubstr {
     val stats = lensStatsOf(lens)
     val full = fullWindows(rj, j, lens, win, stats)
     // unpack g at the public boundary only (integer `div` — the `/`
-    // operator is a DOUBLE divide, inexact past 2⁵³)
-    full.join(dupContents(full), Seq("ra", "rb"))
+    // operator is a DOUBLE divide, inexact past 2⁵³).
+    // shuffle_hash on the occ side (r20, guide §3.1 — the shelved r19
+    // candidate): the planner's sort-merge sorted BOTH sides of every
+    // probe join — the C-row full-window frame AND the duplicated-
+    // content aggregate — when the occ side (dup contents only,
+    // occ ≥ 2: a small fraction of C) hash-builds per partition and
+    // the C-row side then streams with NO sort at all
+    full.join(dupContents(full).hint("shuffle_hash"), Seq("ra", "rb"))
       .select(expr(s"g div ${stats.posBase}").as("doc_id"),
         pmod(col("g"), lit(stats.posBase)).as("off"),
         col("ra"), col("rb"))
@@ -422,7 +450,7 @@ object ExactSubstr {
       // expression re-derivation there would risk a second C-row
       // exchange
       val w = Window.partitionBy(col("_db")).orderBy(col("g"))
-      val covAgg = full.join(occ, Seq("ra", "rb"))
+      val covAgg = full.join(occ.hint("shuffle_hash"), Seq("ra", "rb"))
         .select(col("g"), docBase(stats.posBase).as("_db"))
         .withColumn("newi",
           when(col("g") > coalesce(lag(col("g"), 1).over(w),
@@ -497,7 +525,7 @@ object ExactSubstr {
     // shuffle on (ra, rb), then drop the keeper row positionally
     val keeper = starts.groupBy(col("ra"), col("rb"))
       .agg(min(struct(col("doc_id"), col("off"))).as("k"))
-    val marked = starts.join(keeper, Seq("ra", "rb"))
+    val marked = starts.join(keeper.hint("shuffle_hash"), Seq("ra", "rb"))
       .where(!(col("doc_id") === col("k.doc_id") &&
         col("off") === col("k.off")))
       .select(col("doc_id"), col("off"))

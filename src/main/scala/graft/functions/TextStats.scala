@@ -236,6 +236,90 @@ object TextCleanKernels {
     }
     total + dots / 3
   }
+
+  /** The q161 code-filter counters in ONE raw UTF-8 byte pass —
+    * [n_lines, max_line_len, sum_len, n_long, n_chars, n_alnum,
+    * is_autogen 0/1] — replacing a per-document expression battery that
+    * materialized `lower(text)` once PER autogen marker (3×) plus a full
+    * `regexp_replace` copy for the alnum count. Equivalences to the
+    * replaced built-ins, byte by byte:
+    *
+    *  - characters = non-continuation bytes ((b & 0xC0) != 0x80), the
+    *    same code-point count `length()` returns for well-formed UTF-8;
+    *  - lines = '\n' (0x0A) splits — an ASCII byte never occurs inside
+    *    a multi-byte sequence, so the byte split IS `split(text, '\n')`
+    *    (trailing empty segment included, like Spark's limit = -1);
+    *  - alnum = ASCII [0-9A-Za-z] bytes, exactly the
+    *    `[^A-Za-z0-9]`-stripped length;
+    *  - the marker scan folds ONLY ASCII A-Z (b | 0x20) and lets every
+    *    non-ASCII byte mismatch. This equals `lower(text).contains(m)`
+    *    for these markers because no non-ASCII code point lowercases to
+    *    any marker character: the only ASCII-producing simple mapping is
+    *    U+212A → 'k' (not a marker letter), and U+0130's full mapping
+    *    "i̇" cannot complete "edit" (the combining dot follows the
+    *    'i', never the needed 't').
+    */
+  def codeStats(s: UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = s.numBytes
+    var nLines = 1L
+    var curLen = 0L
+    var maxLen = 0L
+    var sumLen = 0L
+    var nLong = 0L
+    var nChars = 0L
+    var nAlnum = 0L
+    var autogen = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0xC0) != 0x80) { // lead or ASCII byte = one character
+        nChars += 1
+        if (b == '\n') {
+          if (curLen > maxLen) maxLen = curLen
+          sumLen += curLen
+          if (curLen > CodeFilters.LongLineChars) nLong += 1
+          nLines += 1
+          curLen = 0L
+        } else {
+          curLen += 1
+          if ((b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+            (b >= 'a' && b <= 'z')) nAlnum += 1
+        }
+      }
+      if (!autogen) {
+        val f = if (b >= 'A' && b <= 'Z') (b | 0x20).toByte else b
+        if (f == 'a' || f == 'd' || f == 'g') {
+          var m = 0
+          while (!autogen && m < AutogenMarkerBytes.length) {
+            val mk = AutogenMarkerBytes(m)
+            if (mk(0) == f && i + mk.length <= n) {
+              var k = 1
+              var ok = true
+              while (ok && k < mk.length) {
+                val c = s.getByte(i + k)
+                val cf = if (c >= 'A' && c <= 'Z') (c | 0x20).toByte else c
+                if (cf != mk(k)) ok = false
+                k += 1
+              }
+              if (ok) autogen = true
+            }
+            m += 1
+          }
+        }
+      }
+      i += 1
+    }
+    if (curLen > maxLen) maxLen = curLen
+    sumLen += curLen
+    if (curLen > CodeFilters.LongLineChars) nLong += 1
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](nLines, maxLen, sumLen, nLong, nChars, nAlnum,
+        if (autogen) 1L else 0L))
+  }
+
+  private val AutogenMarkerBytes: Array[Array[Byte]] =
+    CodeFilters.AutogenMarkers.map(_.getBytes("UTF-8")).toArray
 }
 
 object Diversity {
