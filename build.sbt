@@ -10,7 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
-run / fork := true
+// bare `fork` (not `run / fork`): the runMain task does NOT delegate to
+// `run / fork` (different task axis), so for 19 rounds every
+// `sbt "runMain graft.Bench"` ran Spark IN-PROCESS inside the 4 GB sbt
+// launcher JVM and none of the javaOptions below (heap, add-opens)
+// ever applied — found in r20 when SPARK_DRIVER_MEM=48g produced a
+// 4 GB driver (VERDICT r19 task 1 prescribed exactly this fix). The
+// bare setting is in the delegation chain of run, runMain and every
+// other task.
+fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
